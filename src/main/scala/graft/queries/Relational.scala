@@ -1,0 +1,450 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.2): declarative DataFrame plans over the
+  * TPC-H-ish tables. Every query here is Catalyst-optimizable end to end —
+  * filters/projections reach the parquet scan, dimension joins broadcast,
+  * aggregates are partial-aggregated map-side. Scale notes per query.
+  */
+object Relational {
+  import Agg._
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- q1: full-scan groupBy multi-aggregate (TPC-H Q1 shape).
+    // Scale: 2 grouping keys * handful of groups -> map-side partial agg
+    // collapses 100TB to KBs before the shuffle.
+    GraftQuery.sql("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- q2: predicate + projection pushdown. The physical scan must
+    // show PushedFilters on l_shipdate/l_discount and a 4-column ReadSchema.
+    GraftQuery.sql("q2_filter_project",
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_extendedprice")
+    },
+
+    // ---- q3: selective dimension filter -> join -> agg -> top-k.
+    // Scale: customer filter broadcasts; limit plans as TakeOrderedAndProject
+    // (per-partition heap, no global sort).
+    GraftQuery.sql("q3_topk_join",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = t(s, dir, "orders").filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("orderdate"))
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .select($"l_orderkey", $"revenue", $"orderdate")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // ---- q4: EXISTS -> left-semi join with a non-equi conjunct.
+    GraftQuery.sql("q4_exists_semi",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+      ord.join(li, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- q5: 6-way star join. Scale: all five dimension sides broadcast;
+    // the only shuffle is the final group-by on n_name.
+    GraftQuery.sql("q5_multiway_join",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter($"r_name" === "ASIA")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc)
+    },
+
+    // ---- q6: tight range filter + scalar aggregate (TPC-H Q6 shape).
+    GraftQuery.sql("q6_selective_filter",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ---- q7: NOT EXISTS -> left-anti join.
+    GraftQuery.sql("q7_anti_join",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    // ---- q8: outer join + nested aggregation (TPC-H Q13 shape).
+    GraftQuery.sql("q8_outer_join_agg",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ord = t(s, dir, "orders").filter($"o_orderpriority" =!= "5-LOW")
+      t(s, dir, "customer")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // ---- q9: multi count-distinct. Scale: Spark expands distinct aggs
+    // to a single shuffle with grouping-id expansion; HLL variant is
+    // approx_count_distinct when exactness isn't required.
+    GraftQuery.sql("q9_distinct_agg",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    },
+
+    // ---- q10: window rank, top-3 per group. Single shuffle on the
+    // partition key; rank+filter avoids a self-join.
+    GraftQuery.sql("q10_window_rank",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) r
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rk")
+        .orderBy($"o_orderpriority", $"rk")
+    },
+
+    // ---- q11: running sum + moving average over a total order.
+    // l_quantity is integer-valued so frame sums are exact in fp.
+    GraftQuery.sql("q11_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |  AVG(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS avg_qty_10
+        |FROM lineitem WHERE l_suppkey <= 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey").orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      t(s, dir, "lineitem").filter($"l_suppkey" <= 3)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum($"l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_qty"),
+          avg($"l_quantity").over(w.rowsBetween(-9, Window.currentRow)).as("avg_qty_10"))
+    },
+
+    // ---- q12: ROLLUP hierarchy.
+    GraftQuery.sql("q12_rollup",
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // ---- q13: CUBE.
+    GraftQuery.sql("q13_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(dsum($"o_totalprice").as("total"), count(lit(1)).as("n"))
+    },
+
+    // ---- q14: conditional aggregation (promo revenue share, Q14 shape).
+    GraftQuery.sql("q14_conditional_agg",
+      """SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+          $"l_shipdate" < lit("1997-07-01").cast("timestamp_ntz"))
+      li.join(broadcast(t(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .agg(
+          dsum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(0.0)).as("promo_revenue"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("total_revenue"))
+    },
+
+    // ---- q15: string function pipeline.
+    GraftQuery.sql("q15_string_funcs",
+      """SELECT p_brand, UPPER(SUBSTR(p_name, 1, 6)) AS prefix6,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type, COUNT(*) AS n
+        |FROM part WHERE p_name LIKE '%e%'
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "part").filter($"p_name".like("%e%"))
+        .groupBy($"p_brand", upper(substring($"p_name", 1, 6)).as("prefix6"),
+          length($"p_name").cast("long").as("name_len"),
+          concat($"p_brand", lit("/"), $"p_type").as("brand_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"p_brand", $"prefix6", $"name_len", $"brand_type")
+    },
+
+    // ---- q16: date part extraction + arithmetic.
+    GraftQuery.sql("q16_date_funcs",
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").cast("long").as("yr"),
+          quarter($"o_orderdate").cast("long").as("qtr"),
+          month($"o_orderdate").cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"yr", $"qtr", $"mo")
+    },
+
+    // ---- q17: scalar subquery vs per-group average (Q17 shape).
+    // Scale: the per-part average is a separate agg joined back —
+    // one extra shuffle, no correlated per-row execution.
+    GraftQuery.sql("q17_scalar_subquery",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*))
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+        .agg((davg($"l_quantity") * 0.5).as("half_avg_qty"))
+      li.join(broadcast(t(s, dir, "part")).filter($"p_brand" === "Brand#4"),
+          $"l_partkey" === $"p_partkey")
+        .join(avgQty, $"l_partkey" === $"ap_partkey")
+        .filter($"l_quantity" < $"half_avg_qty")
+        .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
+    },
+
+    // ---- q18: HAVING on group aggregate.
+    GraftQuery.sql("q18_having",
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+        .filter($"n_orders" >= 14)
+        .orderBy($"o_custkey")
+    },
+
+    // ---- q19: UNION ALL of branch filters + reaggregation.
+    GraftQuery.sql("q19_union_all",
+      """SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total FROM (
+        |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 300000
+        |  UNION ALL
+        |  SELECT 'urgent_low' AS bucket, o_totalprice FROM orders
+        |  WHERE o_totalprice < 300000 AND o_orderpriority = '1-URGENT') u
+        |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+      val high = ord.filter($"o_totalprice" >= 300000)
+        .select(lit("high").as("bucket"), $"o_totalprice")
+      val ulow = ord.filter($"o_totalprice" < 300000 && $"o_orderpriority" === "1-URGENT")
+        .select(lit("urgent_low").as("bucket"), $"o_totalprice")
+      high.union(ulow)
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"bucket")
+    },
+
+    // ---- q20: exact interpolated percentiles per group.
+    GraftQuery.sql("q20_quantiles",
+      """SELECT event_type,
+        |  ROUND(quantile_cont("value", 0.5), 4) AS p50,
+        |  ROUND(quantile_cont("value", 0.9), 4) AS p90,
+        |  ROUND(quantile_cont("value", 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(round(percentile($"value", lit(0.5)), 4).as("p50"),
+          round(percentile($"value", lit(0.9)), 4).as("p90"),
+          round(percentile($"value", lit(0.99)), 4).as("p99"))
+        .orderBy($"event_type")
+    },
+
+    // ---- q21: correlated EXISTS + NOT EXISTS combination (Q21 shape).
+    GraftQuery.sql("q21_correlated_exists",
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val big = li.filter($"l_quantity" > 45).select($"l_orderkey".as("k1"))
+      val ret = li.filter($"l_returnflag" === "R").select($"l_orderkey".as("k2"))
+      t(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"k1", "left_semi")
+        .join(ret, $"o_orderkey" === $"k2", "left_anti")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // ---- q22: statistical aggregate suite.
+    GraftQuery.sql("q22_agg_stats",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*) AS avg_bal,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+        |  ROUND(VAR_SAMP(c_acctbal), 3) AS var_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), davg($"c_acctbal").as("avg_bal"),
+          min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"),
+          round(stddev_samp($"c_acctbal"), 4).as("sd_bal"),
+          round(var_samp($"c_acctbal"), 3).as("var_bal"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // ---- q23: GROUPING SETS (via Spark SQL; same Catalyst Expand plan
+    // the DataFrame cube/rollup lower to).
+    GraftQuery.sql("q23_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
+    // ---- q24: pivot (wide conditional aggregation).
+    GraftQuery.sql("q24_pivot",
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val pivoted = Tables.events(s, dir)
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+        .pivot("event_type", types).count()
+      types.foldLeft(pivoted)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy($"day")
+    }
+  )
+}
