@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Full operator registry (SURVEY.md §2). */
-  def registry: Seq[GraftQuery] = Relational.queries
+  def registry: Seq[GraftQuery] =
+    Relational.queries ++ Events.queries ++ Docs.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the document pipeline (SURVEY.md
+  * §2.4), all composed from codegen'd built-ins. The DuckDB-oracle twins
+  * of these expressions live next to the queries in graft.queries.Docs.
+  */
+object Text {
+
+  /** Whitespace-collapsed, lower-cased, trimmed content — the canonical
+    * form used for exact dedup and fingerprinting. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Stable 128-bit content fingerprint (hex md5 of normalized text). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks — a deterministic proxy for subword count. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(normalize(text), lit(BpePattern), lit(0))).cast("long")
+
+  /** Tokens as array (on normalized text). */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Count of tokens belonging to a fixed marker set. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*))).cast("long")
+
+  /** Punctuation character count on normalized text. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(normalize(text), "[a-z0-9 ]", "")).cast("long")
+
+  /** Composite quality score in [0,1]: rewards length (saturating at 100
+    * tokens), penalizes punctuation density, rewards stopword ratio —
+    * the heuristic mix used by web-scale corpus filters. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = wsTokenCount(text)
+    val stop = markerCount(text, stopwords)
+    val punct = punctCount(text)
+    val chars = length(normalize(text)).cast("long")
+    round(
+      least(toks / 100.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - punct / chars) * 0.3 +
+        (stop / toks) * 0.4,
+      4)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators (SURVEY.md §2.3) over the `events` table — the
+  * batch analogs of the reference's streaming consumers. The same plans
+  * run under Structured Streaming (see graft.streaming); here they're
+  * verified exactly against DuckDB.
+  *
+  * Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); both
+  * engines are normalized to µs (Tables.events floors ns→µs exactly as
+  * DuckDB's TIMESTAMP_NS→TIMESTAMP cast does). Fine-grained outputs are
+  * emitted as epoch micros (unix_micros ↔ epoch_us).
+  */
+object Events {
+  import Agg._
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Shared oracle prelude: events with µs-normalized ts. */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- e1: tumbling 1-day event-time windows. Scale: window key is
+    // derived per-row (no shuffle before the agg); partial agg map-side.
+    GraftQuery.sql("e1_tumbling_window",
+      s"""$evCte
+         |SELECT CAST(date_trunc('day', ts) AS DATE) AS wday,
+         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "1 day").getField("start").cast("date").as("wday"))
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"),
+          dsum($"value").as("total_value"))
+        .orderBy($"wday")
+    },
+
+    // ---- e2: sliding windows (2-day length, 1-day slide): each event
+    // lands in 2 windows — Spark expands in-row, no self-join.
+    GraftQuery.sql("e2_sliding_window",
+      s"""$evCte
+         |SELECT CAST(date_trunc('day', ts) - o.o * INTERVAL 1 DAY AS DATE) AS wstart,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+         |FROM ev CROSS JOIN (VALUES (0), (1)) AS o(o)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(window($"ts", "2 days", "1 day").getField("start").cast("date").as("wstart"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+        .orderBy($"wstart")
+    },
+
+    // ---- e3: gap-based sessionization via Spark's native session_window.
+    // Oracle reconstructs sessions with lag + running sum of session starts
+    // (new session iff gap >= 30 min, matching session_window's open
+    // interval [start, start+gap)).
+    GraftQuery.sql("e3_session_window",
+      s"""$evCte,
+         |m AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (SELECT user_id, ts,
+         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      ev(s, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"session_window.start").as("session_start_us"), $"n_events")
+        .orderBy($"user_id", $"session_start_us")
+    },
+
+    // ---- e4: as-of join (latest prior click per purchase). Implemented
+    // as tagged-union + running last_value — ONE shuffle on user_id, no
+    // range join, scales linearly. Oracle uses the naive correlated form.
+    GraftQuery.sql("e4_asof_join",
+      s"""$evCte
+         |SELECT p.event_id AS purchase_id, p.user_id,
+         |  epoch_us(p.ts) AS purchase_us,
+         |  (SELECT epoch_us(MAX(c.ts)) FROM ev c
+         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+         |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS last_click_us
+         |FROM ev p WHERE p.event_type = 'purchase'
+         |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir).filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("click_ts", when($"event_type" === "click", $"ts"))
+        .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          unix_micros($"ts").as("purchase_us"),
+          unix_micros($"last_click_ts").as("last_click_us"))
+        .orderBy($"purchase_id")
+    },
+
+    // ---- e5: time-band range join (pairs of errors within 10 min per
+    // user). Equi-key on user_id keeps it a hash/sort-merge join with a
+    // band residual — never a cartesian.
+    GraftQuery.sql("e5_range_join",
+      s"""$evCte
+         |SELECT a.user_id, COUNT(*) AS n_pairs
+         |FROM ev a JOIN ev b ON a.user_id = b.user_id
+         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         |WHERE a.event_type = 'error' AND b.event_type = 'error'
+         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val err = ev(s, dir).filter($"event_type" === "error").select($"user_id", $"ts")
+      val a = err.select($"user_id", $"ts".as("ts_a"))
+      val b = err.select($"user_id".as("user_b"), $"ts".as("ts_b"))
+      a.join(b, $"user_id" === $"user_b" && $"ts_b" > $"ts_a" &&
+          $"ts_b" <= $"ts_a" + expr("INTERVAL 10 MINUTES"))
+        .groupBy($"user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    },
+
+    // ---- e6: keep-latest-per-key dedup (row_number = 1). The streaming
+    // twin is dropDuplicatesWithinWatermark; batch uses one window shuffle.
+    GraftQuery.sql("e6_dedup_latest",
+      s"""$evCte
+         |SELECT user_id, event_type, event_id, value FROM (
+         |  SELECT user_id, event_type, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ev) t
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts".desc, $"event_id".desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"value")
+        .orderBy($"user_id", $"event_type")
+    },
+
+    // ---- e7: ordered funnel view → click → purchase per user (first
+    // qualifying step each stage). Three tiny aggregates + broadcast joins.
+    GraftQuery.sql("e7_event_funnel",
+      s"""$evCte,
+         |v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+         |SELECT (SELECT COUNT(*) FROM v) AS viewed,
+         |       (SELECT COUNT(*) FROM c) AS clicked,
+         |       (SELECT COUNT(*) FROM p) AS purchased""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val v = e.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("vts"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"vts").groupBy($"user_id").agg(min($"ts").as("cts"))
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"cts").groupBy($"user_id").agg(min($"ts").as("pts"))
+      v.agg(count(lit(1)).as("viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("purchased")))
+    }
+  )
+}

@@ -154,13 +154,15 @@ object Relational {
         .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"), count(lit(1)).as("n"))
     },
 
-    // ---- q7: NOT EXISTS -> left-anti join.
+    // ---- q7: NOT EXISTS -> left-anti join (customers with no big order).
     GraftQuery.sql("q7_anti_join",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, dir) =>
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 250000).select($"o_custkey")
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
