@@ -40,16 +40,19 @@ object Text {
 
   /** Composite quality score in [0,1]: rewards length (saturating at 100
     * tokens), penalizes punctuation density, rewards stopword ratio —
-    * the heuristic mix used by web-scale corpus filters. */
+    * the heuristic mix used by web-scale corpus filters.
+    *
+    * Emitted UNROUNDED: the formula is a fixed-order chain of IEEE double
+    * ops both engines evaluate identically, whereas engine-native
+    * round-half-up at 4 places diverges on the decimal-exact .00005
+    * boundaries this formula often lands on (round 1 hash mismatch). */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val toks = wsTokenCount(text)
     val stop = markerCount(text, stopwords)
     val punct = punctCount(text)
     val chars = length(normalize(text)).cast("long")
-    round(
-      least(toks / 100.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - punct / chars) * 0.3 +
-        (stop / toks) * 0.4,
-      4)
+    least(toks / 100.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - punct / chars) * 0.3 +
+      (stop / toks) * 0.4
   }
 }

@@ -84,16 +84,18 @@ object Docs {
     },
 
     // ---- d4: quality scoring (length saturation + punctuation density +
-    // stopword ratio), the web-corpus filter heuristic.
+    // stopword ratio), the web-corpus filter heuristic. Unrounded on both
+    // sides: both engines evaluate the identical IEEE double chain, while
+    // engine-native ROUND diverges at .00005 boundaries (r1 ADVICE).
     GraftQuery.sql("d4_quality_score",
       s"""$normCte
-         |SELECT doc_id, ROUND(
+         |SELECT doc_id,
          |  LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) / 100.0, 1.0) * 0.3
          |  + (1.0 - CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS BIGINT)
          |           / CAST(length(norm) AS BIGINT)) * 0.3
          |  + (CAST(len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a'))) AS BIGINT)
-         |     / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) * 0.4,
-         |  4) AS quality
+         |     / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) * 0.4
+         |  AS quality
          |FROM nd ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       docs(s, dir)

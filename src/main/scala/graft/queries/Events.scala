@@ -6,9 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time operators (SURVEY.md §2.3) over the `events` table — the
-  * batch analogs of the reference's streaming consumers. The same plans
-  * run under Structured Streaming (see graft.streaming); here they're
-  * verified exactly against DuckDB.
+  * batch analogs of the reference's streaming consumers (the streaming
+  * twins live in graft.streaming.StreamOps); here they're verified
+  * exactly against DuckDB.
   *
   * Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); both
   * engines are normalized to µs (Tables.events floors ns→µs exactly as
@@ -64,12 +64,12 @@ object Events {
     // interval [start, start+gap)).
     GraftQuery.sql("e3_session_window",
       s"""$evCte,
-         |m AS (SELECT user_id, ts,
+         |m AS (SELECT user_id, ts, event_id,
          |  CASE WHEN lag(ts) OVER w IS NULL
          |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sess AS (SELECT user_id, ts,
-         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts
+         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM m)
          |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
