@@ -18,6 +18,9 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads those as
     // long when this legacy flag is on (SPARK-40819). Harmless elsewhere.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Every query path goes through here, so the session always has the
+    // graft native functions available (Column API and spark.sql alike).
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

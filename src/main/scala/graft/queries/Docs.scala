@@ -155,7 +155,12 @@ object Docs {
       import s.implicits._
       val nv = embs(s, dir)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      // The pair join is a broadcast nested loop; the probe side arrives as
+      // one parquet split, so spread it across cores (at cluster scale this
+      // is the map-side parallelism of the O(n²/p) block comparison).
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val a = nv.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+        .repartition(p)
       val b = nv.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
       a.join(b, $"a_id" < $"b_id")
         .withColumn("cos", Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb"))
@@ -181,9 +186,11 @@ object Docs {
       import s.implicits._
       val nv = embs(s, dir)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val q = nv.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("eq"), $"nrm".as("nq"))
       val c = nv.select($"vec_id".as("neighbor_id"), $"embedding".as("ec"), $"nrm".as("nc"))
+        .repartition(p)
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
       q.join(c, $"q_id" =!= $"neighbor_id")
         .withColumn("cos", Vectors.cosineWithNorms($"eq", $"ec", $"nq", $"nc"))
