@@ -129,9 +129,18 @@ object Docs {
         "es" -> Seq("el", "los", "que", "y"),
         "fr" -> Seq("et", "la", "le", "les"),
         "zh" -> Seq("de_zh_marker"))
-      val scored = markers.foldLeft(docs(s, dir)) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l", Text.markerCount($"text", ws))
+      // Tokenize ONCE and score via explode + conditional hash aggregate.
+      // The r1 form (5 filter-HOF columns feeding a CASE) re-evaluated the
+      // regex normalize+split per CASE reference — interpreted lambdas,
+      // ~49 s at sf0.1. This shape is one codegen'd pass + a partial
+      // (map-side combined) aggregate keyed on doc_id.
+      val tok = docs(s, dir).select($"doc_id", $"lang",
+        explode_outer(Text.tokens($"text")).as("t"))
+      val scoreCols = markers.map { case (l, ws) =>
+        sum(when($"t".isin(ws.map(lit(_)): _*), 1L).otherwise(0L)).as(s"s_$l")
       }
+      val scored = tok.groupBy($"doc_id", $"lang")
+        .agg(scoreCols.head, scoreCols.tail: _*)
       val predicted = scored.withColumn("predicted",
         when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr" && $"s_de" >= $"s_zh", "de")
           .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_zh", "en")
