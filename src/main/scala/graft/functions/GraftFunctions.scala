@@ -1,9 +1,9 @@
 package graft.functions
 
-import graft.functions.expressions.FloatVecDot
+import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Registration of graft's native Catalyst expressions in the session
   * `FunctionRegistry`, making them usable both from the Column API
@@ -12,9 +12,30 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def litInt(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got $other")
+  }
+  private def litLong(e: Expression, arg: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$arg must be a long literal, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> { args => FloatVecDot(args(0), args(1)) }
+    "vec_dot" -> { args => FloatVecDot(args(0), args(1)) },
+    // minhash_sig(hashes, numPerms, seed) — perms/seed must be literals.
+    "minhash_sig" -> { args =>
+      MinHashSig(args(0), litInt(args(1), "numPerms"), litLong(args(2), "seed")) },
+    "simhash64" -> { args => SimHash64(args(0)) }
   )
+
+  private val exprClass: Map[String, String] = Map(
+    "vec_dot" -> classOf[FloatVecDot].getName,
+    "minhash_sig" -> classOf[MinHashSig].getName,
+    "simhash64" -> classOf[SimHash64].getName)
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -24,7 +45,7 @@ object GraftFunctions {
       if (registry.lookupFunctionBuilder(id).isEmpty) {
         registry.registerFunction(
           id,
-          new ExpressionInfo(classOf[FloatVecDot].getName, name),
+          new ExpressionInfo(exprClass(name), name),
           builder)
       }
     }

@@ -34,6 +34,19 @@ object Text {
   def markerCount(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*))).cast("long")
 
+  /** Word k-shingles of normalized text (distinct, space-joined). Docs
+    * shorter than k tokens yield their single partial shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** 64-bit hashes of an array of strings (shingles or tokens) — the
+    * input representation for minhash_sig / simhash64. */
+  def hashed(arr: Column): Column = transform(arr, x => xxhash64(x))
+
   /** Punctuation character count on normalized text. */
   def punctCount(text: Column): Column =
     length(regexp_replace(normalize(text), "[a-z0-9 ]", "")).cast("long")

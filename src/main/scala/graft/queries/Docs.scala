@@ -38,6 +38,54 @@ object Docs {
 
   private val stopwords = Seq("the", "a")
 
+  // ---- MinHash-LSH parameters (d6/d8): 64 perms = 16 bands × 4 rows.
+  // P(candidate | jaccard j) = 1-(1-j^4)^16: ≈1.0 at j=0.9, 0.64 at
+  // j=0.5, ~1e-4 at j=0.05 — tuned to catch the near-dup tail without
+  // flooding buckets.
+  private val MinhashPerms = 64
+  private val MinhashBands = 16
+  private val MinhashRows = 4
+  private val MinhashSeed = 42L
+  private val ShingleK = 3
+  /** LSH bucket-width cap: buckets above this are degenerate (boilerplate
+    * shingles) and would otherwise quadratically blow up the pair join at
+    * scale; standard LSH skew control is to drop them. */
+  private val MaxBucket = 1000L
+
+  /** doc_id → distinct word-3-shingle set (the unit of Jaccard). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", Text.wordShingles($"text", ShingleK).as("sh"))
+  }
+
+  /** MinHash-LSH candidate pairs: sig → band hashes → bucket self-join.
+    * Scale shape: the only shuffles are keyed on the 8-byte (band_idx,
+    * band_hash) bucket id and then the (a_id, b_id) pair — document text
+    * never crosses the wire past the signature projection. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = shingleSets(s, dir).select($"doc_id",
+      call_function("minhash_sig", Text.hashed($"sh"),
+        lit(MinhashPerms), lit(MinhashSeed)).as("sig"))
+    val bandCols = (0 until MinhashBands).map { b =>
+      hash(slice($"sig", b * MinhashRows + 1, MinhashRows)).cast("long")
+    }
+    val banded = sig
+      .select($"doc_id", posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val buckets = banded.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("bn"))
+      .filter($"bn".between(2L, MaxBucket))
+    val inBucket = banded.join(buckets, Seq("band_idx", "band_hash"))
+      .select($"band_idx", $"band_hash", $"doc_id")
+    val l = inBucket.select($"band_idx", $"band_hash", $"doc_id".as("a_id"))
+    val r = inBucket.select($"band_idx", $"band_hash", $"doc_id".as("b_id"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- d1: exact dedup by normalized-content fingerprint. Scale: the
@@ -149,6 +197,60 @@ object Docs {
           .otherwise("zh"))
       predicted.groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
+    },
+
+    // ---- d6: MinHash+LSH near-dup candidates. Exactness is covered by
+    // MinHashSpec (recall vs brute-force Jaccard); the driver checks
+    // rows>0 — testdata plants ~20 near-dup pairs per 500 docs.
+    GraftQuery.rowsOnly("d6_dedup_minhash") { (s, dir) =>
+      import s.implicits._
+      minhashCandidates(s, dir).orderBy($"a_id", $"b_id")
+    },
+
+    // ---- d7: SimHash near-dup — 64-bit fingerprint over word-3-shingle
+    // hashes (shingles, not unigrams: unigram simhash leaves true near-dups
+    // at hamming ≤10 while same-topic background floods in at ≥5; shingle
+    // features separate them completely — near ≤12, background ≥14 on this
+    // corpus). Candidates via 8 bands × 8 bits (pigeonhole guarantee: any
+    // pair at hamming ≤7 shares a band; 8–12 found with high probability),
+    // verified with bit_count(xor) <= 12. The fingerprint is 8 bytes/doc:
+    // at 100 TB the candidate join shuffles fingerprints, never text.
+    GraftQuery.rowsOnly("d7_dedup_simhash") { (s, dir) =>
+      import s.implicits._
+      val sims = shingleSets(s, dir).select($"doc_id",
+        call_function("simhash64", Text.hashed($"sh")).as("sim"))
+      val bandCols = (0 until 8).map { i =>
+        shiftright($"sim", i * 8).bitwiseAND(lit(0xffL))
+      }
+      val banded = sims.select($"doc_id", $"sim", posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "sim", "band_idx", "band_val")
+      val l = banded.select($"band_idx", $"band_val", $"doc_id".as("a_id"), $"sim".as("sim_a"))
+      val r = banded.select($"band_idx", $"band_val", $"doc_id".as("b_id"), $"sim".as("sim_b"))
+      l.join(r, Seq("band_idx", "band_val"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 12)
+        .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- d8: exact n-gram Jaccard verification of the LSH candidates
+    // (candidate generation is d6's band join; this is the refine step,
+    // so the quadratic set-compare only runs on O(candidates) pairs).
+    GraftQuery.rowsOnly("d8_ngram_jaccard") { (s, dir) =>
+      import s.implicits._
+      val sets = shingleSets(s, dir)
+      val a = sets.select($"doc_id".as("a_id"), $"sh".as("sh_a"))
+      val b = sets.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
+      minhashCandidates(s, dir)
+        .join(a, "a_id").join(b, "b_id")
+        .withColumn("jaccard",
+          size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+            size(array_union($"sh_a", $"sh_b")).cast("double"))
+        .filter($"jaccard" >= 0.5)
+        .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a_id", $"b_id")
     },
 
     // ---- d9: cosine-threshold near-duplicate pairs. Brute-force O(n²)

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end semantics of the near-dup operators (d6/d7/d8) at sf0.001,
+  * validated against brute-force exact Jaccard over all O(n²) pairs —
+  * feasible at 500 docs, which is exactly why the small SF exists. */
+class DedupSpec extends SparkSpec {
+
+  /** All pairs with exact word-3-shingle jaccard, brute force. */
+  private lazy val truth: Map[(Long, Long), Double] = {
+    import spark.implicits._
+    val sets = Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", Text.wordShingles($"text", 3).as("sh"))
+    val a = sets.select($"doc_id".as("a_id"), $"sh".as("sh_a"))
+    val b = sets.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
+    a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b")).cast("double")).as("j"))
+      .filter($"j" > 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d6 minhash-LSH: full recall on strong near-dups (j >= 0.8)") {
+    val cand = pairs(SparkEntry.queries("d6_dedup_minhash")(spark, Sf0001))
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "testdata should contain planted near-dups")
+    val missed = strong -- cand
+    assert(missed.isEmpty, s"LSH missed strong near-dup pairs: $missed")
+  }
+
+  test("d6 candidates are not noise: every candidate shares real shingles") {
+    val cand = pairs(SparkEntry.queries("d6_dedup_minhash")(spark, Sf0001))
+    val weak = cand.filter(p => truth.getOrElse(p, 0.0) < 0.05)
+    // 16 bands × 4 rows: P(candidate) at j<0.05 is ~1e-4; a handful of
+    // bucket collisions is tolerable, a flood is a banding bug.
+    assert(weak.size <= cand.size / 4, s"too many spurious candidates: $weak")
+  }
+
+  /** Brute-force simhash fingerprints for every doc at sf0.001. */
+  private lazy val fingerprints: Map[Long, Long] = {
+    import spark.implicits._
+    Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id",
+        call_function("simhash64",
+          Text.hashed(Text.wordShingles($"text", 3))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("d7 simhash: guarantee (hamming<=7 always found) + exact hamming values") {
+    val got = SparkEntry.queries("d7_dedup_simhash")(spark, Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // pigeonhole guarantee of the 8-band bucket join
+    val ids = fingerprints.keys.toSeq.sorted
+    val mustFind = for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(fingerprints(i) ^ fingerprints(j)) if h <= 7
+    } yield (i, j)
+    val missed = mustFind.toSet -- got.keySet
+    assert(missed.isEmpty, s"banding missed guaranteed pairs: $missed")
+    // reported hammings are exact and within threshold
+    got.foreach { case ((a, b), h) =>
+      assert(h === java.lang.Long.bitCount(fingerprints(a) ^ fingerprints(b)).toLong)
+      assert(h <= 12)
+    }
+  }
+
+  test("d7 simhash: full recall on strong near-dups, no weak-pair flood") {
+    val got = pairs(SparkEntry.queries("d7_dedup_simhash")(spark, Sf0001))
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    val missed = strong -- got
+    assert(missed.isEmpty, s"simhash missed strong near-dup pairs: $missed")
+    val weak = got.filter(p => truth.getOrElse(p, 0.0) < 0.05)
+    assert(weak.isEmpty, s"hamming<=12 admitted dissimilar pairs: $weak")
+  }
+
+  test("d8 equals brute-force jaccard >= 0.5 restricted to LSH candidates, with exact values") {
+    import spark.implicits._
+    val got = SparkEntry.queries("d8_ngram_jaccard")(spark, Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cand = pairs(SparkEntry.queries("d6_dedup_minhash")(spark, Sf0001))
+    val expect = truth.filter { case (p, j) => j >= 0.5 && cand(p._1, p._2) }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (p, j) =>
+      assert(math.abs(got(p) - j) < 5e-7, s"pair $p jaccard ${got(p)} != $j")
+    }
+  }
+
+  test("e6/d1-style invariant: exact dedup groups cover all documents") {
+    import spark.implicits._
+    val d1 = SparkEntry.queries("d1_dedup_exact")(spark, Sf0001)
+    val total = d1.agg(sum($"n_copies")).collect()(0).getLong(0)
+    val docs = Tables.load(spark, Sf0001, "documents").count()
+    assert(total === docs)
+  }
+}
