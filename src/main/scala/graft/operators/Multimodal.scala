@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.4 d12): media payloads
+  * travel as opaque `binary` columns next to typed metadata, and
+  * decode/feature-extraction runs as a *batched* per-partition operator —
+  * the Spark-side shape (schema, encoders, partition batching, feature
+  * struct) is real and tested; only the codec call itself is a stub,
+  * because no image/audio library ships in this container.
+  *
+  * At 100 TB: payload bytes never shuffle — extraction is map-side
+  * (mapPartitions), and everything downstream of it carries only the
+  * fixed-width feature struct. Partition the input by storage locality
+  * (file), not by media_type, so one huge modality can't skew executors.
+  */
+object Multimodal {
+
+  /** A media record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Fixed-width features extracted per record. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      mean_byte: Double,
+      byte_entropy: Double,
+      phash: Long)
+
+  /** Decode batch size: extraction codecs (JPEG/PNG/audio frames) amortize
+    * setup per batch, so the operator works on fixed-size slices of each
+    * partition's iterator rather than row-at-a-time. */
+  val DecodeBatchSize = 64
+
+  /** STUB — deterministic fake decode.
+    *
+    * A real deployment decodes the payload (image pixels, audio PCM,
+    * video frames) with a native codec here; this container has none, so
+    * features are computed directly on the raw bytes. The contract —
+    * bytes in, fixed-width `MediaFeatures` out, called once per batch —
+    * is exactly what a codec-backed implementation would keep.
+    */
+  private def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val bytes = r.payload
+      val n = bytes.length
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        hist(b) += 1
+        sum += b
+        i += 1
+      }
+      var entropy = 0.0
+      if (n > 0) {
+        var j = 0
+        while (j < 256) {
+          if (hist(j) > 0) {
+            val p = hist(j).toDouble / n
+            entropy -= p * (math.log(p) / math.log(2.0))
+          }
+          j += 1
+        }
+      }
+      // perceptual-hash stand-in: sign pattern of histogram vs uniform
+      var phash = 0L
+      var k = 0
+      while (k < 64) {
+        val bucket = hist(4 * k) + hist(4 * k + 1) + hist(4 * k + 2) + hist(4 * k + 3)
+        if (bucket.toDouble > n / 64.0) phash |= (1L << k)
+        k += 1
+      }
+      MediaFeatures(r.doc_id, r.media_type,
+        n.toLong, if (n == 0) 0.0 else sum.toDouble / n, entropy, phash)
+    }
+
+  /** Batched per-partition feature extraction. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(decodeBatchStub)
+    }
+  }
+
+  /** Synthesize a deterministic media table from `documents` (the
+    * container has no real media files): payload = the document's bytes,
+    * media_type/width/height derived from doc_id. Exercises binary-column
+    * IO, casts, and the typed Dataset encoder path. */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(
+      $"doc_id",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod($"doc_id", lit(3)) + 1).cast("int")).as("media_type"),
+      (pmod($"doc_id", lit(64)) * 16 + 64).cast("int").as("width"),
+      (pmod($"doc_id", lit(48)) * 16 + 64).cast("int").as("height"),
+      encode($"text", "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

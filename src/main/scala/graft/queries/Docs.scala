@@ -309,6 +309,34 @@ object Docs {
         .filter($"rk" <= 5)
         .select($"q_id", $"neighbor_id", round($"cos", 6).as("cos"), $"rk")
         .orderBy($"q_id", $"rk")
+    },
+
+    // ---- d11: IVF ANN — the scale path for top-k search. Probes 4 of
+    // 16 centroid clusters per query (~25% of the corpus) instead of
+    // scanning everything; recall vs the exact d10 is asserted in
+    // AnnSpec. Same (cos desc, neighbor_id) tie-break as d10.
+    GraftQuery.rowsOnly("d11_ann_ivf") { (s, dir) =>
+      import s.implicits._
+      val nv = embs(s, dir)
+      val queries = nv.filter($"vec_id" < 10)
+      graft.operators.AnnIvf.search(s, nv, queries,
+        numClusters = 16, nprobe = 4, k = 5)
+        .orderBy($"q_id", $"rk")
+    },
+
+    // ---- d12: multimodal plumbing — binary payload column + typed
+    // metadata through the batched per-partition extraction operator
+    // (decode stubbed; schema/encoder/batching real — see
+    // operators.Multimodal).
+    GraftQuery.rowsOnly("d12_multimodal_meta") { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+      graft.operators.Multimodal.extractFeatures(media)
+        .toDF()
+        .select($"doc_id", $"media_type", $"n_bytes",
+          round($"mean_byte", 4).as("mean_byte"),
+          round($"byte_entropy", 4).as("byte_entropy"), $"phash")
+        .orderBy($"doc_id")
     }
   )
 }

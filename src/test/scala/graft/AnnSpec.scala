@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** IVF ANN (d11) vs the exact brute-force baseline (d10) at sf0.001:
+  * recall@5 and exactness of what IVF does return. */
+class AnnSpec extends SparkSpec {
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.queries(name)(spark, Sf0001)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq)
+      .toMap
+
+  test("d11 IVF recall@5 vs exact top-k is >= 0.6, with exact cosines") {
+    val exact = topk("d10_ann_topk")
+    val ivf = topk("d11_ann_ivf")
+    assert(ivf.keySet === exact.keySet, "every query must return neighbors")
+    val recalls = exact.map { case (q, ex) =>
+      val got = ivf(q).toSet
+      ex.count(got) / ex.size.toDouble
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean below 0.6 (nprobe=4/16)")
+
+    // cosines reported by IVF must equal the exact ones (IVF prunes the
+    // candidate set; it must not perturb the metric)
+    val exactCos = SparkEntry.queries("d10_ann_topk")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SparkEntry.queries("d11_ann_ivf")(spark, Sf0001)
+      .collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        exactCos.get(key).foreach { c =>
+          assert(r.getDouble(2) === c, s"cosine mismatch for $key")
+        }
+      }
+  }
+
+  test("d11 results are valid neighbors: k per query, no self, ranks contiguous") {
+    val rows = SparkEntry.queries("d11_ann_ivf")(spark, Sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q returned ${rs.length} neighbors")
+      assert(rs.forall(_.getLong(1) != q), s"query $q returned itself")
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to 5L), s"ranks not contiguous for $q")
+      // ranks ordered by descending cosine
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(byRank === byRank.sorted.reverse, s"rank order violates cosine order for $q")
+    }
+  }
+}
