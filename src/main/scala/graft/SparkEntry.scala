@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** Full operator registry (SURVEY.md §2). */
   def registry: Seq[GraftQuery] =
-    Relational.queries ++ Events.queries ++ Docs.queries
+    Relational.queries ++ Events.queries ++ Docs.queries ++ Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

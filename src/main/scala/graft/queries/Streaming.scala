@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{BatchingSink, ShardedLog, StreamOps}
+import java.nio.file.Files
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming transport operators (SURVEY.md §2.1) run end-to-end as real
+  * Structured Streaming queries against driver testdata, then surfaced
+  * as bounded DataFrames so the DuckDB oracle can hash-check them like
+  * any batch query: the stream is drained with processAllAvailable over
+  * a memory sink, so the result is exact, not a sample.
+  *
+  * s3 (trigger rate limits) is covered in StreamingSpec, where per-batch
+  * progress is observable.
+  */
+object Streaming {
+
+  /** Shared oracle prelude (events.ts normalized ns→µs, as in Events). */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+  private def drainToTable(spark: SparkSession, df: DataFrame,
+                           outputMode: String): DataFrame = {
+    val name = "g_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    // ---- s1: the sharded source end-to-end. events are materialized as
+    // a 4-shard append-only log (shard = user_id mod 4, files of 2000
+    // records), read back through the DSv2 micro-batch source from the
+    // trim horizon, and aggregated per shard. The oracle recomputes the
+    // same from the raw table — dropping or duplicating any record in
+    // any shard breaks the hash.
+    GraftQuery.sql("s1_sharded_source",
+      s"""$evCte
+         |SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard, COUNT(*) AS n,
+         |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-shardedlog-")
+      val events = Tables.events(s, dir)
+        .select($"event_id", pmod($"user_id", lit(4)).as("shard"))
+        .collect()
+        .groupBy(_.getLong(1))
+      events.foreach { case (shard, rows) =>
+        rows.map(_.getLong(0)).sorted.grouped(2000).zipWithIndex.foreach {
+          case (ids, i) =>
+            ShardedLog.append(root, s"s$shard", i + 1L, ids.map(_.toString))
+        }
+      }
+      val stream = s.readStream.format(ShardedLog.Format)
+        .option("path", root.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .select($"shard", $"value".cast("long").as("event_id"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"),
+          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      drainToTable(s, stream, "complete").orderBy($"shard")
+    },
+
+    // ---- s2: the batching sink end-to-end, distributed: every partition
+    // drains through its own BatchingSink against a transport that
+    // deterministically hard-fails event_id % 97 == 0 and throttles
+    // event_id % 50 == 0 on first attempt (throttled records must be
+    // re-queued and eventually succeed — so only the hard failures may
+    // reach the Left channel, which is exactly what the oracle counts).
+    GraftQuery.sql("s2_batching_sink",
+      s"""$evCte
+         |SELECT CASE WHEN event_id % 97 = 0 THEN 'err' ELSE 'ok' END AS status,
+         |  COUNT(*) AS n
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val statuses = Tables.events(s, dir)
+        .select($"event_id").as[Long]
+        .mapPartitions { it =>
+          val throttledOnce = scala.collection.mutable.Set.empty[Long]
+          val put: Seq[Long] => Seq[BatchingSink.PutResult] = batch =>
+            batch.map { id =>
+              if (id % 97 == 0)
+                BatchingSink.PutResult(Some("InternalFailure"))
+              else if (id % 50 == 0 && throttledOnce.add(id))
+                BatchingSink.PutResult(Some(BatchingSink.ThrottledCode))
+              else BatchingSink.PutResult(None)
+            }
+          new BatchingSink[Long](put, sleeper = _ => ())
+            .run(it)
+            .map(e => if (e.isRight) "ok" else "err")
+        }
+      statuses.toDF("status").groupBy($"status")
+        .agg(count(lit(1)).as("n")).orderBy($"status")
+    },
+
+    // ---- s4: watermarked dedup — every event is delivered twice in two
+    // separate micro-batches (at-least-once redelivery); the watermarked
+    // key dedup must collapse them exactly back to the original table.
+    GraftQuery.sql("s4_watermark_dedup",
+      s"""$evCte
+         |SELECT event_type, COUNT(*) AS n
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"event_id", $"event_type", $"ts")
+        .as[(Long, String, java.sql.Timestamp)]
+        .collect().toSeq
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)](s)
+      in.addData(rows) // batch 1: original delivery
+      in.addData(rows) // batch 2: full redelivery
+      val deduped = StreamOps.dedupWithinWatermark(
+        in.toDF().toDF("event_id", "event_type", "ts"),
+        tsCol = "ts", horizon = "3650 days", keys = Seq("event_id"))
+      drainToTable(s, deduped, "append")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+
+    // ---- s5: streaming tumbling-window aggregate (twin of batch e1,
+    // minus the distinct-user count, which streaming aggregation forbids).
+    GraftQuery.sql("s5_stream_window_agg",
+      s"""$evCte
+         |SELECT CAST(date_trunc('day', ts) AS DATE) AS wday, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"ts", $"value")
+        .as[(java.sql.Timestamp, Double)]
+        .collect().toSeq
+      val in = MemoryStream[(java.sql.Timestamp, Double)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val agg = StreamOps.tumblingCounts(
+        in.toDF().toDF("ts", "value"),
+        tsCol = "ts", width = "1 day", horizon = "1 hour")
+      drainToTable(s, agg, "complete").orderBy($"wday")
+    },
+
+    // ---- s6: stateful gap sessionization through flatMapGroupsWithState
+    // (batch execution of the same operator the stream runs; incremental
+    // multi-batch state is exercised in StreamingSpec). Oracle identical
+    // to e3's session_window reconstruction.
+    GraftQuery.sql("s6_stateful_session",
+      s"""$evCte,
+         |m AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (SELECT user_id, ts,
+         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m)
+         |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"ts")
+        .as[StreamOps.SessEvent]
+      StreamOps.sessionizeBatch(ev, gapMinutes = 30)
+        .toDF()
+        .orderBy($"user_id", $"session_start_us")
+    }
+  )
+}

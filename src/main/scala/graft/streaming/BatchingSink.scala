@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.util.Retry
+import scala.collection.mutable
+
+/** Buffering, batching record writer — the Spark-side re-expression of
+  * the reference's publishing stage (reference KinesisGraphStage.scala).
+  * Used per partition inside `foreachBatch`/`mapPartitions`, so every
+  * executor core runs one independent sink instance (the reference runs
+  * one per stream materialization).
+  *
+  * Reference semantics preserved:
+  *   - buffer up to `maxBufferSize` (=500, the AWS hard cap), flush once
+  *     `sendingThreshold` (=250) is reached or upstream completes
+  *     (KinesisGraphStage.scala:24-26, 57-74);
+  *   - the whole flush goes through bounded retry with exponential
+  *     backoff (KinesisGraphStage.scala:92-98 + package.scala:8-17);
+  *   - per-record result routing (KinesisGraphStage.scala:110-125):
+  *     throttled records are re-queued into the buffer for the next
+  *     flush, other failures emit `Left(error)`, successes emit
+  *     `Right(record)` — the dead-letter channel;
+  *   - rate-limit self-throttling off the hot path: a flush that saw
+  *     throttling sleeps `throttleBackoffMs` (=800) before returning
+  *     (KinesisGraphStage.scala:100-108).
+  */
+object BatchingSink {
+  val ThrottledCode = "ProvisionedThroughputExceededException"
+
+  /** Transport result for one record (None = success). */
+  final case class PutResult(errorCode: Option[String])
+  /** A failed record with its error code — the `Left` channel. */
+  final case class PutError[A](record: A, errorCode: String)
+
+  final case class Config(
+      sendingThreshold: Int = 250,
+      maxBufferSize: Int = 500,
+      maxTries: Int = 7,
+      throttleBackoffMs: Long = 800L)
+}
+
+class BatchingSink[A](
+    put: Seq[A] => Seq[BatchingSink.PutResult],
+    config: BatchingSink.Config = BatchingSink.Config(),
+    sleeper: Long => Unit = Thread.sleep) extends Serializable {
+  import BatchingSink._
+
+  /** Drain `records`, emitting the success/failure channel in completion
+    * order. Lazily pulls from upstream only when the buffer has room —
+    * the iterator-pull analog of the reference's demand-driven `pull(in)`
+    * (KinesisGraphStage.scala:70-74). */
+  def run(records: Iterator[A]): Iterator[Either[PutError[A], A]] = {
+    val buffer = mutable.Queue.empty[A]
+    val out = mutable.ArrayBuffer.empty[Either[PutError[A], A]]
+
+    def flush(): Unit = {
+      if (buffer.nonEmpty) {
+        val batch = buffer.dequeueAll(_ => true).toSeq
+        val results = Retry.withRetries(
+          tries = config.maxTries,
+          onError = Retry.expBackoff(sleeper)) {
+          put(batch)
+        }
+        require(results.length == batch.length,
+          s"transport returned ${results.length} results for ${batch.length} records")
+        var throttled = 0
+        results.lazyZip(batch).foreach { (r, a) =>
+          r.errorCode match {
+            case Some(ThrottledCode) => buffer.enqueue(a); throttled += 1
+            case Some(code) => out += Left(PutError(a, code))
+            case None => out += Right(a)
+          }
+        }
+        if (throttled > 0) sleeper(config.throttleBackoffMs)
+      }
+    }
+
+    while (records.hasNext) {
+      while (records.hasNext && buffer.length < config.maxBufferSize) {
+        buffer.enqueue(records.next())
+        if (buffer.length >= config.sendingThreshold) flush()
+      }
+      if (buffer.nonEmpty) flush()
+    }
+    // upstream closed: clear whatever remains (including requeues)
+    while (buffer.nonEmpty) flush()
+    out.iterator
+  }
+}

@@ -1,0 +1,225 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** A sharded append-only record log as a Structured Streaming DSv2
+  * source — the Spark-native re-expression of the reference's
+  * backpressured sharded-stream reader (reference KinesisSource.scala).
+  *
+  * Layout: `<path>/<shard>/<seq>.rec`, each file a batch of UTF-8 line
+  * records appended atomically; `<seq>` is a zero-padded per-shard
+  * sequence number. Mapping of reference semantics:
+  *
+  *   - iterator types (KinesisSource.scala:29-35) → `startingPosition`
+  *     option: `trim_horizon` (oldest retained), `latest` (only records
+  *     after query start), `at_timestamp` with `timestampMs` — capped at
+  *     "now" exactly like the reference (KinesisSource.scala:99-102);
+  *   - shard discovery + resharding (KinesisSource.scala:115-141,
+  *     147-163): shard directories are re-listed every micro-batch; a
+  *     shard that appears mid-query (a child of a split) is read from
+  *     its own trim horizon so no record is lost — the reference's
+  *     `iteratorForReshard` rule;
+  *   - iterator reissue / resume (KinesisSource.scala:43-65, 279-284):
+  *     the offset is a per-shard consumed-sequence map, serialized into
+  *     Spark's checkpoint offset log, so restart resumes after the last
+  *     delivered record per shard;
+  *   - backpressure (demand-driven fetch) → `maxFilesPerTrigger` caps
+  *     how far `latestOffset` advances each shard per micro-batch;
+  *   - per-shard ordering: one input partition per shard per batch,
+  *     files and lines read in sequence order.
+  *
+  * Scale: shards are the unit of parallelism (shard→partition), state
+  * per query is O(#shards) longs, and record payloads stay on executors.
+  */
+object ShardedLog {
+  val Schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+
+  val Format = "graft.streaming.ShardedLogProvider"
+
+  /** Append one record file atomically (write temp + move) so readers
+    * never observe partial files. Returns the file's sequence number. */
+  def append(root: Path, shard: String, seq: Long, lines: Seq[String]): Path = {
+    val dir = root.resolve(shard)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tmp", ".rec")
+    Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
+    Files.move(tmp, dir.resolve(f"$seq%08d.rec"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[streaming] def listShards(root: Path): Seq[Path] =
+    if (!Files.isDirectory(root)) Nil
+    else Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      .sortBy(_.getFileName.toString)
+
+  /** (seq, path, mtimeMicros) of record files in a shard, seq-ascending. */
+  private[streaming] def listFiles(shardDir: Path): Seq[(Long, Path, Long)] =
+    Files.list(shardDir).iterator().asScala
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".rec") && !n.startsWith("."))
+          n.stripSuffix(".rec").toLongOption.map(seq =>
+            (seq, p, Files.getLastModifiedTime(p).toMillis * 1000L))
+        else None
+      }
+      .toSeq.sortBy(_._1)
+}
+
+/** Per-shard consumed-sequence offset ("everything up to and including
+  * seq N of shard S has been delivered"). */
+case class ShardedLogOffset(consumed: Map[String, Long]) extends Offset {
+  override def json(): String =
+    consumed.toSeq.sortBy(_._1)
+      .map { case (s, n) => "\"" + s + "\":" + n }
+      .mkString("{", ",", "}")
+}
+
+object ShardedLogOffset {
+  private val Entry = """"([^"]+)":(-?\d+)""".r
+  def fromJson(json: String): ShardedLogOffset =
+    ShardedLogOffset(Entry.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+}
+
+class ShardedLogProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sharded-log"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ShardedLog.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ShardedLogTable(new CaseInsensitiveStringMap(properties))
+}
+
+class ShardedLogTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"sharded_log(${options.get("path")})"
+  override def schema(): StructType = ShardedLog.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ShardedLog.Schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ShardedLogMicroBatchStream(options)
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "sharded-log is a streaming source; use readStream")
+    }
+}
+
+class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  import ShardedLog._
+
+  private val root: Path = Paths.get(Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("sharded-log requires a 'path' option")))
+  private val startingPosition: String =
+    Option(options.get("startingposition")).getOrElse("trim_horizon").toLowerCase
+  private val timestampMs: Option[Long] =
+    Option(options.get("timestampms")).map(_.toLong)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxfilespertrigger")).map(_.toInt)
+
+  private def currentMax(): Map[String, Long] =
+    listShards(root).map { d =>
+      val files = listFiles(d)
+      d.getFileName.toString -> files.lastOption.map(_._1).getOrElse(0L)
+    }.toMap
+
+  override def initialOffset(): Offset = {
+    val init = startingPosition match {
+      case "trim_horizon" => currentMax().map { case (s, _) => s -> 0L }
+      case "latest" => currentMax()
+      case "at_timestamp" =>
+        val ts = timestampMs.getOrElse(throw new IllegalArgumentException(
+          "at_timestamp requires 'timestampMs'"))
+        // capped at "now", mirroring reference KinesisSource.scala:99-102
+        val effectiveUs = math.min(ts, System.currentTimeMillis()) * 1000L
+        listShards(root).map { d =>
+          val consumed = listFiles(d).takeWhile(_._3 < effectiveUs)
+          d.getFileName.toString -> consumed.lastOption.map(_._1).getOrElse(0L)
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"unknown startingPosition '$other' (trim_horizon | latest | at_timestamp)")
+    }
+    ShardedLogOffset(init)
+  }
+
+  // Admission-control path: the engine hands us the start offset, so the
+  // per-trigger cap is stateless. Shards unseen in `start` (a reshard
+  // split) enter at their trim horizon — reference
+  // KinesisSource.scala:147-163 + iteratorForReshard.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ShardedLogOffset].consumed
+    val capped = currentMax().map { case (shard, maxSeq) =>
+      val s = from.getOrElse(shard, 0L)
+      val to = maxFilesPerTrigger.fold(maxSeq)(m => math.min(maxSeq, s + m))
+      shard -> math.max(s, to)
+    }
+    ShardedLogOffset(capped)
+  }
+
+  /** True (uncapped) latest, so processAllAvailable keeps triggering
+    * until the rate-limited batches catch up. */
+  override def reportLatestOffset(): Offset = ShardedLogOffset(currentMax())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardedLogOffset].consumed
+    val e = end.asInstanceOf[ShardedLogOffset].consumed
+    e.toSeq.sortBy(_._1).flatMap { case (shard, endSeq) =>
+      val startSeq = s.getOrElse(shard, 0L)
+      if (endSeq <= startSeq) None
+      else {
+        val files = listFiles(root.resolve(shard))
+          .filter { case (seq, _, _) => seq > startSeq && seq <= endSeq }
+          .map { case (seq, p, mtUs) => ShardedLogFile(seq, p.toString, mtUs) }
+        if (files.isEmpty) None
+        else Some(ShardedLogPartition(shard, files.toArray): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new ShardedLogReader(partition.asInstanceOf[ShardedLogPartition])
+
+  override def deserializeOffset(json: String): Offset =
+    ShardedLogOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class ShardedLogFile(seq: Long, path: String, mtimeUs: Long)
+case class ShardedLogPartition(shard: String, files: Array[ShardedLogFile]) extends InputPartition
+
+/** Reads a shard's files in sequence order, lines in file order — the
+  * per-shard ordering guarantee. */
+class ShardedLogReader(partition: ShardedLogPartition) extends PartitionReader[InternalRow] {
+  private val shard = UTF8String.fromString(partition.shard)
+  private val rows: Iterator[InternalRow] = partition.files.iterator.flatMap { f =>
+    Files.readAllLines(Paths.get(f.path), StandardCharsets.UTF_8).asScala.map { line =>
+      new GenericInternalRow(Array[Any](shard, f.seq, UTF8String.fromString(line), f.mtimeUs))
+    }
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operator library (SURVEY.md §2.1 s4–s6): the event-time
+  * transforms the reference's consumers run downstream of the transport.
+  * Each transform works on both a streaming and a batch DataFrame (the
+  * batch twins in graft.queries.Events are verified against DuckDB; the
+  * streaming behavior — incremental state, watermark discipline — is
+  * covered by StreamingSpec).
+  */
+object StreamOps {
+
+  /** s4: at-least-once → effectively-once. Watermarked key dedup: a
+    * redelivery within the watermark horizon is dropped; state is bounded
+    * by the horizon (unlike plain dropDuplicates, whose state grows
+    * forever). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, horizon: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark(keys)
+
+  /** s5: tumbling event-time window aggregate (streaming twin of e1).
+    * Window key derives per-row, aggregation is partial map-side; the
+    * watermark bounds state for append-mode sinks. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+                     horizon: String): DataFrame =
+    df.withWatermark(tsCol, horizon)
+      .groupBy(window(col(tsCol), width).getField("start").cast("date").as("wday"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+
+  // ---- s6: gap-based sessionization with explicit per-key state ----
+
+  final case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+  /** Full-precision epoch micros (Timestamp.getTime alone floors to ms). */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  /** Open session carried across micro-batches. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long)
+
+  /** Split time-sorted events into gap-separated sessions. Returns the
+    * closed sessions and the still-open tail. New session iff
+    * gap >= gapMs — the same open interval [start, start+gap) as
+    * Spark's session_window and the e3 oracle. */
+  private def foldSessions(state: Option[SessState], events: Seq[SessEvent],
+                           gapMs: Long): (Seq[SessState], Option[SessState]) = {
+    val closed = Seq.newBuilder[SessState]
+    var open = state
+    events.foreach { e =>
+      val us = micros(e.ts)
+      open match {
+        case Some(s) if us - s.lastUs < gapMs * 1000L =>
+          open = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+        case Some(s) =>
+          closed += s
+          open = Some(SessState(us, us, 1))
+        case None =>
+          open = Some(SessState(us, us, 1))
+      }
+    }
+    (closed.result(), open)
+  }
+
+  /** Batch sessionization through the same flatMapGroupsWithState
+    * operator (state starts empty, all events arrive at once, every
+    * session emits). Matches the e3/session_window oracle exactly. */
+  def sessionizeBatch(events: Dataset[SessEvent], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessEvent], _: GroupState[SessState]) =>
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val (closed, open) = foldSessions(None, sorted, gapMinutes * 60000L)
+          (closed ++ open).map(s => SessionOut(user, s.startUs, s.n)).iterator
+      }
+  }
+
+  /** Streaming sessionization: open sessions live in GroupState and emit
+    * when the event-time timeout fires (watermark passed start+gap) — the
+    * incremental twin of sessionizeBatch. Events later than the open
+    * session's tail extend it; a gap closes it. */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int,
+                       horizon: String): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startUs, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val (closed, open) = foldSessions(state.getOption, sorted, gapMs)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastUs / 1000L + gapMs)
+              case None => state.remove()
+            }
+            closed.iterator.map(s => SessionOut(user, s.startUs, s.n))
+          }
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.BatchingSink
+import graft.streaming.BatchingSink.{Config, PutResult, ThrottledCode}
+import graft.util.Retry
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Reference-semantics tests for the batching sink + retry combinator
+  * (SURVEY.md §2.1 s2): threshold flush, bounded retry with backoff,
+  * throttled-record requeue, success/failure channel routing. Pure JVM —
+  * no Spark session needed. */
+class BatchingSinkSpec extends AnyFunSuite {
+
+  private def sink(put: Seq[Int] => Seq[PutResult],
+                   config: Config = Config(),
+                   sleeps: mutable.Buffer[Long] = mutable.Buffer.empty) =
+    new BatchingSink[Int](put, config, sleeps += _)
+
+  test("flushes at sendingThreshold, with a final partial flush on close") {
+    val batches = mutable.Buffer.empty[Int]
+    val ok = sink({ b => batches += b.size; b.map(_ => PutResult(None)) },
+      Config(sendingThreshold = 250, maxBufferSize = 500))
+      .run((1 to 600).iterator).toSeq
+    assert(batches.toSeq === Seq(250, 250, 100))
+    assert(ok.size === 600 && ok.forall(_.isRight))
+  }
+
+  test("throttled records are requeued and eventually succeed; flush backs off 800ms") {
+    val sleeps = mutable.Buffer.empty[Long]
+    val throttledOnce = mutable.Set.empty[Int]
+    val results = sink({ b =>
+      b.map { i =>
+        if (i % 10 == 0 && throttledOnce.add(i)) PutResult(Some(ThrottledCode))
+        else PutResult(None)
+      }
+    }, Config(sendingThreshold = 50, maxBufferSize = 100), sleeps)
+      .run((1 to 100).iterator).toSeq
+    assert(results.size === 100 && results.forall(_.isRight),
+      "every throttled record must be retried to success")
+    assert(sleeps.count(_ == 800L) >= 1, "throttled flush must self-throttle")
+  }
+
+  test("hard failures route to the Left channel with their error code") {
+    val results = sink({ b =>
+      b.map(i => if (i % 7 == 0) PutResult(Some("InternalFailure")) else PutResult(None))
+    }).run((1 to 20).iterator).toSeq
+    val (lefts, rights) = results.partition(_.isLeft)
+    assert(lefts.map(_.left.toOption.get.record).toSet === (1 to 20).filter(_ % 7 == 0).toSet)
+    assert(lefts.forall(_.left.toOption.get.errorCode === "InternalFailure"))
+    assert(rights.size === 20 - lefts.size)
+  }
+
+  test("transport exceptions retry with exponential backoff, then recover") {
+    val sleeps = mutable.Buffer.empty[Long]
+    var calls = 0
+    val results = sink({ b =>
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("transient")
+      b.map(_ => PutResult(None))
+    }, sleeps = sleeps).run((1 to 10).iterator).toSeq
+    assert(results.size === 10 && results.forall(_.isRight))
+    // 2 failures with tries=7 then 6 remaining: backoff 2^7, 2^6 seconds
+    assert(sleeps.take(2).toSeq === Seq(64000L, 64000L)) // capped at 64s
+  }
+
+  test("retry budget exhausts and rethrows") {
+    var calls = 0
+    val s = sink({ _ => calls += 1; throw new RuntimeException(s"always $calls") })
+    val err = intercept[RuntimeException] { s.run((1 to 5).iterator).toSeq }
+    assert(calls === 8, "1 initial + 7 retries") // reference tries = 7
+    assert(err.getMessage === "always 8")
+  }
+
+  test("withRetries returns first success and reports remaining tries to the hook") {
+    val seen = mutable.Buffer.empty[Int]
+    var n = 0
+    val out = Retry.withRetries(tries = 3, onError = (_, t) => seen += t) {
+      n += 1; if (n < 3) throw new IllegalStateException("boom"); "ok"
+    }
+    assert(out === "ok")
+    assert(seen.toSeq === Seq(3, 2))
+  }
+}

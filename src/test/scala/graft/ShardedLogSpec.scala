@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.ShardedLog
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantics of the sharded-log DSv2 source: iterator types, reshard
+  * tolerance, per-shard resume, ordering, and trigger rate limiting
+  * (SURVEY.md §2.1 s1/s3). */
+class ShardedLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): Path = Files.createTempDirectory("graft-slspec-")
+
+  private def readAll(root: Path, extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format(ShardedLog.Format).option("path", root.toString)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val name = "sl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = r.load().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("trim_horizon reads every record of every shard, in per-shard order") {
+    val root = tmpRoot()
+    ShardedLog.append(root, "a", 1, Seq("a1", "a2"))
+    ShardedLog.append(root, "a", 2, Seq("a3"))
+    ShardedLog.append(root, "b", 1, Seq("b1"))
+    val rows = readAll(root).collect()
+    assert(rows.length === 4)
+    val aVals = rows.filter(_.getString(0) == "a").sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+    assert(aVals === Seq("a1", "a2", "a3"))
+  }
+
+  test("latest skips records present at query start but sees new ones (incl. new shards)") {
+    val root = tmpRoot()
+    ShardedLog.append(root, "a", 1, Seq("old1", "old2"))
+    val name = "sl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(ShardedLog.Format)
+      .option("path", root.toString).option("startingPosition", "latest")
+      .load().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    ShardedLog.append(root, "a", 2, Seq("new1"))
+    // reshard mid-query: child shard appears, must be read from ITS trim
+    // horizon (reference iteratorForReshard: Latest -> TrimHorizon)
+    ShardedLog.append(root, "a-child", 1, Seq("child1"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select($"value").collect().map(_.getString(0)).toSet
+    assert(got === Set("new1", "child1"))
+  }
+
+  test("at_timestamp starts at the given time, capped at now") {
+    val root = tmpRoot()
+    ShardedLog.append(root, "a", 1, Seq("before"))
+    val cut = System.currentTimeMillis() + 60000 // future: capped to now
+    Thread.sleep(20)
+    ShardedLog.append(root, "a", 2, Seq("after"))
+    // timestamp far in the past: everything
+    val all = readAll(root, Map("startingPosition" -> "at_timestamp", "timestampMs" -> "0"))
+    assert(all.count() === 2)
+    // future timestamp is capped at "now" (reference KinesisSource.scala:99-102):
+    // files written before the query started are all consumed -> nothing
+    val capped = readAll(root,
+      Map("startingPosition" -> "at_timestamp", "timestampMs" -> cut.toString))
+    assert(capped.count() === 0)
+  }
+
+  test("s3 backpressure: maxFilesPerTrigger bounds every micro-batch") {
+    val root = tmpRoot()
+    (1 to 6).foreach(i => ShardedLog.append(root, "a", i, Seq(s"r$i", s"r$i-b")))
+    val name = "sl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(ShardedLog.Format)
+      .option("path", root.toString).option("maxFilesPerTrigger", "2")
+      .load().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() === 12) // nothing lost
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 4), // 2 files x 2 lines
+      s"a batch exceeded the trigger cap: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
+  test("resume: a restarted query continues from the committed per-shard offset") {
+    val root = tmpRoot()
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val out = Files.createTempDirectory("out").toString
+    ShardedLog.append(root, "a", 1, Seq("one"))
+    def run(): Unit = {
+      val q = spark.readStream.format(ShardedLog.Format).option("path", root.toString)
+        .load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 1)
+    ShardedLog.append(root, "a", 2, Seq("two"))
+    run()
+    // same checkpoint -> the offset log resumes after seq 1: record "two"
+    // appears exactly once, "one" is not re-read
+    val got = spark.read.parquet(out).select($"value").collect().map(_.getString(0)).sorted.toSeq
+    assert(got === Seq("one", "two"))
+  }
+}

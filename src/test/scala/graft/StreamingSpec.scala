@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessEvent
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Incremental (multi-batch) behavior of the stateful streaming
+  * operators (SURVEY.md §2.1 s4/s6): state must carry across
+  * micro-batches and event-time timeouts must drive emission. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Base offset keeps test events strictly above the initial watermark
+  // (epoch 0): an event AT the watermark is dropped as late.
+  private val BaseMin = 1000
+  private def ts(minute: Int): Timestamp = new Timestamp((BaseMin + minute) * 60000L)
+
+  private def drain[A](df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("s6 streaming sessionization: state spans micro-batches, timeout emits") {
+    val in = MemoryStream[SessEvent](spark)
+    val sessions = StreamOps.sessionizeStream(in.toDS(), gapMinutes = 30, horizon = "0 seconds")
+
+    // batch 1: user 1 events at t=0..10; batch 2 EXTENDS the same session
+    // at t=20 — a session split here would betray lost state — then a gap
+    // to t=120 opens a new session; the sentinel at t=1000 advances the
+    // watermark far enough to time out and flush everything real.
+    in.addData(SessEvent(1, 1, ts(0)), SessEvent(1, 2, ts(10)))
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    in.addData(SessEvent(1, 3, ts(20)), SessEvent(1, 4, ts(120)))
+    q.processAllAvailable()
+    in.addData(SessEvent(99, 9, ts(1000))) // watermark sentinel
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table(name)
+      .filter($"user_id" === 1)
+      .collect().map(r => (r.getLong(1) / 60000000L - BaseMin, r.getLong(2))).toSet
+    // one 3-event session starting t=0 (extended across batches), one
+    // 1-event session starting t=120
+    assert(got === Set((0L, 3L), (120L, 1L)))
+  }
+
+  test("s6 batch and streaming sessionization agree on real data (sf0.001)") {
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", $"ts").as[SessEvent]
+    val batch = StreamOps.sessionizeBatch(ev, 30).collect()
+      .map(s => (s.user_id, s.session_start_us, s.n_events)).toSet
+
+    val rows = ev.collect().sortBy(e => e.ts.getTime).toSeq
+    val in = MemoryStream[SessEvent](spark)
+    // split on a distinct-timestamp boundary: the watermark after batch 1
+    // sits at its max event time, and events <= watermark are dropped, so
+    // a timestamp tie across the split would silently lose events
+    val cut = rows(rows.size / 2).ts.getTime
+    val (first, second) = rows.partition(_.ts.getTime <= cut)
+    val sentinel = SessEvent(-1L, -1L, new Timestamp(rows.map(_.ts.getTime).max + 86400000L))
+    val streamed = StreamOps.sessionizeStream(in.toDS(), 30, "0 seconds")
+    in.addData(first)
+    in.addData(second)
+    in.addData(sentinel)
+    val got = drain(streamed.toDF())
+      .filter(_.getLong(0) >= 0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
+  test("s4 watermarked dedup drops redeliveries across batches but keeps state bounded") {
+    val in = MemoryStream[(Long, Timestamp)](spark)
+    val deduped = StreamOps.dedupWithinWatermark(
+      in.toDF().toDF("id", "ts"), "ts", "10 minutes", Seq("id"))
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    in.addData((1L, ts(0)), (2L, ts(1)))
+    q.processAllAvailable()
+    in.addData((1L, ts(2))) // redelivery within horizon -> dropped
+    q.processAllAvailable()
+    in.addData((3L, ts(60))) // advances watermark past id=1's horizon
+    q.processAllAvailable()
+    in.addData((1L, ts(61))) // same key, far outside horizon -> state evicted, passes
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table(name).collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) === 2, "dup within horizon dropped; post-eviction kept")
+    assert(ids.toSet === Set(1L, 2L, 3L))
+  }
+}
