@@ -52,10 +52,16 @@ object Docs {
     * scale; standard LSH skew control is to drop them. */
   private val MaxBucket = 1000L
 
-  /** doc_id → distinct word-3-shingle set (the unit of Jaccard). */
+  /** doc_id → distinct word-3-shingle set (the unit of Jaccard).
+    * Repartitioned first: the local corpus is one parquet split, which
+    * would serialize the shingle+signature computation on a single core
+    * (on a cluster the scan arrives pre-split; the repartition then
+    * just rebalances). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docs(s, dir).select($"doc_id", Text.wordShingles($"text", ShingleK).as("sh"))
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    docs(s, dir).repartition(p)
+      .select($"doc_id", Text.wordShingles($"text", ShingleK).as("sh"))
   }
 
   /** MinHash-LSH candidate pairs: sig → band hashes → bucket self-join.
@@ -70,14 +76,20 @@ object Docs {
     val bandCols = (0 until MinhashBands).map { b =>
       hash(slice($"sig", b * MinhashRows + 1, MinhashRows)).cast("long")
     }
+    // persist the banded signatures: three plan branches (bucket sizing +
+    // both self-join sides) would otherwise each re-run the shingle →
+    // hash → signature pipeline — at scale this is "materialize the
+    // signature table once, join against it".
     val banded = sig
       .select($"doc_id", posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band_idx", "band_hash")
+      .persist()
     val buckets = banded.groupBy($"band_idx", $"band_hash")
       .agg(count(lit(1)).as("bn"))
       .filter($"bn".between(2L, MaxBucket))
     val inBucket = banded.join(buckets, Seq("band_idx", "band_hash"))
       .select($"band_idx", $"band_hash", $"doc_id")
+      .persist()
     val l = inBucket.select($"band_idx", $"band_hash", $"doc_id".as("a_id"))
     val r = inBucket.select($"band_idx", $"band_hash", $"doc_id".as("b_id"))
     l.join(r, Seq("band_idx", "band_hash"))
@@ -224,13 +236,33 @@ object Docs {
       }
       val banded = sims.select($"doc_id", $"sim", posexplode(array(bandCols: _*)))
         .toDF("doc_id", "sim", "band_idx", "band_val")
-      val l = banded.select($"band_idx", $"band_val", $"doc_id".as("a_id"), $"sim".as("sim_a"))
-      val r = banded.select($"band_idx", $"band_val", $"doc_id".as("b_id"), $"sim".as("sim_b"))
+        .persist()
+      // 8-bit band values are low-entropy, and a band value shared by a
+      // big same-topic cohort turns one bucket into a single-task
+      // quadratic join — the same LSH skew control as d6: size the
+      // buckets first and drop degenerate ones. (The hamming<=7
+      // pigeonhole guarantee holds as long as the shared band's bucket
+      // survives; at the cap a bucket that big carries no near-dup
+      // signal anyway.)
+      val buckets = banded.groupBy($"band_idx", $"band_val")
+        .agg(count(lit(1)).as("bn"))
+        .filter($"bn".between(2L, MaxBucket))
+      val inBucket = banded.join(buckets, Seq("band_idx", "band_val"))
+        .select($"band_idx", $"band_val", $"doc_id", $"sim")
+      val l = inBucket.select($"band_idx", $"band_val", $"doc_id".as("a_id"), $"sim".as("sim_a"))
+      val r = inBucket.select($"band_idx", $"band_val", $"doc_id".as("b_id"), $"sim".as("sim_b"))
+      // aggregate FIRST: a pair appears once per shared band (up to 8x),
+      // and a popular bucket inflates that quadratically — the partial
+      // (map-side) aggregate collapses duplicates before the shuffle,
+      // where a distinct-after-join would ship every copy. The 8-byte
+      // fingerprints ride through the aggregate (min = the one value),
+      // so hamming needs no further join.
       l.join(r, Seq("band_idx", "band_val"))
         .filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(min($"sim_a").as("sim_a"), min($"sim_b").as("sim_b"))
         .select($"a_id", $"b_id",
           bit_count($"sim_a".bitwiseXOR($"sim_b")).cast("long").as("hamming"))
-        .distinct()
         .filter($"hamming" <= 12)
         .orderBy($"a_id", $"b_id")
     },
@@ -240,7 +272,7 @@ object Docs {
     // so the quadratic set-compare only runs on O(candidates) pairs).
     GraftQuery.rowsOnly("d8_ngram_jaccard") { (s, dir) =>
       import s.implicits._
-      val sets = shingleSets(s, dir)
+      val sets = shingleSets(s, dir).persist()
       val a = sets.select($"doc_id".as("a_id"), $"sh".as("sh_a"))
       val b = sets.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
       minhashCandidates(s, dir)
