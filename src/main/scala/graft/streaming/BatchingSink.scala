@@ -36,6 +36,18 @@ object BatchingSink {
       maxBufferSize: Int = 500,
       maxTries: Int = 7,
       throttleBackoffMs: Long = 800L)
+
+  /** Sink over a byte-level transport, records serialized through the
+    * ToRecord typeclass (reference ToPutRecordsRequest.scala). */
+  def serialized[A: ToRecord](
+      putBytes: Seq[(String, Array[Byte])] => Seq[PutResult],
+      config: Config = Config(),
+      sleeper: Long => Unit = Thread.sleep): BatchingSink[A] = {
+    val enc = ToRecord[A]
+    new BatchingSink[A](
+      batch => putBytes(batch.map(a => (enc.partitionKey(a), enc.payload(a)))),
+      config, sleeper)
+  }
 }
 
 class BatchingSink[A](

@@ -72,6 +72,19 @@ class BatchingSinkSpec extends AnyFunSuite {
     assert(err.getMessage === "always 8")
   }
 
+  test("ToRecord typeclass serializes records for a byte-level transport") {
+    import graft.streaming.ToRecord
+    val seen = mutable.Buffer.empty[(String, String)]
+    val results = BatchingSink.serialized[(String, String)](
+      { batch =>
+        batch.foreach { case (k, b) => seen += ((k, new String(b, "UTF-8"))) }
+        batch.map(_ => PutResult(None))
+      }, sleeper = _ => ())(ToRecord.keyedRecord[String])
+      .run(Iterator(("k1", "v1"), ("k2", "v2"))).toSeq
+    assert(results.forall(_.isRight))
+    assert(seen.toSeq === Seq(("k1", "v1"), ("k2", "v2")))
+  }
+
   test("withRetries returns first success and reports remaining tries to the hook") {
     val seen = mutable.Buffer.empty[Int]
     var n = 0
