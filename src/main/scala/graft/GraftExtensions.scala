@@ -1,0 +1,16 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Config-driven injection of graft's native functions:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` makes vec_dot /
+  * minhash_sig / simhash64 available in every session of the cluster
+  * without any code calling [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.registrations.foreach { case (id, info, builder) =>
+      extensions.injectFunction((id, info, builder))
+    }
+}

@@ -37,16 +37,19 @@ object GraftFunctions {
     "minhash_sig" -> classOf[MinHashSig].getName,
     "simhash64" -> classOf[SimHash64].getName)
 
+  /** (identifier, info, builder) triples — the shape both the session
+    * FunctionRegistry and SparkSessionExtensions.injectFunction take. */
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    builders.map { case (name, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo(exprClass(name), name), builder)
+    }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
-      val id = FunctionIdentifier(name)
+    registrations.foreach { case (id, info, builder) =>
       if (registry.lookupFunctionBuilder(id).isEmpty) {
-        registry.registerFunction(
-          id,
-          new ExpressionInfo(exprClass(name), name),
-          builder)
+        registry.registerFunction(id, info, builder)
       }
     }
   }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the latest right row at or
+  * before the left row's time, per key (SURVEY.md §2.5).
+  *
+  * Implementation is a tagged union + one running-last window — ONE
+  * shuffle on the key, O(n log n) in the partition sort, no range join
+  * and no per-row subquery. This is the shape that survives 100 TB: a
+  * range-condition join would force a quadratic band comparison, and a
+  * correlated subquery one scan per row; here both sides shuffle once on
+  * the key and a single ordered pass resolves every lookup.
+  *
+  * Tie semantics: a right row at exactly the left row's timestamp
+  * matches (as-of "<="). Right rows sort before left rows at equal
+  * timestamps; among equal-timestamp right rows the last by `rightTs`
+  * ordering wins. The strict-before variant is `graft.queries.Events`
+  * e4, which composes the same window with an exclusive frame.
+  */
+object AsOfJoin {
+
+  /** @param valueCols right-side columns to carry (emitted as-is, null
+    *                  when no right row precedes the left row). */
+  def latestAtOrBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
+    // tagged union: right rows (side=0) sort before left rows (side=1)
+    // at the same instant, so "at or before" includes ties
+    val l = valueCols.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r = leftCols.filterNot(keys.contains).foldLeft(
+      right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = l.select((keys ++ leftCols.filterNot(keys.contains) ++ valueCols
+      ++ Seq("__ts", "__side")).map(col): _*)
+      .unionByName(r.select((keys ++ leftCols.filterNot(keys.contains) ++ valueCols
+        ++ Seq("__ts", "__side")).map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

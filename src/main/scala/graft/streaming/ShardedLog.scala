@@ -54,13 +54,16 @@ object ShardedLog {
   val Format = "graft.streaming.ShardedLogProvider"
 
   /** Append one record file atomically (write temp + move) so readers
-    * never observe partial files. Returns the file's sequence number. */
+    * never observe partial files; replacing an existing seq is allowed so
+    * an epoch replay (checkpoint recovery) is idempotent, not
+    * duplicating. Returns the file's path. */
   def append(root: Path, shard: String, seq: Long, lines: Seq[String]): Path = {
     val dir = root.resolve(shard)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".tmp", ".rec")
     Files.write(tmp, lines.asJava, StandardCharsets.UTF_8)
-    Files.move(tmp, dir.resolve(f"$seq%08d.rec"), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir.resolve(f"$seq%08d.rec"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private[streaming] def listShards(root: Path): Seq[Path] =

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(m: Int) = new Timestamp(m * 60000L)
+
+  test("latest-at-or-before semantics, including exact-timestamp ties and no-match nulls") {
+    val trades = Seq(
+      (1L, t(10), "T1"), (1L, t(20), "T2"), (2L, t(5), "T3"))
+      .toDF("acct", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, t(8), 100.0), (1L, t(20), 110.0), (1L, t(25), 120.0),
+      (2L, t(7), 50.0))
+      .toDF("acct", "quote_ts", "px")
+
+    val joined = AsOfJoin.latestAtOrBefore(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px"))
+      .select($"trade_id", $"px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    assert(joined("T1") === Some(100.0)) // latest before 10 is 8
+    assert(joined("T2") === Some(110.0)) // tie at 20 matches (<= semantics)
+    assert(joined("T3") === None)        // no quote at or before 5
+  }
+
+  test("agrees with a correlated-lookup truth on real data (sf0.001)") {
+    // purchases <- latest click at-or-before, per user
+    val ev = Tables.events(spark, Sf0001)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+      .withColumn("click_us", unix_micros($"click_ts"))
+      .select($"user_id", $"click_ts", $"click_us")
+
+    val got = AsOfJoin.latestAtOrBefore(purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_us"))
+      .select($"event_id", $"click_us").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    // driver-side truth via plain collections
+    val clickSeq = clicks.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val truth = purchases.withColumn("us", unix_micros($"ts")).collect().map { r =>
+      val (user, id, us) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val best = clickSeq.getOrElse(user, Array.empty[Long]).takeWhile(_ <= us).lastOption
+      id -> best.getOrElse(-1L)
+    }.toMap
+    assert(got === truth)
+  }
+}
