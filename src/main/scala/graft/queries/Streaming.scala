@@ -25,14 +25,24 @@ object Streaming {
   private def drainToTable(spark: SparkSession, df: DataFrame,
                            outputMode: String): DataFrame = {
     val name = "g_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-ckpt-").toString)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    // Stateful streaming cost here is dominated by per-partition state
+    // store checkpointing, not data volume — run the bounded drain with
+    // few state partitions (a real deployment sizes this to key
+    // cardinality / executor count instead).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-").toString)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 
