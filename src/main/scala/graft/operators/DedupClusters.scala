@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate candidate pairs: turns the
+  * pair list (d6/d8) into a per-document dedup decision — every doc gets
+  * a cluster representative (the minimum doc_id reachable through the
+  * similarity graph), and "keep one per cluster" falls out.
+  *
+  * Algorithm: iterative min-label propagation (the DataFrame analog of
+  * large-star/small-star): each round joins current labels across edges
+  * and keeps the minimum neighbor label. Rounds needed = graph diameter;
+  * near-dup graphs are overwhelmingly tiny cliques, so convergence is
+  * 2–3 rounds. Each round is two shuffles keyed on doc_id/label — no
+  * driver-side graph, works at any vertex count. The loop stops when a
+  * round changes nothing (checked with one count per round).
+  */
+object DedupClusters {
+
+  /** @param docs   one row per document, column `doc_id`
+    * @param pairs  undirected edges: columns `a_id`, `b_id`
+    * @return (doc_id, cluster_id) — cluster_id = min doc_id in component */
+  def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // symmetric edge list
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .persist()
+    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // each vertex adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy($"src".as("doc_id"))
+        .agg(min($"cluster_id").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter($"cluster_id" =!= $"old").limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

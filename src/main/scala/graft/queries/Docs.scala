@@ -356,6 +356,19 @@ object Docs {
         .orderBy($"q_id", $"rk")
     },
 
+    // ---- d13: near-dup cluster assignment — connected components over
+    // the MinHash candidate pairs (iterative min-label propagation, no
+    // driver-side graph). Every document gets a cluster representative;
+    // dedup = keep doc_id == cluster_id. Exactness vs a driver-side
+    // union-find is asserted in DedupSpec.
+    GraftQuery.rowsOnly("d13_dedup_clusters") { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id")
+      val pairs = minhashCandidates(s, dir).select($"a_id", $"b_id")
+      graft.operators.DedupClusters.assign(d, pairs)
+        .orderBy($"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

@@ -447,6 +447,41 @@ object Relational {
         .pivot("event_type", types).count()
       types.foldLeft(pivoted)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
         .orderBy($"day")
+    },
+
+    // ---- q25: set operations (INTERSECT / EXCEPT). Both compile to
+    // aggregate/join shapes, so pushdown and partial agg still apply.
+    GraftQuery.sql("q25_setops",
+      """WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |prio AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'both' AS bucket, COUNT(*) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM prio)
+        |UNION ALL
+        |SELECT 'hi_only' AS bucket, COUNT(*) AS n FROM (SELECT * FROM hi EXCEPT SELECT * FROM prio)
+        |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val hi = orders.filter($"o_totalprice" > 150000).select($"o_custkey").distinct()
+      val prio = orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey").distinct()
+      hi.intersect(prio).agg(count(lit(1)).as("n")).select(lit("both").as("bucket"), $"n")
+        .unionByName(
+          hi.except(prio).agg(count(lit(1)).as("n")).select(lit("hi_only").as("bucket"), $"n"))
+        .orderBy($"bucket")
+    },
+
+    // ---- q26: sketch aggregates — the 100 TB answer to COUNT(DISTINCT)
+    // and exact percentiles. Fixed-size state per group (HLL registers /
+    // quantile sketch), map-side combinable, one narrow shuffle; error
+    // bounds vs the exact answers are asserted in SketchSpec. rows-only
+    // (approximate results have no cross-engine oracle).
+    GraftQuery.rowsOnly("q26_sketches") { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+          count_distinct($"l_orderkey").as("exact_orders"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("approx_p50"))
+        .orderBy($"l_returnflag")
     }
   )
 }

@@ -94,6 +94,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d13 cluster assignment equals driver-side union-find over the same edges") {
+    val labels = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SparkEntry.queries("d6_dedup_minhash")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (doc, cluster) =>
+      assert(cluster === find(doc), s"doc $doc: cluster $cluster != union-find ${find(doc)}")
+    }
+    // every cluster representative is its own representative
+    labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
+  }
+
   test("e6/d1-style invariant: exact dedup groups cover all documents") {
     import spark.implicits._
     val d1 = SparkEntry.queries("d1_dedup_exact")(spark, Sf0001)
