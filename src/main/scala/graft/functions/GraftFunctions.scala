@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64}
+import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -29,13 +29,17 @@ object GraftFunctions {
     // minhash_sig(hashes, numPerms, seed) — perms/seed must be literals.
     "minhash_sig" -> { args =>
       MinHashSig(args(0), litInt(args(1), "numPerms"), litLong(args(2), "seed")) },
-    "simhash64" -> { args => SimHash64(args(0)) }
+    "simhash64" -> { args => SimHash64(args(0)) },
+    // winnow(text, k, w) — k/w must be literals.
+    "winnow" -> { args =>
+      WinnowFingerprints(args(0), litInt(args(1), "k"), litInt(args(2), "w")) }
   )
 
   private val exprClass: Map[String, String] = Map(
     "vec_dot" -> classOf[FloatVecDot].getName,
     "minhash_sig" -> classOf[MinHashSig].getName,
-    "simhash64" -> classOf[SimHash64].getName)
+    "simhash64" -> classOf[SimHash64].getName,
+    "winnow" -> classOf[WinnowFingerprints].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */

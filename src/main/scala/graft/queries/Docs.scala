@@ -356,6 +356,36 @@ object Docs {
         .orderBy($"q_id", $"rk")
     },
 
+    // ---- d14: winnowing fingerprints (Schleimer et al. SIGMOD'03) —
+    // rolling-hash k-grams, rightmost-min per window; any shared
+    // substring of length >= k+w-1 guarantees a shared fingerprint.
+    // Near-dup pairs = docs sharing >= 6 fingerprints (on this corpus
+    // strong near-dups share >= 7 while boilerplate-only background
+    // pairs top out at 5), found by exploding the fingerprint sets and
+    // joining on the 8-byte hash — the same shuffle shape as d6
+    // (hash keys, never text).
+    GraftQuery.rowsOnly("d14_winnow_fingerprint") { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val fps = docs(s, dir).repartition(p)
+        .select($"doc_id",
+          explode(call_function("winnow",
+            Text.normalize($"text"), lit(16), lit(8))).as("fp"))
+        .persist()
+      // drop degenerate fingerprints shared by a large cohort (boilerplate)
+      val common = fps.groupBy($"fp").agg(count(lit(1)).as("fn"))
+        .filter($"fn".between(2L, MaxBucket))
+      val inB = fps.join(common, "fp")
+      val l = inB.select($"fp", $"doc_id".as("a_id"))
+      val r = inB.select($"fp", $"doc_id".as("b_id"))
+      l.join(r, "fp")
+        .filter($"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 6)
+        .orderBy($"a_id", $"b_id")
+    },
+
     // ---- d13: near-dup cluster assignment — connected components over
     // the MinHash candidate pairs (iterative min-label propagation, no
     // driver-side graph). Every document gets a cluster representative;

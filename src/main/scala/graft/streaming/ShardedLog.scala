@@ -57,7 +57,10 @@ object ShardedLog {
     * never observe partial files; replacing an existing seq is allowed so
     * an epoch replay (checkpoint recovery) is idempotent, not
     * duplicating. Returns the file's path. */
+  private val ShardName = "[A-Za-z0-9_-]+".r
   def append(root: Path, shard: String, seq: Long, lines: Seq[String]): Path = {
+    require(ShardName.matches(shard),
+      s"shard name '$shard' must match ${ShardName.regex} (it is a directory name and a JSON offset key)")
     val dir = root.resolve(shard)
     Files.createDirectories(dir)
     val tmp = Files.createTempFile(dir, ".tmp", ".rec")
