@@ -169,6 +169,25 @@ object Events {
       v.agg(count(lit(1)).as("viewed"))
         .crossJoin(c.agg(count(lit(1)).as("clicked")))
         .crossJoin(p.agg(count(lit(1)).as("purchased")))
+    },
+
+    // ---- e8: semi-structured extraction — JSON props parsed in-plan
+    // (codegen'd get_json_object; no UDF), aggregated per type. At scale
+    // the JSON never leaves the scan stage: extraction happens before
+    // the (tiny) partial-aggregated shuffle.
+    GraftQuery.sql("e8_json_extract",
+      """SELECT event_type,
+        |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
     }
   )
 }
