@@ -24,11 +24,15 @@ object DedupClusters {
   def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // symmetric edge list
+    // localCheckpoint (not persist): iterative joins grow the logical
+    // plan exponentially in the round count — each round references the
+    // previous labels twice — and re-analysis + cache lookups over that
+    // tree dwarf the actual compute. Checkpointing truncates the lineage
+    // to the materialized partitions each round.
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-      .persist()
-    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).persist()
+      .localCheckpoint()
+    var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -40,15 +44,13 @@ object DedupClusters {
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter($"cluster_id" =!= $"old").limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 }

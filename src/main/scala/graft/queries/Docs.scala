@@ -372,9 +372,12 @@ object Docs {
           explode(call_function("winnow",
             Text.normalize($"text"), lit(16), lit(8))).as("fp"))
         .persist()
-      // drop degenerate fingerprints shared by a large cohort (boilerplate)
+      // drop degenerate fingerprints shared by a large cohort: a
+      // fingerprint in >100 docs is boilerplate, carries no near-dup
+      // signal, and costs cohort² pair rows (near-dup fingerprints are
+      // by nature rare — the cap can't evict them)
       val common = fps.groupBy($"fp").agg(count(lit(1)).as("fn"))
-        .filter($"fn".between(2L, MaxBucket))
+        .filter($"fn".between(2L, 100L))
       val inB = fps.join(common, "fp")
       val l = inB.select($"fp", $"doc_id".as("a_id"))
       val r = inB.select($"fp", $"doc_id".as("b_id"))
@@ -397,6 +400,19 @@ object Docs {
       val pairs = minhashCandidates(s, dir).select($"a_id", $"b_id")
       graft.operators.DedupClusters.assign(d, pairs)
         .orderBy($"doc_id")
+    },
+
+    // ---- d15: stratified sampling — per-class fractions for corpus
+    // rebalancing (the training-data op for over/under-represented
+    // languages). sampleBy is a per-row Bernoulli draw keyed on the
+    // stratum: one scan, no shuffle before the count aggregate.
+    // Proportions are asserted in DedupSpec (binomial tolerance).
+    GraftQuery.rowsOnly("d15_stratified_sample") { (s, dir) =>
+      import s.implicits._
+      val fractions = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.3, "zh" -> 0.1)
+      docs(s, dir).stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy($"lang")
     },
 
     // ---- d12: multimodal plumbing — binary payload column + typed

@@ -116,6 +116,25 @@ class DedupSpec extends SparkSpec {
     labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
   }
 
+  test("d15 stratified sample: per-class proportions within binomial tolerance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val totals = Tables.load(spark, Sf0001, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.3, "zh" -> 0.1)
+    val sampled = SparkEntry.queries("d15_stratified_sample")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (lang, f) =>
+      val n = totals(lang).toDouble
+      val got = sampled.getOrElse(lang, 0L) / n
+      // 4 sigma of Binomial(n, f)
+      val tol = 4 * math.sqrt(f * (1 - f) / n)
+      assert(math.abs(got - f) <= tol,
+        s"$lang sampled at $got, target $f +- $tol (n=$n)")
+    }
+  }
+
   test("e6/d1-style invariant: exact dedup groups cover all documents") {
     import spark.implicits._
     val d1 = SparkEntry.queries("d1_dedup_exact")(spark, Sf0001)
