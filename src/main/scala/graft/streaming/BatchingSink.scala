@@ -26,6 +26,10 @@ import scala.collection.mutable
 object BatchingSink {
   val ThrottledCode = "ProvisionedThroughputExceededException"
 
+  /** Client-side errors that can never succeed on retry — the fail-fast
+    * arm of the reference's error taxonomy. */
+  final class ClientException(message: String) extends RuntimeException(message)
+
   /** Transport result for one record (None = success). */
   final case class PutResult(errorCode: Option[String])
   /** A failed record with its error code — the `Left` channel. */
@@ -69,7 +73,10 @@ class BatchingSink[A](
         val batch = buffer.dequeueAll(_ => true).toSeq
         val results = Retry.withRetries(
           tries = config.maxTries,
-          onError = Retry.expBackoff(sleeper)) {
+          onError = Retry.expBackoff(sleeper),
+          // service errors retry with backoff; client errors fail fast
+          // (reference KinesisSource.scala:290-302 taxonomy)
+          retryable = !_.isInstanceOf[ClientException]) {
           put(batch)
         }
         require(results.length == batch.length,

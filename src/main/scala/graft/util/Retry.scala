@@ -11,14 +11,18 @@ import scala.annotation.tailrec
   */
 object Retry {
 
+  /** @param retryable error taxonomy (reference KinesisSource.scala:
+    *   290-302): transient/service errors retry, client errors (bad
+    *   request, auth) fail fast — retrying them can never succeed. */
   @tailrec
-  def withRetries[T](tries: Int = 7, onError: (Throwable, Int) => Unit = (_, _) => ())(f: => T): T =
+  def withRetries[T](tries: Int = 7, onError: (Throwable, Int) => Unit = (_, _) => (),
+                     retryable: Throwable => Boolean = _ => true)(f: => T): T =
     try f catch {
       case err: Throwable =>
-        if (tries < 1) throw err
+        if (tries < 1 || !retryable(err)) throw err
         else {
           onError(err, tries)
-          withRetries(tries - 1, onError)(f)
+          withRetries(tries - 1, onError, retryable)(f)
         }
     }
 

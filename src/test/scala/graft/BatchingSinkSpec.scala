@@ -64,6 +64,13 @@ class BatchingSinkSpec extends AnyFunSuite {
     assert(sleeps.take(2).toSeq === Seq(64000L, 64000L)) // capped at 64s
   }
 
+  test("client errors fail fast without retries (error taxonomy)") {
+    var calls = 0
+    val s = sink({ _ => calls += 1; throw new BatchingSink.ClientException("bad request") })
+    intercept[BatchingSink.ClientException] { s.run((1 to 5).iterator).toSeq }
+    assert(calls === 1, "client errors must not be retried")
+  }
+
   test("retry budget exhausts and rethrows") {
     var calls = 0
     val s = sink({ _ => calls += 1; throw new RuntimeException(s"always $calls") })
