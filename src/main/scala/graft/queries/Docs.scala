@@ -415,6 +415,17 @@ object Docs {
         .orderBy($"lang")
     },
 
+    // ---- d16: random-hyperplane LSH ANN — the bucket-join variant of
+    // d11's IVF (data-independent codes, no centroid pass; recall vs
+    // cosine tradeoff measured in AnnSpec).
+    GraftQuery.rowsOnly("d16_ann_lsh") { (s, dir) =>
+      import s.implicits._
+      val nv = embs(s, dir)
+      val queries = nv.filter($"vec_id" < 10)
+      graft.operators.AnnLsh.search(s, nv, queries, k = 5)
+        .orderBy($"q_id", $"rk")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

@@ -48,4 +48,38 @@ class AnnSpec extends SparkSpec {
       assert(byRank === byRank.sorted.reverse, s"rank order violates cosine order for $q")
     }
   }
+
+  test("d16 LSH: locality property on constructed vectors") {
+    import spark.implicits._
+    import graft.operators.AnnLsh
+    val base = Array.tabulate(AnnLsh.Dim)(i => math.sin(i + 1).toFloat)
+    val nearDup = base.clone(); nearDup(0) += 1e-4f
+    val opposite = base.map(-_)
+    val df = Seq((1L, base), (2L, nearDup), (3L, opposite))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", AnnLsh.bucketCode($"embedding").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1) === df(2), "near-identical vectors must share a bucket")
+    assert(df(1) === ((~df(3)) & ((1L << AnnLsh.NumBits) - 1)),
+      "an opposite vector flips every sign bit")
+  }
+
+  test("d16 LSH: valid neighbors, exact cosines, recall reported vs exact") {
+    val exact = topk("d10_ann_topk")
+    val rows = SparkEntry.queries("d16_ann_lsh")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(1) != q))
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length.toLong))
+    }
+    val lsh = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.collect { case (q, ex) if lsh.contains(q) =>
+      ex.count(lsh(q)) / ex.size.toDouble
+    }
+    val mean = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    // data-independent 8-bit codes at moderate cosines: recall is the
+    // documented tradeoff vs IVF — require a non-trivial floor
+    assert(mean >= 0.2, s"LSH mean recall@5 $mean below floor")
+  }
 }
