@@ -66,7 +66,7 @@ object Streaming {
         .collect()
         .groupBy(_.getLong(1))
       events.foreach { case (shard, rows) =>
-        rows.map(_.getLong(0)).sorted.grouped(2000).zipWithIndex.foreach {
+        rows.map(_.getLong(0)).sorted.toSeq.grouped(2000).zipWithIndex.foreach {
           case (ids, i) =>
             ShardedLog.append(root, s"s$shard", i + 1L, ids.map(_.toString))
         }
