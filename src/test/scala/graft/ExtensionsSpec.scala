@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The config-driven injection path: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` must resolve the native
+  * functions from SQL with no code registration. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects vec_dot/minhash_sig/simhash64/winnow into a fresh session") {
+    val old = spark // ensure the shared session (and its context) exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is static (read at SparkContext launch);
+      // in a shared-context test the equivalent path is withExtensions,
+      // which drives the same GraftExtensions.apply.
+      val injected = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val d = injected.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+        .collect()(0).getDouble(0)
+      assert(d === 11.0)
+      val w = injected.sql("SELECT size(winnow('hello world, a winnowed string', 4, 3)) AS n")
+        .collect()(0).getInt(0)
+      assert(w > 0)
+      val sig = injected.sql("SELECT size(minhash_sig(array(CAST(7 AS BIGINT)), 16, 42)) AS n")
+        .collect()(0).getInt(0)
+      assert(sig === 16)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}
