@@ -47,7 +47,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val gcSec = (gcMillis - gc0) / 1e3
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcSec,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcSec,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's [info] prefix, which can defeat a
+    // line-oriented JSON parse downstream — drop a clean copy on disk too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
