@@ -468,6 +468,49 @@ object Relational {
         .orderBy($"bucket")
     },
 
+    // ---- q27: extended window-function suite — ranking distributions
+    // and offset functions in one pass (single shuffle on the partition
+    // key, all functions share the frame).
+    GraftQuery.sql("q27_window_suite",
+      """SELECT o_custkey, o_orderkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_order,
+        |  CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_order,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 50)
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          lag($"o_orderkey", 1).over(w).as("prev_order"),
+          lead($"o_orderkey", 1).over(w).as("next_order"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // ---- q28: ordered string aggregation (listagg): deterministic via
+    // explicit ORDER BY inside the aggregate on both engines.
+    GraftQuery.sql("q28_string_agg",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          concat_ws(",", array_sort(collect_set($"o_orderpriority"))).as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+
     // ---- q26: sketch aggregates — the 100 TB answer to COUNT(DISTINCT)
     // and exact percentiles. Fixed-size state per group (HLL registers /
     // quantile sketch), map-side combinable, one narrow shuffle; error
