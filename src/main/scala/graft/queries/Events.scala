@@ -171,6 +171,33 @@ object Events {
         .crossJoin(p.agg(count(lit(1)).as("purchased")))
     },
 
+    // ---- e9: cohort retention — users grouped by first-active week,
+    // counted per week-since-cohort. Two aggregates + one equi-join on
+    // user_id; weeks are aligned so the day-diff is an exact multiple
+    // of 7 on both engines.
+    GraftQuery.sql("e9_retention",
+      s"""$evCte,
+         |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+         |       FROM ev GROUP BY user_id),
+         |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev)
+         |SELECT f.cohort AS cohort_week,
+         |  CAST((a.wk - f.cohort) / 7 AS BIGINT) AS week_n,
+         |  COUNT(*) AS active_users
+         |FROM fw f JOIN act a ON f.user_id = a.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val fw = e.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).cast("date").as("cohort"))
+      val act = e.select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+        .distinct()
+      fw.join(act, "user_id")
+        .groupBy($"cohort".as("cohort_week"),
+          (datediff($"wk", $"cohort") / 7).cast("long").as("week_n"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy($"cohort_week", $"week_n")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before
