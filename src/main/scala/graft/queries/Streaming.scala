@@ -159,6 +159,39 @@ object Streaming {
       drainToTable(s, agg, "complete").orderBy($"wday")
     },
 
+    // ---- s7: stream-stream join — clicks joined to purchases of the
+    // same user within the following hour, both sides watermarked so
+    // join state is bounded by the time-range condition. Inner joins
+    // emit every match as it arrives, so the drained result is exact
+    // and the batch oracle hash-checks it.
+    GraftQuery.sql("s7_stream_stream_join",
+      s"""$evCte
+         |SELECT c.user_id, COUNT(*) AS n_pairs
+         |FROM ev c JOIN ev p ON c.user_id = p.user_id
+         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts")
+        .as[(Long, String, java.sql.Timestamp)]
+        .collect().toSeq
+      val clicks = MemoryStream[(Long, java.sql.Timestamp)](s)
+      val purchases = MemoryStream[(Long, java.sql.Timestamp)](s)
+      clicks.addData(ev.collect { case (u, "click", t) => (u, t) })
+      purchases.addData(ev.collect { case (u, "purchase", t) => (u, t) })
+      val c = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "2 hours")
+      val p = purchases.toDF().toDF("p_user", "p_ts").withWatermark("p_ts", "2 hours")
+      val joined = c.join(p,
+        $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+      drainToTable(s, joined, "append")
+        .groupBy($"c_user".as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"user_id")
+    },
+
     // ---- s6: stateful gap sessionization through flatMapGroupsWithState
     // (batch execution of the same operator the stream runs; incremental
     // multi-batch state is exercised in StreamingSpec). Oracle identical
