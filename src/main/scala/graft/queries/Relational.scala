@@ -511,6 +511,26 @@ object Relational {
         .orderBy($"o_orderstatus")
     },
 
+    // ---- q29: bivariate statistics — correlation/covariance per group,
+    // single-pass partial-aggregable moments. Rounded(4) on both sides
+    // to absorb summation-order ulp noise (values sit far from rounding
+    // boundaries on this data; verified at three SFs).
+    GraftQuery.sql("q29_bivariate_stats",
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |  ROUND(covar_pop(l_quantity, l_discount), 4) AS covp_qd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covs_qp"),
+          round(covar_pop($"l_quantity", $"l_discount"), 4).as("covp_qd"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- q26: sketch aggregates — the 100 TB answer to COUNT(DISTINCT)
     // and exact percentiles. Fixed-size state per group (HLL registers /
     // quantile sketch), map-side combinable, one narrow shuffle; error

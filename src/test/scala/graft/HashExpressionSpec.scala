@@ -97,6 +97,31 @@ class HashExpressionSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot algebra: commutative, distributes over concatenated segments") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(16, Gen.chooseNum(-100f, 100f)),
+      Gen.listOfN(16, Gen.chooseNum(-100f, 100f)))
+    val cases = {
+      var seed = Seed(11L)
+      val params = Gen.Parameters.default
+      (0 until 25).flatMap { _ =>
+        val r = gen.apply(params, seed); seed = seed.next; r
+      }
+    }
+    val df = cases.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      .select(
+        call_function("vec_dot", $"a", $"b").as("ab"),
+        call_function("vec_dot", $"b", $"a").as("ba"),
+        (call_function("vec_dot", slice($"a", 1, 8), slice($"b", 1, 8)) +
+          call_function("vec_dot", slice($"a", 9, 8), slice($"b", 9, 8))).as("split"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "dot must be commutative")
+      // segment sums re-associate: equal within 1 ulp-ish tolerance
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= 1e-9 * math.max(1.0, math.abs(r.getDouble(0))))
+    }
+  }
+
   test("vec_dot matches reference fold and handles length mismatch") {
     import spark.implicits._
     val df = Seq(
