@@ -426,6 +426,24 @@ object Docs {
         .orderBy($"q_id", $"rk")
     },
 
+    // ---- d17: the end of the dedup pipeline — materialize the cleaned
+    // corpus: keep one representative per near-dup cluster (doc_id ==
+    // cluster_id from d13), report kept/dropped per language. At 100 TB
+    // this is the anti-join that actually shrinks the training set.
+    GraftQuery.rowsOnly("d17_dedup_corpus") { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"lang")
+      val pairs = minhashCandidates(s, dir).select($"a_id", $"b_id")
+      val labels = graft.operators.DedupClusters.assign(
+        d.select($"doc_id"), pairs)
+      d.join(labels, "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", $"n_docs" - $"n_kept")
+        .orderBy($"lang")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

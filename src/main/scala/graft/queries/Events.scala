@@ -198,6 +198,32 @@ object Events {
         .orderBy($"cohort_week", $"week_n")
     },
 
+    // ---- e10: gaps-and-islands — longest consecutive-day activity
+    // streak per user, distribution by streak length. The island key is
+    // date - row_number (constant within a run of consecutive days);
+    // one shuffle on user_id, windows and aggregates share it.
+    GraftQuery.sql("e10_activity_streaks",
+      s"""$evCte,
+         |days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM ev),
+         |isl AS (SELECT user_id, d,
+         |  d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+         |  FROM days),
+         |streaks AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp),
+         |best AS (SELECT user_id, MAX(len) AS best_streak FROM streaks GROUP BY user_id)
+         |SELECT best_streak, COUNT(*) AS n_users
+         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val days = ev(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("d"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      val isl = days.withColumn("grp", date_sub($"d", row_number().over(w)))
+      val best = isl.groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id").agg(max($"len").as("best_streak"))
+      best.groupBy($"best_streak").agg(count(lit(1)).as("n_users"))
+        .orderBy($"best_streak")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

@@ -116,6 +116,20 @@ class DedupSpec extends SparkSpec {
     labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
   }
 
+  test("d17 dedup corpus: kept+dropped partitions the corpus; kept = one per cluster") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = SparkEntry.queries("d17_dedup_corpus")(spark, Sf0001).collect()
+    val (docs, kept) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val total = Tables.load(spark, Sf0001, "documents").count()
+    assert(docs === total)
+    rows.foreach(r => assert(r.getLong(1) - r.getLong(2) === r.getLong(3)))
+    // kept count equals number of distinct clusters
+    val clusters = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
+      .select($"cluster_id").distinct().count()
+    assert(kept === clusters)
+  }
+
   test("d15 stratified sample: per-class proportions within binomial tolerance") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
