@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{GraftFunctions, Vectors}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,22 +16,51 @@ import org.apache.spark.sql.functions._
   *      per vector (one pass over the data, no shuffle of embeddings);
   *      the element-wise centroid mean is a (cluster, dim) partial
   *      aggregate, shuffling C×dim doubles, not vectors.
-  *   2. index: each vector is assigned to its nearest centroid; the
-  *      "inverted file" is just a cluster_id column — at scale this is
-  *      the partitioning/bucketing key, so a probe touches only
+  *   2. index: each vector is assigned to its nearest centroid as a
+  *      MAP-SIDE argmax over a literal array of the C centroids — a
+  *      pure projection with NO exchange (the r2 crossJoin+window form
+  *      shuffled n×C rows each carrying the full embedding; at 100 TB
+  *      with C=16 that was a 16× amplified shuffle of the corpus).
+  *      The "inverted file" is just a cluster_id column — at scale this
+  *      is the partitioning/bucketing key, so a probe touches only
   *      nprobe/C of the data.
-  *   3. search: rank centroids per query (broadcast C rows), search the
-  *      nprobe best clusters, per-cluster local top-k merges to a
-  *      global top-k via one window — TakeOrdered semantics, no full
-  *      sort of the corpus.
+  *   3. search: rank centroids per query map-side too (sort the same
+  *      literal array per row, slice nprobe), then search only the
+  *      probed clusters; per-cluster local top-k merges to a global
+  *      top-k via one window — TakeOrdered semantics, no full sort of
+  *      the corpus.
   *
-  * All cosine math is the codegen'd vec_dot expression.
+  * All cosine math is the codegen'd vec_dot expression; centroid norms
+  * are folded in as driver-side literals (same index-ascending double
+  * accumulation as vec_dot, so scores agree to the last ulp).
   */
 object AnnIvf {
+
+  /** Collect the (small: C rows) centroid table into a literal
+    * `array<struct<cid,centroid,cnorm>>` column, ascending cluster_id,
+    * norms precomputed driver-side. This is what makes assignment and
+    * probing exchange-free: the centroids ride into every task as a
+    * codegen'd literal, like a broadcast without a join. */
+  private def centroidLiteral(cents: DataFrame): Column = {
+    val rows: Array[Row] = cents
+      .select(col("cluster_id").cast("long"), col("centroid"))
+      .orderBy(col("cluster_id"))
+      .collect()
+    require(rows.nonEmpty, "centroid table is empty")
+    array(rows.map { r =>
+      val vec = r.getSeq[Float](1)
+      val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      struct(
+        lit(r.getLong(0)).as("cid"),
+        typedLit(vec).as("centroid"),
+        lit(nrm).as("cnorm"))
+    }.toSeq: _*)
+  }
 
   /** (cluster_id, centroid: array<float>) after one Lloyd step. */
   def centroids(spark: SparkSession, embeddings: DataFrame, numClusters: Int): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     val seeds = embeddings.orderBy($"vec_id").limit(numClusters)
       .orderBy($"vec_id")
       .select(
@@ -49,36 +78,48 @@ object AnnIvf {
     mean
   }
 
-  /** Nearest-centroid assignment: broadcast the C centroids, one codegen
-    * compare pass per vector. Ties break to the lowest cluster_id. */
+  /** Nearest-centroid assignment: a single projection — fold over the
+    * literal centroid array, keep the argmax. Ascending cid with a
+    * strict `>` keeps the lowest cluster_id on ties (same tie-break as
+    * the r2 row_number form). No Exchange anywhere in this stage. */
   def assign(spark: SparkSession, embeddings: DataFrame, cents: DataFrame): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cluster_id")
-    embeddings.crossJoin(broadcast(cents))
-      .withColumn("sim", Vectors.dot($"embedding", $"centroid") /
-        (Vectors.norm($"embedding") * Vectors.norm($"centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cluster_id")
+    GraftFunctions.register(spark)
+    val centArr = centroidLiteral(cents)
+    val best = aggregate(
+      centArr,
+      struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val sim = Vectors.dot($"embedding", c.getField("centroid")) /
+          (Vectors.norm($"embedding") * c.getField("cnorm"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    embeddings.select($"vec_id", $"embedding", best.getField("cid").as("cluster_id"))
   }
 
   /** Top-k neighbors for each query vector, probing `nprobe` clusters. */
   def search(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
              numClusters: Int, nprobe: Int, k: Int): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark)
     val cents = centroids(spark, embeddings, numClusters)
     val indexed = assign(spark, embeddings, cents)
+    val centArr = centroidLiteral(cents)
 
-    // rank centroids per query, keep nprobe
-    val wq = Window.partitionBy($"q_id").orderBy($"csim".desc, $"cluster_id")
+    // rank centroids per query map-side: score the literal array, sort
+    // by (-csim, cid) — csim desc with cid-asc ties, matching the r2
+    // window tie-break — and keep nprobe. No exchange on the query side.
+    val scored = transform(centArr, c => struct(
+      (Vectors.dot($"qe", c.getField("centroid")) * lit(-1.0) /
+        (Vectors.norm($"qe") * c.getField("cnorm"))).as("neg_csim"),
+      c.getField("cid").as("cid")))
     val probed = queries
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.dot($"qe", $"centroid") /
-        (Vectors.norm($"qe") * Vectors.norm($"centroid")))
-      .withColumn("crn", row_number().over(wq))
-      .filter($"crn" <= nprobe)
-      .select($"q_id", $"qe", $"cluster_id")
+      .select($"q_id", $"qe",
+        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
+      .select($"q_id", $"qe", $"pc.cid".as("cluster_id"))
 
     // search only the probed clusters; same tie-break as the exact d10
     val wk = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Vectors
+import graft.functions.{GraftFunctions, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,6 +41,7 @@ object AnnLsh {
   def search(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
              k: Int): DataFrame = {
     import spark.implicits._
+    GraftFunctions.register(spark) // operators must work standalone (no Tables.load side effect)
     val coded = embeddings.select($"vec_id", $"embedding",
       bucketCode($"embedding").as("bucket"))
     // query probes its own bucket and every 1-bit neighbor

@@ -230,7 +230,7 @@ object Events {
     // the (tiny) partial-aggregated shuffle.
     GraftQuery.sql("e8_json_extract",
       """SELECT event_type,
-        |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>

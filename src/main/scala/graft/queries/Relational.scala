@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational core (SURVEY.md §2.2): declarative DataFrame plans over the
   * TPC-H-ish tables. Every query here is Catalyst-optimizable end to end —
@@ -309,9 +310,13 @@ object Relational {
         .orderBy($"yr", $"qtr", $"mo")
     },
 
-    // ---- q17: scalar subquery vs per-group average (Q17 shape).
-    // Scale: the per-part average is a separate agg joined back —
-    // one extra shuffle, no correlated per-row execution.
+    // ---- q17: scalar subquery vs per-group average (Q17 shape),
+    // classic rewrite: prune lineitem to the Brand#4 part keys FIRST
+    // (broadcast semi-join — DPP-prunable at scale), so the per-part
+    // average aggregates ~4% of lineitem instead of all of it (the r2
+    // form paid a full-table agg). The half-average is a window over
+    // the same l_partkey shuffle: ONE scan, ONE exchange of the pruned
+    // rows, no second pass.
     GraftQuery.sql("q17_scalar_subquery",
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly,
         |  COUNT(*) AS n
@@ -320,12 +325,15 @@ object Relational {
         |  AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)/COUNT(*))
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-      val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
-        .agg((davg($"l_quantity") * 0.5).as("half_avg_qty"))
-      li.join(broadcast(t(s, dir, "part")).filter($"p_brand" === "Brand#4"),
-          $"l_partkey" === $"p_partkey")
-        .join(avgQty, $"l_partkey" === $"ap_partkey")
+      val brandKeys = t(s, dir, "part")
+        .filter($"p_brand" === "Brand#4").select($"p_partkey")
+      val pruned = t(s, dir, "lineitem")
+        .join(broadcast(brandKeys), $"l_partkey" === $"p_partkey", "left_semi")
+      val w = Window.partitionBy($"l_partkey")
+      pruned
+        .withColumn("half_avg_qty",
+          (sum($"l_quantity".cast(DecimalType(30, 6))).over(w).cast("double") /
+            count(lit(1)).over(w)) * 0.5)
         .filter($"l_quantity" < $"half_avg_qty")
         .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"), count(lit(1)).as("n"))
     },

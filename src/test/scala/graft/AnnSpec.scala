@@ -37,6 +37,21 @@ class AnnSpec extends SparkSpec {
       }
   }
 
+  test("d11 IVF centroid assignment is exchange-free (map-side argmax)") {
+    import spark.implicits._
+    import graft.operators.AnnIvf
+    val nv = Tables.load(spark, Sf0001, "embeddings")
+    val cents = AnnIvf.centroids(spark, nv, 16)
+    val assigned = AnnIvf.assign(spark, nv, cents)
+    val physical = assigned.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"assignment stage must be a pure projection, got:\n$physical")
+    // and it must still be a total assignment: every vector, one cluster
+    val n = nv.count()
+    assert(assigned.count() === n)
+    assert(assigned.filter($"cluster_id" < 0).count() === 0L)
+  }
+
   test("d11 results are valid neighbors: k per query, no self, ranks contiguous") {
     val rows = SparkEntry.queries("d11_ann_ivf")(spark, Sf0001).collect()
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
