@@ -13,14 +13,24 @@ import org.apache.spark.sql.functions._
   * and keeps the minimum neighbor label. Rounds needed = graph diameter;
   * near-dup graphs are overwhelmingly tiny cliques, so convergence is
   * 2–3 rounds. Each round is two shuffles keyed on doc_id/label — no
-  * driver-side graph, works at any vertex count. The loop stops when a
-  * round changes nothing (checked with one count per round).
+  * driver-side graph, works at any vertex count. The convergence check
+  * is FUSED into the round: the change flag is computed inside the same
+  * projection and counted by the job that materializes the round's
+  * labels, so each round is exactly one Spark job (the previous shape
+  * paid a second full label-self-join job per round just to count
+  * changes).
   */
 object DedupClusters {
 
   /** @param docs   one row per document, column `doc_id`
     * @param pairs  undirected edges: columns `a_id`, `b_id`
-    * @return (doc_id, cluster_id) — cluster_id = min doc_id in component */
+    * @return (doc_id, cluster_id) — cluster_id = min doc_id in component
+    * @throws IllegalStateException if the iteration cap is hit before
+    *         convergence: returning silently would hand the caller
+    *         split clusters (a long near-dup chain would dedup wrong).
+    *         Rounds needed = component diameter, so the default cap of
+    *         10 covers any clique-ish near-dup graph; raise it for
+    *         genuinely chain-shaped graphs. */
   def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -28,7 +38,8 @@ object DedupClusters {
     // plan exponentially in the round count — each round references the
     // previous labels twice — and re-analysis + cache lookups over that
     // tree dwarf the actual compute. Checkpointing truncates the lineage
-    // to the materialized partitions each round.
+    // to the materialized partitions each round. (Not fault-tolerant:
+    // on a cluster with lossy executors use reliable checkpointing.)
     val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint()
@@ -41,16 +52,22 @@ object DedupClusters {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy($"src".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
+      // lazy checkpoint: materialized by the convergence count below, so
+      // the label update and the change count share one job; the next
+      // round then reads the checkpointed partitions, not the lineage.
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter($"cluster_id" =!= $"old").limit(1).count()
-      labels = next
+          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"),
+          coalesce($"nbr_min" < $"cluster_id", lit(false)).as("chg"))
+        .localCheckpoint(eager = false)
+      val changed = next.agg(count(when($"chg", lit(1))).as("n")).head().getLong(0)
+      labels = next.select($"doc_id", $"cluster_id")
       converged = changed == 0L
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIterations rounds — " +
+        "component diameter exceeds the cap; raise maxIterations")
     labels
   }
 }

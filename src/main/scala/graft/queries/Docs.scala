@@ -36,6 +36,32 @@ object Docs {
     s"""list_sum(list_transform(range(len($a)),
        |    i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))""".stripMargin
 
+  /** Oracle prelude for the exact-Jaccard family (d18/d13/d17): word
+    * 3-shingle sets (the DuckDB twin of Text.wordShingles) and the
+    * brute-force all-pairs Jaccard at threshold 0.5. Declared
+    * RECURSIVE so d13/d17 can append a connected-components CTE. */
+  private val simCte =
+    """WITH RECURSIVE nd AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+      |tk AS (SELECT doc_id, lang, string_split(norm, ' ') AS toks FROM nd),
+      |shg AS (SELECT doc_id, lang, list_distinct(list_transform(
+      |    range(0, greatest(len(toks) - 3, 0) + 1),
+      |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM tk),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |  FROM shg a JOIN shg b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** d13/d17 oracle tail: undirected edges at jaccard>=0.5, transitive
+    * closure by recursive CTE, min reachable doc_id = cluster label. */
+  private val ccCte =
+    """e AS (SELECT a_id AS src, b_id AS dst FROM pr WHERE jaccard >= 0.5
+      |  UNION ALL SELECT b_id, a_id FROM pr WHERE jaccard >= 0.5),
+      |reach AS (SELECT doc_id AS a, doc_id AS b FROM nd
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
   private val stopwords = Seq("the", "a")
 
   // ---- MinHash-LSH parameters (d6/d8): 64 perms = 16 bands × 4 rows.
@@ -97,6 +123,13 @@ object Docs {
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_shared_bands"))
   }
+
+  /** EXACT Jaccard>=0.5 near-dup edges via the prefix-filtered
+    * similarity join — deterministic (no LSH misses), so d13/d17 built
+    * on it are oracle-checkable end to end. */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityJoin.jaccard(
+      shingleSets(s, dir), "doc_id", "sh", 0.5)
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -389,15 +422,37 @@ object Docs {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- d18: EXACT set-similarity self-join (AllPairs/PPJoin shape) —
+    // every pair at word-3-shingle Jaccard >= 0.5, zero false negatives.
+    // The prefix filter (rarest-first global order) is what makes this
+    // survive 100 TB where a naive shingle inverted index hits quadratic
+    // boilerplate buckets; hash-checked against DuckDB's brute-force
+    // all-pairs Jaccard.
+    GraftQuery.sql("d18_jaccard_join",
+      s"""$simCte
+         |SELECT a_id, b_id, ROUND(jaccard, 6) AS jaccard
+         |FROM pr WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      jaccardEdges(s, dir)
+        .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    },
+
     // ---- d13: near-dup cluster assignment — connected components over
-    // the MinHash candidate pairs (iterative min-label propagation, no
-    // driver-side graph). Every document gets a cluster representative;
-    // dedup = keep doc_id == cluster_id. Exactness vs a driver-side
-    // union-find is asserted in DedupSpec.
-    GraftQuery.rowsOnly("d13_dedup_clusters") { (s, dir) =>
+    // the exact Jaccard>=0.5 edge set (iterative min-label propagation,
+    // no driver-side graph). Every document gets a cluster
+    // representative; dedup = keep doc_id == cluster_id. The edges come
+    // from the exact prefix-filtered similarity join (d18), not LSH, so
+    // the graph is deterministic and the DuckDB recursive-CTE oracle
+    // checks the full labeling; exactness vs a driver-side union-find
+    // is additionally asserted in DedupSpec.
+    GraftQuery.sql("d13_dedup_clusters",
+      s"""$simCte,
+         |$ccCte
+         |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir).select($"doc_id")
-      val pairs = minhashCandidates(s, dir).select($"a_id", $"b_id")
+      val pairs = jaccardEdges(s, dir).select($"a_id", $"b_id")
       graft.operators.DedupClusters.assign(d, pairs)
         .orderBy($"doc_id")
     },
@@ -430,10 +485,19 @@ object Docs {
     // corpus: keep one representative per near-dup cluster (doc_id ==
     // cluster_id from d13), report kept/dropped per language. At 100 TB
     // this is the anti-join that actually shrinks the training set.
-    GraftQuery.rowsOnly("d17_dedup_corpus") { (s, dir) =>
+    // Same exact edge set as d13, so the same recursive-CTE oracle
+    // hash-checks the kept/dropped accounting.
+    GraftQuery.sql("d17_dedup_corpus",
+      s"""$simCte,
+         |$ccCte
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COUNT(*) - CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM lab l JOIN nd USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       import s.implicits._
       val d = docs(s, dir).select($"doc_id", $"lang")
-      val pairs = minhashCandidates(s, dir).select($"a_id", $"b_id")
+      val pairs = jaccardEdges(s, dir).select($"a_id", $"b_id")
       val labels = graft.operators.DedupClusters.assign(
         d.select($"doc_id"), pairs)
       d.join(labels, "doc_id")

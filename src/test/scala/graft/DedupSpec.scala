@@ -97,7 +97,7 @@ class DedupSpec extends SparkSpec {
   test("d13 cluster assignment equals driver-side union-find over the same edges") {
     val labels = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val edges = SparkEntry.queries("d6_dedup_minhash")(spark, Sf0001)
+    val edges = SparkEntry.queries("d18_jaccard_join")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // union-find truth
     val parent = scala.collection.mutable.Map.empty[Long, Long]
