@@ -16,40 +16,51 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row at exactly the left row's timestamp
   * matches (as-of "<="). Right rows sort before left rows at equal
-  * timestamps; among equal-timestamp right rows the last by `rightTs`
-  * ordering wins. The strict-before variant is `graft.queries.Events`
-  * e4, which composes the same window with an exclusive frame.
+  * timestamps. Among right rows sharing key AND timestamp the winner
+  * is arbitrary (partitioning-dependent) UNLESS a `tiebreaker` column
+  * is supplied — pass one (a sequence number, an ingest id) whenever
+  * the right side can carry same-instant duplicates and you need
+  * run-to-run determinism; the greatest tiebreaker value wins.
+  * The strict-before variant is `graft.queries.Events` e4, which
+  * composes the same window with an exclusive frame.
   */
 object AsOfJoin {
 
-  /** @param valueCols right-side columns to carry (emitted as-is, null
-    *                  when no right row precedes the left row). */
+  /** @param valueCols  right-side columns to carry (emitted as-is, null
+    *                   when no right row precedes the left row).
+    * @param tiebreaker optional right-side column ordering same-instant
+    *                   right duplicates; the greatest value wins. */
   def latestAtOrBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
-                       valueCols: Seq[String]): DataFrame = {
+                       valueCols: Seq[String],
+                       tiebreaker: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
     // tagged union: right rows (side=0) sort before left rows (side=1)
-    // at the same instant, so "at or before" includes ties
+    // at the same instant, so "at or before" includes ties; __tb breaks
+    // same-instant right-vs-right ties deterministically when supplied
     val l = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))) {
+      left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+        .withColumn("__tb",
+          tiebreaker.map(t => lit(null).cast(right.schema(t).dataType)).getOrElse(lit(0)))) {
       (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
     }
     val r = leftCols.filterNot(keys.contains).foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))) {
+      right.withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+        .withColumn("__tb", tiebreaker.map(col).getOrElse(lit(0)))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = l.select((keys ++ leftCols.filterNot(keys.contains) ++ valueCols
-      ++ Seq("__ts", "__side")).map(col): _*)
+      ++ Seq("__ts", "__side", "__tb")).map(col): _*)
       .unionByName(r.select((keys ++ leftCols.filterNot(keys.contains) ++ valueCols
-        ++ Seq("__ts", "__side")).map(col): _*))
+        ++ Seq("__ts", "__side", "__tb")).map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    filled.filter(col("__side") === 1).drop("__ts", "__side", "__tb")
   }
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * any batch query: the stream is drained with processAllAvailable over
   * a memory sink, so the result is exact, not a sample.
   *
-  * s3 (trigger rate limits) is covered in StreamingSpec, where per-batch
-  * progress is observable.
+  * s3 (trigger rate limits) appears twice: per-batch cap enforcement is
+  * asserted in ShardedLogSpec (where progress is observable), and
+  * s3_rate_limited_drain below proves end-to-end that admission control
+  * loses and duplicates nothing.
   */
 object Streaming {
 
@@ -46,31 +48,40 @@ object Streaming {
     spark.table(name)
   }
 
+  /** Materialize events as a 4-shard append-only log (shard = user_id
+    * mod 4, `chunk` ids per file), harness setup for s1/s3. */
+  private def materializeLog(s: SparkSession, dir: String,
+                             chunk: Int): java.nio.file.Path = {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-shardedlog-")
+    Tables.events(s, dir)
+      .select($"event_id", pmod($"user_id", lit(4)).as("shard"))
+      .collect()
+      .groupBy(_.getLong(1))
+      .foreach { case (shard, rows) =>
+        rows.map(_.getLong(0)).sorted.toSeq.grouped(chunk).zipWithIndex.foreach {
+          case (ids, i) =>
+            ShardedLog.append(root, s"s$shard", i + 1L, ids.map(_.toString))
+        }
+      }
+    root
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- s1: the sharded source end-to-end. events are materialized as
-    // a 4-shard append-only log (shard = user_id mod 4, files of 2000
-    // records), read back through the DSv2 micro-batch source from the
-    // trim horizon, and aggregated per shard. The oracle recomputes the
-    // same from the raw table — dropping or duplicating any record in
-    // any shard breaks the hash.
+    // a 4-shard append-only log (files of 2000 records), read back
+    // through the DSv2 micro-batch source from the trim horizon, and
+    // aggregated per shard. The oracle recomputes the same from the raw
+    // table — dropping or duplicating any record in any shard breaks
+    // the hash.
     GraftQuery.sql("s1_sharded_source",
       s"""$evCte
          |SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard, COUNT(*) AS n,
          |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val root = Files.createTempDirectory("graft-shardedlog-")
-      val events = Tables.events(s, dir)
-        .select($"event_id", pmod($"user_id", lit(4)).as("shard"))
-        .collect()
-        .groupBy(_.getLong(1))
-      events.foreach { case (shard, rows) =>
-        rows.map(_.getLong(0)).sorted.toSeq.grouped(2000).zipWithIndex.foreach {
-          case (ids, i) =>
-            ShardedLog.append(root, s"s$shard", i + 1L, ids.map(_.toString))
-        }
-      }
+      val root = materializeLog(s, dir, chunk = 2000)
       val stream = s.readStream.format(ShardedLog.Format)
         .option("path", root.toString)
         .option("startingPosition", "trim_horizon")
@@ -79,6 +90,30 @@ object Streaming {
         .groupBy($"shard")
         .agg(count(lit(1)).as("n"),
           min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      drainToTable(s, stream, "complete").orderBy($"shard")
+    },
+
+    // ---- s3: backpressured drain — same log, but admission control caps
+    // every micro-batch at ONE file per shard (files of 500 records), so
+    // the drain takes many rate-limited batches. The per-shard count and
+    // order-insensitive id checksum against the raw table prove the cap
+    // rejects throughput, never records: nothing lost, nothing doubled.
+    // (Per-batch cap enforcement itself is asserted in ShardedLogSpec.)
+    GraftQuery.sql("s3_rate_limited_drain",
+      s"""$evCte
+         |SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard, COUNT(*) AS n,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = materializeLog(s, dir, chunk = 500)
+      val stream = s.readStream.format(ShardedLog.Format)
+        .option("path", root.toString)
+        .option("startingPosition", "trim_horizon")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .select($"shard", $"value".cast("long").as("event_id"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
       drainToTable(s, stream, "complete").orderBy($"shard")
     },
 

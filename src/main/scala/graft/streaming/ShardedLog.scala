@@ -69,22 +69,68 @@ object ShardedLog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Files.list returns an open directory stream that MUST be closed:
+    * these listings run on the driver every micro-batch (initialOffset,
+    * latestOffset, planInputPartitions), so leaking them until GC walks
+    * a fast-trigger stream into the fd ulimit. */
+  private def withDirStream[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private[streaming] def listShards(root: Path): Seq[Path] =
     if (!Files.isDirectory(root)) Nil
-    else Files.list(root).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    else withDirStream(root)(_.filter(Files.isDirectory(_)).toSeq)
       .sortBy(_.getFileName.toString)
 
   /** (seq, path, mtimeMicros) of record files in a shard, seq-ascending. */
   private[streaming] def listFiles(shardDir: Path): Seq[(Long, Path, Long)] =
-    Files.list(shardDir).iterator().asScala
-      .flatMap { p =>
+    withDirStream(shardDir) {
+      _.flatMap { p =>
         val n = p.getFileName.toString
         if (n.endsWith(".rec") && !n.startsWith("."))
           n.stripSuffix(".rec").toLongOption.map(seq =>
             (seq, p, Files.getLastModifiedTime(p).toMillis * 1000L))
         else None
-      }
-      .toSeq.sortBy(_._1)
+      }.toSeq
+    }.sortBy(_._1)
+
+  /** Declare `child` as the product of resharding `parent`: the source
+    * will not admit the child's records until every parent record
+    * present at a batch's start has been delivered — the reference's
+    * parent-before-child reshard ordering (reference
+    * KinesisSource.scala:115-141: ancestors drain oldest-first).
+    * Layout: `<child>/.parent` holds the parent shard name. */
+  def declareParent(root: Path, child: String, parent: String): Unit = {
+    require(ShardName.matches(child) && ShardName.matches(parent),
+      s"shard names '$child'/'$parent' must match ${ShardName.regex}")
+    val dir = root.resolve(child)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(".parent"), Seq(parent).asJava, StandardCharsets.UTF_8)
+  }
+
+  private[streaming] def parentOf(root: Path, shard: String): Option[String] = {
+    val f = root.resolve(shard).resolve(".parent")
+    if (!Files.isRegularFile(f)) None
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .headOption.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Read one record file with the reference's read-path error taxonomy
+    * (reference KinesisSource.scala:290-302): client-class errors — the
+    * file is gone or unreadable by construction — fail the task fast
+    * (retrying can never succeed), anything else I/O-shaped is treated
+    * as transient (an object-store throttle / flaky NFS in real life)
+    * and retried with exponential backoff. */
+  def readRecLines(
+      p: Path, tries: Int = 7,
+      onError: (Throwable, Int) => Unit = graft.util.Retry.expBackoff()): Seq[String] =
+    graft.util.Retry.withRetries(tries, onError, retryable = {
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.nio.file.AccessDeniedException => false
+      case _: java.io.IOException => true
+      case _ => false
+    })(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
 }
 
 /** Per-shard consumed-sequence offset ("everything up to and including
@@ -167,13 +213,25 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   // Admission-control path: the engine hands us the start offset, so the
   // per-trigger cap is stateless. Shards unseen in `start` (a reshard
   // split) enter at their trim horizon — reference
-  // KinesisSource.scala:147-163 + iteratorForReshard.
+  // KinesisSource.scala:147-163 + iteratorForReshard — but a child that
+  // DECLARED its parent (declareParent) is held back until the parent is
+  // fully drained as of this batch's start, so every remaining parent
+  // record lands in an earlier micro-batch than the child's first
+  // (reference KinesisSource.scala:115-141 ancestor ordering). An
+  // undeclared child keeps the no-loss-but-unordered behavior.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardedLogOffset].consumed
-    val capped = currentMax().map { case (shard, maxSeq) =>
+    val maxes = currentMax()
+    val capped = maxes.flatMap { case (shard, maxSeq) =>
       val s = from.getOrElse(shard, 0L)
-      val to = maxFilesPerTrigger.fold(maxSeq)(m => math.min(maxSeq, s + m))
-      shard -> math.max(s, to)
+      val gatedByParent = s == 0L && parentOf(root, shard).exists { p =>
+        maxes.get(p).exists(pMax => from.getOrElse(p, 0L) < pMax)
+      }
+      if (gatedByParent) None
+      else {
+        val to = maxFilesPerTrigger.fold(maxSeq)(m => math.min(maxSeq, s + m))
+        Some(shard -> math.max(s, to))
+      }
     }
     ShardedLogOffset(capped)
   }
@@ -216,11 +274,12 @@ case class ShardedLogFile(seq: Long, path: String, mtimeUs: Long)
 case class ShardedLogPartition(shard: String, files: Array[ShardedLogFile]) extends InputPartition
 
 /** Reads a shard's files in sequence order, lines in file order — the
-  * per-shard ordering guarantee. */
+  * per-shard ordering guarantee. File IO goes through the retrying,
+  * taxonomy-aware ShardedLog.readRecLines. */
 class ShardedLogReader(partition: ShardedLogPartition) extends PartitionReader[InternalRow] {
   private val shard = UTF8String.fromString(partition.shard)
   private val rows: Iterator[InternalRow] = partition.files.iterator.flatMap { f =>
-    Files.readAllLines(Paths.get(f.path), StandardCharsets.UTF_8).asScala.map { line =>
+    ShardedLog.readRecLines(Paths.get(f.path)).map { line =>
       new GenericInternalRow(Array[Any](shard, f.seq, UTF8String.fromString(line), f.mtimeUs))
     }
   }

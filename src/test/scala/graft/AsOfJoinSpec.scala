@@ -30,6 +30,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined("T3") === None)        // no quote at or before 5
   }
 
+  test("same-instant right duplicates resolve deterministically via the tiebreaker") {
+    val trades = Seq((1L, t(10), "T1")).toDF("acct", "trade_ts", "trade_id")
+    // two quotes at exactly t(10): without a tiebreaker the winner is
+    // partitioning-dependent; with one, the greatest seq must win
+    val quotes = Seq(
+      (1L, t(10), 100.0, 1L), (1L, t(10), 200.0, 2L), (1L, t(9), 50.0, 3L))
+      .toDF("acct", "quote_ts", "px", "seq")
+    (1 to 3).foreach { i =>
+      val joined = AsOfJoin.latestAtOrBefore(
+        trades, quotes.repartition(i), // vary physical layout
+        keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+        valueCols = Seq("px"), tiebreaker = Some("seq"))
+        .select($"px").collect()
+      assert(joined.map(_.getDouble(0)).toSeq === Seq(200.0),
+        s"repartition($i): seq=2 (greatest tiebreaker) must win the t(10) tie")
+    }
+  }
+
   test("agrees with a correlated-lookup truth on real data (sf0.001)") {
     // purchases <- latest click at-or-before, per user
     val ev = Tables.events(spark, Sf0001)

@@ -87,6 +87,51 @@ class ShardedLogSpec extends SparkSpec {
       s"a batch exceeded the trigger cap: ${batches.map(_.numInputRows).mkString(",")}")
   }
 
+  test("reshard: a declared child shard is admitted only after its parent drains") {
+    val root = tmpRoot()
+    (1 to 3).foreach(i => ShardedLog.append(root, "p", i, Seq(s"p$i")))
+    ShardedLog.declareParent(root, "c", "p")
+    ShardedLog.append(root, "c", 1, Seq("c1"))
+    // maxFilesPerTrigger=1 forces the parent across 3 micro-batches; the
+    // child's record must land in a strictly later batch than all of them
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format(ShardedLog.Format)
+      .option("path", root.toString).option("maxFilesPerTrigger", "1")
+      .load().writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val shards = df.select($"shard").collect().map(_.getString(0))
+        seen.synchronized { shards.foreach(s => seen += id -> s) }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.count(_._2 == "p") === 3, "all parent records delivered")
+    assert(seen.count(_._2 == "c") === 1, "child record delivered (no loss)")
+    val lastParent = seen.filter(_._2 == "p").map(_._1).max
+    val firstChild = seen.filter(_._2 == "c").map(_._1).min
+    assert(lastParent < firstChild,
+      s"child admitted at batch $firstChild before parent drained at $lastParent")
+  }
+
+  test("read-path taxonomy: transient IO errors retry, client errors fail fast") {
+    // transient-class: reading a directory as a record file raises an
+    // IOException outside the client classes → retried to exhaustion
+    val dir = Files.createTempDirectory("rec-as-dir")
+    var retries = 0
+    intercept[java.io.IOException] {
+      ShardedLog.readRecLines(dir, tries = 3, onError = (_, _) => retries += 1)
+    }
+    assert(retries === 3, "transient error must consume the whole retry budget")
+    // client-class: a missing file can never succeed on retry → fail fast
+    var fastRetries = 0
+    intercept[java.nio.file.NoSuchFileException] {
+      ShardedLog.readRecLines(dir.resolve("missing.rec"), tries = 3,
+        onError = (_, _) => fastRetries += 1)
+    }
+    assert(fastRetries === 0, "client error must not retry")
+  }
+
   test("resume: a restarted query continues from the committed per-shard offset") {
     val root = tmpRoot()
     val ckpt = Files.createTempDirectory("ckpt").toString

@@ -79,20 +79,23 @@ def main():
                 exact = af == bf
                 mism = ~(exact | nan_ok) & ~close
                 loose = ~(exact | nan_ok) & close
-                if loose.any():
+                if loose.any() and not mism.any():
                     i = int(np.argmax(loose))
-                    print(f"WARN  {name}.{c}: {int(loose.sum())} rows differ within "
+                    print(f"WARN  {name}.{c}: {int(loose.sum())} rows differ only within "
                           f"tolerance (e.g. row {i}: {af[i]!r} vs {bf[i]!r}) — "
-                          f"driver's exact hash would FAIL these")
-                ok = not (mism.any() or loose.any())
+                          f"still FAIL: the driver hashes exact values")
+                # the driver's exact hash fails on any difference, so
+                # loose rows fail too; the example row must come from the
+                # union (a loose-only column would otherwise print an
+                # exactly-matching row 0 as its "mismatch")
+                diff = mism | loose
             else:
                 nan_ok = pd.isna(pd.Series(a)).values & pd.isna(pd.Series(b)).values
                 eq = (pd.Series(a).fillna(0) == pd.Series(b).fillna(0)).values
                 same_na = (pd.isna(pd.Series(a)).values == pd.isna(pd.Series(b)).values)
-                mism = ~((eq & same_na) | nan_ok)
-                ok = not mism.any()
-            if not ok:
-                i = int(np.argmax(mism))
+                diff = ~((eq & same_na) | nan_ok)
+            if diff.any():
+                i = int(np.argmax(diff))
                 bad.append(f"{c} (e.g. row {i}: {a[i]!r} != {b[i]!r})")
         if bad:
             print(f"FAIL  {name}: value mismatch in {', '.join(bad)}"); n_fail += 1
