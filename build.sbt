@@ -28,4 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed Tungsten page size. Left to its heuristic, the page size
+  // scales with execution memory: under a many-GB heap (the round
+  // driver benches with ~100g) tasks allocate up to 64 MB long[] pages
+  // per operator, which in G1 are humongous allocations — constant
+  // region-sized alloc/free churn measured as a 6-15x wall-clock
+  // inflation on shuffle/aggregate-heavy queries (e.g. the similarity
+  // join: 9s at -Xmx8g vs 65s at -Xmx64g; 10s at any heap with this
+  // flag). 4m keeps pages region-friendly at every heap size.
+  "-Dspark.buffer.pageSize=4m",
 )

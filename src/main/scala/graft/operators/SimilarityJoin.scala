@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   *     the full sets back by id — the full sets cross the wire once per
   *     candidate, never per bucket row.
   *
-  * Shuffles: token-frequency agg, per-doc prefix window (keyed on id),
-  * prefix-bucket equi-join (keyed on the token), two id-keyed verify
-  * joins. All keys are narrow; text/sets never ride a bucket join.
+  * Execution shape: every set is collapsed ONCE to its 8-byte xxhash64
+  * token ids — the frequency aggregate, prefix window, candidate join
+  * AND the verify intersection all run on long arrays, so shingle
+  * STRINGS never leave the scan projection (a 64-bit collision between
+  * two distinct corpus shingles could in principle perturb a count; at
+  * ~1e-7 for millions of distinct shingles this is far below any
+  * operational concern — set sizes and intersections over distinct
+  * hashes equal those over the strings). The hashed-set table and the
+  * prefix table are persisted: each feeds two plan branches, which
+  * would otherwise re-run the upstream shingle pipeline per branch.
   */
 object SimilarityJoin {
 
@@ -38,9 +45,11 @@ object SimilarityJoin {
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
 
-    val sized = sets.select(col(idCol).as("id"), col(setCol).as("set"))
-      .withColumn("n", size($"set"))
-    val toks = sized.select($"id", $"n", explode($"set").as("g"))
+    val sized = sets.select(col(idCol).as("id"),
+        transform(col(setCol), x => xxhash64(x)).as("hset"))
+      .withColumn("n", size($"hset"))
+      .persist() // feeds the token pipeline AND both verify branches
+    val toks = sized.select($"id", $"n", explode($"hset").as("g"))
 
     // global document frequency — the prefix order (rarest first)
     val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
@@ -51,6 +60,7 @@ object SimilarityJoin {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 1)
       .select($"g", $"id", $"n")
+      .persist() // both sides of the candidate self-join
 
     // candidate pairs: prefix-bucket join + length filter, deduped by a
     // partial aggregate BEFORE any verify work
@@ -62,9 +72,10 @@ object SimilarityJoin {
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_shared_prefix"))
 
-    // verify: exact Jaccard on candidates only
-    val a = sized.select($"id".as("a_id"), $"set".as("sh_a"))
-    val b = sized.select($"id".as("b_id"), $"set".as("sh_b"))
+    // verify: exact Jaccard on candidates only (hashed sets — counts
+    // over distinct hashes equal counts over the strings)
+    val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
+    val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
     candidates
       .join(a, "a_id").join(b, "b_id")
       .withColumn("jaccard",

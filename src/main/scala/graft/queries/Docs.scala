@@ -126,10 +126,11 @@ object Docs {
 
   /** EXACT Jaccard>=0.5 near-dup edges via the prefix-filtered
     * similarity join — deterministic (no LSH misses), so d13/d17 built
-    * on it are oracle-checkable end to end. */
+    * on it are oracle-checkable end to end. Persisted: d13/d17 reference
+    * the edge list twice (both directions of the undirected graph). */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
     graft.operators.SimilarityJoin.jaccard(
-      shingleSets(s, dir), "doc_id", "sh", 0.5)
+      shingleSets(s, dir), "doc_id", "sh", 0.5).persist()
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -506,6 +507,77 @@ object Docs {
           sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L)).as("n_kept"))
         .withColumn("n_dropped", $"n_docs" - $"n_kept")
         .orderBy($"lang")
+    },
+
+    // ---- d19: Gopher-style document quality gate — the rule-based
+    // keep/drop filter every web-scale corpus pass runs (word-count
+    // bounds, mean-word-length bounds, symbol density, stopword
+    // presence). All signals are INTEGER counts and every threshold is
+    // integer cross-multiplication (3*words <= chars <= 10*words, not
+    // chars/words in [3,10]), so the kept bit is bit-identical across
+    // engines — no float boundary can flip a document. One scan, no
+    // shuffle before the (tiny) ordered output.
+    GraftQuery.sql("d19_gopher_filter",
+      s"""$normCte
+         |SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars,
+         |  CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+         |  CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 50 AND 100000
+         |    AND length(replace(norm, ' ', '')) >= 3 * len(regexp_split_to_array(trim(text), '\\s+'))
+         |    AND length(replace(norm, ' ', '')) <= 10 * len(regexp_split_to_array(trim(text), '\\s+'))
+         |    AND 10 * length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) <= length(replace(norm, ' ', ''))
+         |    AND 50 * len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a')))
+         |        >= len(regexp_split_to_array(trim(text), '\\s+'))
+         |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM nd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id",
+          Text.wsTokenCount($"text").as("n_words"),
+          length(regexp_replace(Text.normalize($"text"), " ", "")).cast("long").as("n_chars"),
+          Text.punctCount($"text").as("n_punct"),
+          Text.markerCount($"text", stopwords).as("n_stop"))
+        .withColumn("kept",
+          ($"n_words".between(50L, 100000L) &&
+            $"n_chars" >= $"n_words" * 3 && $"n_chars" <= $"n_words" * 10 &&
+            $"n_punct" * 10 <= $"n_chars" &&
+            $"n_stop" * 50 >= $"n_words").cast("long"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d20: eval-set decontamination — the overlap check a training
+    // pipeline runs before any benchmark claim: which corpus documents
+    // share a word-8-gram with a held-out eval document (here: doc_id <
+    // 25 stands in for the benchmark set). Scale shape: the eval side is
+    // tiny by construction, so its exploded 8-grams BROADCAST — the
+    // corpus side is one scan + map-side hash probe, and only matching
+    // (doc, eval) pairs reach the distinct-count shuffle. Text never
+    // moves: the join key is the 8-gram string, carried only for hits.
+    GraftQuery.sql("d20_decontaminate",
+      s"""WITH nd AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |s8 AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(toks) - 8, 0) + 1),
+         |    i -> array_to_string(toks[i+1:i+8], ' '))) AS sh FROM tk)
+         |SELECT c.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs
+         |FROM s8 c JOIN s8 e ON e.doc_id < 25 AND c.doc_id >= 25
+         |  AND len(list_intersect(c.sh, e.sh)) > 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sh8 = docs(s, dir).repartition(p)
+        .select($"doc_id", Text.wordShingles($"text", 8).as("sh"))
+      val evalGrams = sh8.filter($"doc_id" < 25)
+        .select(explode($"sh").as("g"), $"doc_id".as("eval_id"))
+      sh8.filter($"doc_id" >= 25)
+        .select($"doc_id", explode($"sh").as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"eval_id").as("n_eval_docs"))
+        .orderBy($"doc_id")
     },
 
     // ---- d12: multimodal plumbing — binary payload column + typed

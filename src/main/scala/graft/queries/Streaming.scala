@@ -105,7 +105,12 @@ object Streaming {
          |  CAST(SUM(event_id) AS BIGINT) AS id_sum
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val root = materializeLog(s, dir, chunk = 500)
+      // chunk sized so the drain is always ~8 rate-limited batches,
+      // independent of SF (a fixed chunk would mean O(rows) micro-batches
+      // at larger scale factors — harness time, not operator work)
+      val total = Tables.events(s, dir).count()
+      val chunk = math.max(500L, total / 4 / 8 + 1).toInt
+      val root = materializeLog(s, dir, chunk)
       val stream = s.readStream.format(ShardedLog.Format)
         .option("path", root.toString)
         .option("startingPosition", "trim_horizon")
