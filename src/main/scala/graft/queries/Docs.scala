@@ -580,6 +580,65 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d21: training-sequence chunking — split each document's token
+    // stream into fixed 128-token windows with a 16-token stride overlap
+    // (the pack-into-context-length step before tokenizer batching).
+    // Emitted per chunk: start offset and length, ALL integer math, so
+    // the oracle is hash-exact. Scale: chunk arithmetic is a per-row
+    // generate (no shuffle); the output inherits the scan partitioning.
+    GraftQuery.sql("d21_chunking",
+      s"""$normCte,
+         |tc AS (SELECT doc_id, len(string_split(norm, ' ')) AS n_tok FROM nd),
+         |ch AS (SELECT doc_id, n_tok,
+         |    unnest(range(0, CAST(ceil(greatest(n_tok - 16, 1) / 112.0) AS BIGINT))) AS chunk_idx
+         |  FROM tc)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * 112 AS tok_start,
+         |  least(n_tok - chunk_idx * 112, 128) AS tok_len
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val Window = 128L
+      val Stride = Window - 16L // 16-token overlap between chunks
+      docs(s, dir)
+        .select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tok"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          ceil(greatest($"n_tok" - 16L, lit(1L)) / lit(Stride.toDouble)).cast("long") - 1L)))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * Stride).as("tok_start"),
+          least($"n_tok" - $"chunk_idx" * Stride, lit(Window)).as("tok_len"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // ---- d22: repetition filter (the Gopher "fraction of characters in
+    // the most common n-gram" family, word-2-gram variant): per document
+    // the most frequent bigram's count, total bigrams, and distinct
+    // bigrams — integer signals only, ratios left to the consumer.
+    // Scale: one explode + a partial-aggregated (doc, gram) count; grams
+    // are 8-byte hashes by the time they shuffle.
+    GraftQuery.sql("d22_repetition",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |bg AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS g
+         |  FROM tk, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 1))) AS i)),
+         |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+         |SELECT doc_id, MAX(c) AS top_bigram_n,
+         |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  COUNT(*) AS n_distinct_bigrams
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Text.tokens($"text")
+      docs(s, dir)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_bigram_n"),
+          sum($"c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
