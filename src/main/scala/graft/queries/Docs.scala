@@ -613,8 +613,11 @@ object Docs {
     // the most common n-gram" family, word-2-gram variant): per document
     // the most frequent bigram's count, total bigrams, and distinct
     // bigrams — integer signals only, ratios left to the consumer.
-    // Scale: one explode + a partial-aggregated (doc, gram) count; grams
-    // are 8-byte hashes by the time they shuffle.
+    // Scale: one explode + a partial-aggregated (doc, gram) count; the
+    // gram is collapsed to its xxhash64 before the shuffle, so the
+    // exchange carries (long, long) pairs, never bigram strings (counts
+    // over distinct hashes equal counts over strings sans a ~2^-64
+    // collision).
     GraftQuery.sql("d22_repetition",
       s"""$normCte,
          |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
@@ -630,7 +633,7 @@ object Docs {
       docs(s, dir)
         .select($"doc_id", explode(transform(
           sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(2))))).as("g"))
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("g"))
         .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(max($"c").as("top_bigram_n"),
