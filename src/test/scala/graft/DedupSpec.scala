@@ -94,6 +94,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d18 exact similarity join equals brute-force jaccard >= 0.5 — zero false negatives") {
+    val got = SparkEntry.queries("d18_jaccard_join")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = truth.filter(_._2 >= 0.5)
+    // the prefix filter must be LOSSLESS (this is what separates d18
+    // from the LSH candidates): exact same pair set, exact same values
+    assert(got.keySet === expect.keySet,
+      s"missed=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+    expect.foreach { case (p, j) =>
+      assert(math.abs(got(p) - j) < 5e-7, s"pair $p jaccard ${got(p)} != $j")
+    }
+  }
+
   test("d13 cluster assignment equals driver-side union-find over the same edges") {
     val labels = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -26,6 +26,29 @@ class StreamingSpec extends SparkSpec {
     spark.table(name).collect().toSeq
   }
 
+  test("text-pipeline operators compose on a stream: streamed quality gate equals batch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    // The d-series scoring/fingerprint ops are stateless projections, so
+    // a user can run the SAME column expressions on readStream — this
+    // pins that contract (and that none secretly needs a batch-only
+    // feature), delivered across multiple micro-batches.
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def gate(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id",
+      Text.fingerprint($"text").as("fp"),
+      Text.wsTokenCount($"text").as("n_words"),
+      Text.qualityScore($"text", Seq("the", "a")).as("quality"))
+    val in = MemoryStream[(Long, String)](spark)
+    docs.grouped(math.max(1, docs.size / 3)).foreach(in.addData(_))
+    val streamed = drain(gate(in.toDF().toDF("doc_id", "text")))
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    val batch = gate(Tables.load(spark, Sf0001, "documents"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed === batch)
+  }
+
   test("s6 streaming sessionization: state spans micro-batches, timeout emits") {
     val in = MemoryStream[SessEvent](spark)
     val sessions = StreamOps.sessionizeStream(in.toDS(), gapMinutes = 30, horizon = "0 seconds")
