@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -173,8 +173,25 @@ class ShardedLogTable(options: CaseInsensitiveStringMap) extends Table with Supp
 }
 
 class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   import ShardedLog._
+
+  /** Trigger.AvailableNow contract: snapshot the frontier at query start
+    * and drain exactly up to it — still in rate-limited batches — then
+    * let the engine terminate. Without this the engine would run ONE
+    * capped batch and stop, silently dropping the rest of the snapshot.
+    * (A shard appearing after the snapshot waits for the next run, the
+    * same way Kinesis consumers treat a reshard during a bounded drain.) */
+  @volatile private var availableNowCap: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(currentMax())
+  }
+
+  /** The per-shard max this run may advance to: the AvailableNow
+    * snapshot when set, else the live listing. */
+  private def frontier(): Map[String, Long] =
+    availableNowCap.getOrElse(currentMax())
 
   private val root: Path = Paths.get(Option(options.get("path")).getOrElse(
     throw new IllegalArgumentException("sharded-log requires a 'path' option")))
@@ -221,7 +238,7 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   // undeclared child keeps the no-loss-but-unordered behavior.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardedLogOffset].consumed
-    val maxes = currentMax()
+    val maxes = frontier()
     val capped = maxes.flatMap { case (shard, maxSeq) =>
       val s = from.getOrElse(shard, 0L)
       val gatedByParent = s == 0L && parentOf(root, shard).exists { p =>
@@ -237,8 +254,9 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   /** True (uncapped) latest, so processAllAvailable keeps triggering
-    * until the rate-limited batches catch up. */
-  override def reportLatestOffset(): Offset = ShardedLogOffset(currentMax())
+    * until the rate-limited batches catch up (bounded by the
+    * AvailableNow snapshot when one is armed). */
+  override def reportLatestOffset(): Offset = ShardedLogOffset(frontier())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -114,6 +114,26 @@ class ShardedLogSpec extends SparkSpec {
       s"child admitted at batch $firstChild before parent drained at $lastParent")
   }
 
+  test("Trigger.AvailableNow drains everything in rate-limited batches, then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpRoot()
+    (1 to 5).foreach(i => ShardedLog.append(root, "a", i, Seq(s"a$i")))
+    ShardedLog.append(root, "b", 1, Seq("b1"))
+    val name = "sl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(ShardedLog.Format)
+      .option("path", root.toString).option("maxFilesPerTrigger", "2")
+      .load().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow must terminate BY ITSELF once the snapshot is drained
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+    val got = spark.table(name).select($"value").collect().map(_.getString(0)).toSet
+    assert(got === Set("a1", "a2", "a3", "a4", "a5", "b1"))
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"cap ignored under AvailableNow: ${batches.length} batches")
+  }
+
   test("read-path taxonomy: transient IO errors retry, client errors fail fast") {
     // transient-class: reading a directory as a record file raises an
     // IOException outside the client classes → retried to exhaustion
