@@ -568,8 +568,11 @@ object Docs {
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // join key = xxhash64 of the 8-gram: the broadcast table carries
+      // 8-byte keys instead of ~50-byte strings (counts over distinct
+      // hashes equal counts over strings sans a ~2^-64 collision)
       val sh8 = docs(s, dir).repartition(p)
-        .select($"doc_id", Text.wordShingles($"text", 8).as("sh"))
+        .select($"doc_id", Text.hashed(Text.wordShingles($"text", 8)).as("sh"))
       val evalGrams = sh8.filter($"doc_id" < 25)
         .select(explode($"sh").as("g"), $"doc_id".as("eval_id"))
       sh8.filter($"doc_id" >= 25)
