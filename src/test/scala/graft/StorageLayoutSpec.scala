@@ -49,6 +49,37 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("dedup pipeline materializes a partitioned kept-corpus; lang scans prune") {
+    import graft.functions.Text
+    import graft.operators.{DedupClusters, SimilarityJoin}
+    // the d13->d17 decision, carried through to the actual artifact a
+    // training pipeline ships: the kept corpus written partitioned by
+    // lang, so downstream per-language jobs scan only their slice
+    val d = Tables.load(spark, Sf0001, "documents")
+    val sets = d.select($"doc_id", Text.wordShingles($"text", 3).as("sh"))
+    val edges = SimilarityJoin.jaccard(sets, "doc_id", "sh", 0.5)
+      .select($"a_id", $"b_id")
+    val labels = DedupClusters.assign(d.select($"doc_id"), edges)
+    val kept = d.join(labels, "doc_id").filter($"doc_id" === $"cluster_id")
+    val out = Files.createTempDirectory("graft-kept-").toString
+    kept.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    // the artifact must agree with d17's accounting, per language
+    val back = spark.read.parquet(out)
+    val gotPerLang = back.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d17PerLang = SparkEntry.queries("d17_dedup_corpus")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotPerLang === d17PerLang)
+
+    // and a single-language read must prune at the partition level
+    val one = back.filter($"lang" === "en")
+    one.collect()
+    val p = plan(one)
+    assert(p.contains("PartitionFilters") && p.contains("en"),
+      s"no partition pruning on lang:\n$p")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val out = Files.createTempDirectory("graft-part-").toString
     Tables.events(spark, Sf0001)
