@@ -553,6 +553,29 @@ object Relational {
           count_distinct($"l_orderkey").as("exact_orders"),
           percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("approx_p50"))
         .orderBy($"l_returnflag")
+    },
+
+    // ---- q30: salted skew join — the manual hot-key control
+    // (operators.SkewJoin) run end-to-end: lineitem salted into 8
+    // sub-keys, part replicated 8x, join on (key, salt). Semantically
+    // identical to the plain join (the oracle IS the plain join), which
+    // is the whole point: same answer, no straggler partition when a
+    // key is hot and the dimension can't broadcast.
+    GraftQuery.sql("q30_salted_join",
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .select($"l_partkey".as("p_partkey"), $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice")
+      val dim = t(s, dir, "part").select($"p_partkey", $"p_brand")
+      graft.operators.SkewJoin.saltedInner(big, dim,
+          keys = Seq("p_partkey"), saltOn = "l_orderkey", saltBuckets = 8)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
+        .orderBy($"p_brand")
     }
   )
 }

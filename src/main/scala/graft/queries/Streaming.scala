@@ -199,6 +199,40 @@ object Streaming {
       drainToTable(s, agg, "complete").orderBy($"wday")
     },
 
+    // ---- s8: the document quality gate run ON THE STREAM — the batch
+    // d-series scoring expressions applied verbatim to a readStream of
+    // documents (they are stateless projections, so the same Column
+    // trees compose; StreamingSpec pins exact stream/batch parity).
+    // Delivered across several micro-batches, aggregated per language.
+    GraftQuery.sql("s8_stream_quality_gate",
+      """WITH nd AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm, text
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(SUM(CASE WHEN 10 * length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+        |    <= length(replace(norm, ' ', '')) THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text")
+        .as[(Long, String, String)].collect().toSeq
+      val in = MemoryStream[(Long, String, String)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val gated = in.toDF().toDF("doc_id", "lang", "text")
+        .select($"lang",
+          (Text.wsTokenCount($"text") >= 50L).cast("long").as("is_long"),
+          (Text.punctCount($"text") * 10 <=
+            length(regexp_replace(Text.normalize($"text"), " ", ""))).cast("long").as("is_clean"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"is_long").as("n_long"), sum($"is_clean").as("n_clean"))
+      drainToTable(s, gated, "complete").orderBy($"lang")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
