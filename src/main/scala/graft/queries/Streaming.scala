@@ -233,6 +233,37 @@ object Streaming {
       drainToTable(s, gated, "complete").orderBy($"lang")
     },
 
+    // ---- s9: streaming content dedup — the ingest-side twin of d1:
+    // documents arrive twice (at-least-once delivery), and the stream
+    // drops duplicates BY CONTENT FINGERPRINT (md5 of normalized text)
+    // within the watermark, so the corpus never stores a byte twice.
+    // State is keyed on the 128-bit fingerprint, never the text. The
+    // oracle counts distinct-fingerprint documents per language.
+    GraftQuery.sql("s9_stream_content_dedup",
+      """WITH nd AS (SELECT lang,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT lang, COUNT(DISTINCT fp) AS n_unique
+        |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.load(s, dir, "documents")
+        .select($"lang", $"text")
+        .as[(String, String)].collect().toSeq
+      val in = MemoryStream[(String, String, java.sql.Timestamp)](s)
+      val t0 = new java.sql.Timestamp(86400000L)
+      in.addData(rows.map { case (l, t) => (l, t, t0) })   // delivery 1
+      in.addData(rows.map { case (l, t) => (l, t, t0) })   // full redelivery
+      val deduped = StreamOps.dedupWithinWatermark(
+        in.toDF().toDF("lang", "text", "ts")
+          .withColumn("fp", Text.fingerprint($"text")),
+        tsCol = "ts", horizon = "3650 days", keys = Seq("lang", "fp"))
+      drainToTable(s, deduped, "append")
+        .groupBy($"lang").agg(count(lit(1)).as("n_unique"))
+        .orderBy($"lang")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
