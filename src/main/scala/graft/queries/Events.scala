@@ -224,6 +224,49 @@ object Events {
         .orderBy($"best_streak")
     },
 
+    // ---- e11: gap-fill / resampling — regularize each user's sparse
+    // daily activity into a dense day series, carrying the last observed
+    // count forward over missing days (the time-series prep step before
+    // any per-entity sequence model). All-integer signals so the oracle
+    // is hash-exact. Scale: the day spine is generated per user (no
+    // cross join against a calendar table), the fill is one window over
+    // the same user_id shuffle as the spine join.
+    GraftQuery.sql("e11_gap_fill",
+      s"""$evCte,
+         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
+         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+         |f AS (SELECT user_id, day, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+         |  FROM j)
+         |SELECT user_id, COUNT(*) AS n_days,
+         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |  CAST(SUM(fv) AS BIGINT) AS sum_filled
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1",
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("fv", last($"v", ignoreNulls = true).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when($"v".isNull, 1L).otherwise(0L)).as("n_filled"),
+          sum($"fv").as("sum_filled"))
+        .orderBy($"user_id")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before
