@@ -632,8 +632,9 @@ object Docs {
          |  COUNT(*) AS n_distinct_bigrams
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val toks = Text.tokens($"text")
-      docs(s, dir)
+      docs(s, dir).repartition(p) // the local corpus arrives as ONE split
         .select($"doc_id", explode(transform(
           sequence(lit(0), greatest(size(toks) - 2, lit(0))),
           i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("g"))
