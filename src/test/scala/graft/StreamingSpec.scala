@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("native codegen expressions run under streaming execution: minhash/simhash parity") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    // the custom Catalyst expressions must behave identically inside a
+    // streaming plan (incremental execution wraps them in a different
+    // codegen context than batch) — signature drift here would silently
+    // desync an ingest-side LSH index from a batch-built one
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    def sigs(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"doc_id",
+      call_function("minhash_sig", Text.hashed(Text.wordShingles($"text", 3)),
+        lit(64), lit(42L)).as("sig"),
+      call_function("simhash64", Text.hashed(Text.wordShingles($"text", 3))).as("sim"))
+    val in = MemoryStream[(Long, String)](spark)
+    docs.grouped(40).foreach(in.addData(_))
+    val streamed = drain(sigs(in.toDF().toDF("doc_id", "text")))
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val batch = sigs(Tables.load(spark, Sf0001, "documents").filter($"doc_id" < 100))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, (sig, sim)) =>
+      assert(sig === batch(id)._1, s"minhash signature drift for doc $id")
+      assert(sim === batch(id)._2, s"simhash drift for doc $id")
+    }
+  }
+
   test("s6 streaming sessionization: state spans micro-batches, timeout emits") {
     val in = MemoryStream[SessEvent](spark)
     val sessions = StreamOps.sessionizeStream(in.toDS(), gapMinutes = 30, horizon = "0 seconds")
