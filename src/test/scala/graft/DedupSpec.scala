@@ -129,6 +129,25 @@ class DedupSpec extends SparkSpec {
     labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
   }
 
+  test("cluster assignment: deep chain converges with a raised cap, throws at the default") {
+    import spark.implicits._
+    import graft.operators.DedupClusters
+    // a 30-vertex path graph: diameter 29 >> the default cap of 10 —
+    // silent truncation here would split one component into several,
+    // which is exactly the wrong-dedup failure the cap guard exists for
+    val n = 30L
+    val docs = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.assign(docs, chain).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds every vertex must reach label 0
+    val labels = DedupClusters.assign(docs, chain, maxIterations = 35)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L), s"chain not fully labeled: $labels")
+  }
+
   test("d17 dedup corpus: kept+dropped partitions the corpus; kept = one per cluster") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
