@@ -4,6 +4,32 @@ package graft
   * track the exact ones computed in the same query. */
 class SketchSpec extends SparkSpec {
 
+  test("sketches are mergeable: unioned per-group HLL sketches equal the global sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // THE property that makes sketches work on a cluster: building
+    // per-partition sketches and unioning them keeps the estimate inside
+    // the sketch's error bounds (union is register-merge; the estimate
+    // may move a hair because DataSketches unions promote HLL_4→HLL_8),
+    // so a 1000-executor distinct count is a tree of tiny merges, never
+    // a re-scan
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val global = li
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")).as("n"))
+      .head().getLong(0)
+    val merged = li.groupBy($"l_returnflag") // stand-ins for shards/partitions
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("n"))
+      .head().getLong(0)
+    assert(math.abs(merged - global).toDouble / global < 0.01,
+      s"sketch union ($merged) diverged from the single global sketch ($global)")
+    val exact = li.select($"l_orderkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged estimate $merged vs exact $exact")
+    assert(math.abs(global - exact).toDouble / exact < 0.05,
+      s"global estimate $global vs exact $exact")
+  }
+
   test("q26: HLL distinct within 5% of exact; approx p50 within the rank tolerance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
