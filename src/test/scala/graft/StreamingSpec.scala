@@ -75,6 +75,23 @@ class StreamingSpec extends SparkSpec {
       assert(sig === batch(id)._1, s"minhash signature drift for doc $id")
       assert(sim === batch(id)._2, s"simhash drift for doc $id")
     }
+
+    // same guarantee for the vector expression: streamed LSH bucket
+    // codes (vec_dot against the literal hyperplanes) must equal batch
+    import graft.operators.AnnLsh
+    val vecs = Tables.load(spark, Sf0001, "embeddings")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val vin = MemoryStream[(Long, Array[Float])](spark)
+    vecs.grouped(40).foreach(vin.addData(_))
+    val streamedCodes = drain(vin.toDF().toDF("vec_id", "embedding")
+      .select($"vec_id", AnnLsh.bucketCode($"embedding").as("code")))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCodes = Tables.load(spark, Sf0001, "embeddings")
+      .filter($"vec_id" < 100)
+      .select($"vec_id", AnnLsh.bucketCode($"embedding").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedCodes === batchCodes, "LSH bucket-code drift between stream and batch")
   }
 
   test("s6 streaming sessionization: state spans micro-batches, timeout emits") {
