@@ -576,6 +576,44 @@ object Relational {
         .groupBy($"p_brand")
         .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("revenue"))
         .orderBy($"p_brand")
+    },
+
+    // ---- q31: fixed-width histogram — the value-distribution profile
+    // every data audit starts with. The bin id is derived per row (one
+    // codegen floor-divide), so the only shuffle is the partial-agg
+    // exchange of ~bin-count rows.
+    GraftQuery.sql("q31_histogram",
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy(floor($"l_extendedprice" / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+        .orderBy($"bin")
+    },
+
+    // ---- q32: co-occurrence mining (market-basket pairs) — parts
+    // ordered together, top-20 pairs. Scale: the self-join shuffles ON
+    // THE ORDER KEY, so pair generation is per-order local (~k² rows
+    // for a k-item order, k≈7) and the pair aggregate is partial;
+    // the final top-20 is TakeOrdered, never a full sort.
+    GraftQuery.sql("q32_copurchase",
+      """SELECT a.l_partkey AS a_key, b.l_partkey AS b_key, COUNT(*) AS n
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n DESC, a_key, b_key LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val a = li.select($"l_orderkey", $"l_partkey".as("a_key"))
+      val b = li.select($"l_orderkey", $"l_partkey".as("b_key"))
+      a.join(b, Seq("l_orderkey"))
+        .filter($"a_key" < $"b_key")
+        .groupBy($"a_key", $"b_key")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"a_key", $"b_key")
+        .limit(20)
     }
   )
 }
