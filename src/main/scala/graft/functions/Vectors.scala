@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, backed by the
@@ -14,8 +14,17 @@ object Vectors {
   /** Dot product of two float-array columns, accumulated in double.
     * Resolves to [[expressions.FloatVecDot]]: one fused codegen loop,
     * no per-row array materialization (the r1 HOF version made d9 the
-    * bench hotspot at 170 s / sf0.1). */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    * bench hotspot at 170 s / sf0.1).
+    *
+    * Self-registering: `call_function` needs `vec_dot` in the session
+    * FunctionRegistry, and a standalone user of the operators package
+    * (no Tables.load, no test base class) would otherwise hit
+    * "undefined function" at analysis — so make the idempotent
+    * registration here, on whatever session is active on this thread. */
+  def dot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(GraftFunctions.register)
+    call_function("vec_dot", a, b)
+  }
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

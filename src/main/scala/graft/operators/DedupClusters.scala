@@ -44,6 +44,13 @@ object DedupClusters {
       .unionByName(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
       .localCheckpoint()
     var labels = docs.select($"doc_id", $"doc_id".as("cluster_id")).localCheckpoint()
+    // The change count rides a task-side accumulator populated by the
+    // SAME job that materializes the round's labels (the eager
+    // checkpoint), so each round is exactly one job and the driver never
+    // runs a separate blocking count action. Task retries can only
+    // inflate a nonzero count, and convergence tests == 0, so the
+    // at-least-once accumulator semantics are safe here.
+    val changedAcc = spark.sparkContext.longAccumulator("graft-dedup-changed")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -52,17 +59,17 @@ object DedupClusters {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy($"src".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
-      // lazy checkpoint: materialized by the convergence count below, so
-      // the label update and the change count share one job; the next
-      // round then reads the checkpointed partitions, not the lineage.
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"),
           coalesce($"nbr_min" < $"cluster_id", lit(false)).as("chg"))
-        .localCheckpoint(eager = false)
-      val changed = next.agg(count(when($"chg", lit(1))).as("n")).head().getLong(0)
+      changedAcc.reset()
+      val enc = org.apache.spark.sql.Encoders.row(updated.schema)
+      val next = updated
+        .map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }(enc)
+        .localCheckpoint() // eager: the round's one job; fills the accumulator
       labels = next.select($"doc_id", $"cluster_id")
-      converged = changed == 0L
+      converged = changedAcc.value == 0L
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -101,19 +101,29 @@ object ShardedLog {
     * parent-before-child reshard ordering (reference
     * KinesisSource.scala:115-141: ancestors drain oldest-first).
     * Layout: `<child>/.parent` holds the parent shard name. */
-  def declareParent(root: Path, child: String, parent: String): Unit = {
-    require(ShardName.matches(child) && ShardName.matches(parent),
-      s"shard names '$child'/'$parent' must match ${ShardName.regex}")
+  def declareParent(root: Path, child: String, parent: String): Unit =
+    declareParents(root, child, Seq(parent))
+
+  /** Multi-parent variant for MERGE reshards: a merged child has TWO
+    * parents (the reference's `parentShardId` + `adjacentParentShardId`,
+    * KinesisSource.scala:135-141), and admission is gated on ALL of them
+    * being drained — otherwise the child could deliver while the second
+    * parent still holds undelivered records (order inversion).
+    * Layout: `<child>/.parent`, one parent shard name per line. */
+  def declareParents(root: Path, child: String, parents: Seq[String]): Unit = {
+    require(parents.nonEmpty, "declareParents needs at least one parent")
+    (child +: parents).foreach(n => require(ShardName.matches(n),
+      s"shard name '$n' must match ${ShardName.regex}"))
     val dir = root.resolve(child)
     Files.createDirectories(dir)
-    Files.write(dir.resolve(".parent"), Seq(parent).asJava, StandardCharsets.UTF_8)
+    Files.write(dir.resolve(".parent"), parents.asJava, StandardCharsets.UTF_8)
   }
 
-  private[streaming] def parentOf(root: Path, shard: String): Option[String] = {
+  private[streaming] def parentsOf(root: Path, shard: String): Seq[String] = {
     val f = root.resolve(shard).resolve(".parent")
-    if (!Files.isRegularFile(f)) None
+    if (!Files.isRegularFile(f)) Nil
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
-      .headOption.map(_.trim).filter(_.nonEmpty)
+      .map(_.trim).filter(_.nonEmpty).toSeq
   }
 
   /** Read one record file with the reference's read-path error taxonomy
@@ -231,17 +241,20 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   // per-trigger cap is stateless. Shards unseen in `start` (a reshard
   // split) enter at their trim horizon — reference
   // KinesisSource.scala:147-163 + iteratorForReshard — but a child that
-  // DECLARED its parent (declareParent) is held back until the parent is
-  // fully drained as of this batch's start, so every remaining parent
-  // record lands in an earlier micro-batch than the child's first
-  // (reference KinesisSource.scala:115-141 ancestor ordering). An
-  // undeclared child keeps the no-loss-but-unordered behavior.
+  // DECLARED its parents (declareParent/declareParents) is held back
+  // until EVERY declared parent is fully drained as of this batch's
+  // start, so every remaining parent record lands in an earlier
+  // micro-batch than the child's first (reference
+  // KinesisSource.scala:115-141 ancestor ordering; a MERGE child gates
+  // on both parentShardId and adjacentParentShardId, reference
+  // KinesisSource.scala:135-141). An undeclared child keeps the
+  // no-loss-but-unordered behavior.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardedLogOffset].consumed
     val maxes = frontier()
     val capped = maxes.flatMap { case (shard, maxSeq) =>
       val s = from.getOrElse(shard, 0L)
-      val gatedByParent = s == 0L && parentOf(root, shard).exists { p =>
+      val gatedByParent = s == 0L && parentsOf(root, shard).exists { p =>
         maxes.get(p).exists(pMax => from.getOrElse(p, 0L) < pMax)
       }
       if (gatedByParent) None

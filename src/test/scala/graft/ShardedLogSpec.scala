@@ -114,6 +114,36 @@ class ShardedLogSpec extends SparkSpec {
       s"child admitted at batch $firstChild before parent drained at $lastParent")
   }
 
+  test("merge reshard: a child with TWO declared parents waits for BOTH to drain") {
+    val root = tmpRoot()
+    // p1 drains in 2 batches, p2 in 4 (maxFilesPerTrigger=1): the merged
+    // child must wait for the SLOWER parent — gating on just one parent
+    // (the pre-r4 declareParent) would admit it at batch 3
+    (1 to 2).foreach(i => ShardedLog.append(root, "p1", i, Seq(s"p1-$i")))
+    (1 to 4).foreach(i => ShardedLog.append(root, "p2", i, Seq(s"p2-$i")))
+    ShardedLog.declareParents(root, "m", Seq("p1", "p2"))
+    ShardedLog.append(root, "m", 1, Seq("m1"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format(ShardedLog.Format)
+      .option("path", root.toString).option("maxFilesPerTrigger", "1")
+      .load().writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val shards = df.select($"shard").collect().map(_.getString(0))
+        seen.synchronized { shards.foreach(s => seen += id -> s) }
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.count(_._2 == "p1") === 2, "all p1 records delivered")
+    assert(seen.count(_._2 == "p2") === 4, "all p2 records delivered")
+    assert(seen.count(_._2 == "m") === 1, "merged child delivered (no loss)")
+    val lastParent = seen.filter(r => r._2 == "p1" || r._2 == "p2").map(_._1).max
+    val firstChild = seen.filter(_._2 == "m").map(_._1).min
+    assert(lastParent < firstChild,
+      s"merge child admitted at batch $firstChild before both parents drained at $lastParent")
+  }
+
   test("Trigger.AvailableNow drains everything in rate-limited batches, then stops") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpRoot()
