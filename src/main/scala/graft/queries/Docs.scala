@@ -509,6 +509,35 @@ object Docs {
         .orderBy($"lang")
     },
 
+    // ---- d23: the kept corpus as a WRITTEN ARTIFACT, not just a
+    // decision — d13's cluster representatives are materialized to
+    // parquet partitioned by lang (the layout a training pipeline ships:
+    // per-language jobs scan only their slice), then read BACK from the
+    // artifact, so the oracle hash-checks the roundtripped files, not an
+    // in-memory plan. The fingerprint is recomputed from the read-back
+    // text: a corrupted/dropped/duplicated row in the write path breaks
+    // the hash. Partition-pruning on the written layout is asserted in
+    // StorageLayoutSpec.
+    GraftQuery.sql("d23_corpus_write",
+      s"""$simCte,
+         |$ccCte
+         |SELECT l.doc_id, nd.lang, md5(nd.norm) AS fp
+         |FROM lab l JOIN nd USING (doc_id)
+         |WHERE l.doc_id = l.cluster_id ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"lang", $"text")
+      val pairs = jaccardEdges(s, dir).select($"a_id", $"b_id")
+      val labels = graft.operators.DedupClusters.assign(
+        d.select($"doc_id"), pairs)
+      val kept = d.join(labels, "doc_id").filter($"doc_id" === $"cluster_id")
+      val out = java.nio.file.Files.createTempDirectory("graft-d23-").toString
+      kept.select($"doc_id", $"text", $"lang")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .select($"doc_id", $"lang", Text.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d19: Gopher-style document quality gate — the rule-based
     // keep/drop filter every web-scale corpus pass runs (word-count
     // bounds, mean-word-length bounds, symbol density, stopword

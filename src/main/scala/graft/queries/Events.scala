@@ -267,6 +267,74 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // ---- e12: gap-fill with LINEAR interpolation — e11's dense day
+    // spine, but interior gaps take the line between the surrounding
+    // observations instead of carrying the last one forward. Exactness
+    // discipline: interpolated values are emitted as an UNREDUCED exact
+    // rational (num, den) — num = v_prev·(d_next−d) + v_next·(d−d_prev),
+    // den = d_next−d_prev — so the output is all-integer and hash-exact
+    // (engine-native division would diverge in the last ulp). Observed
+    // days are (v, 1); a trailing gap (nothing observed after) falls
+    // back to carry-forward (v_prev, 1). Scale: one shuffle on user_id;
+    // the forward and backward windows reuse the same exchange, and the
+    // spine is generated per user (no calendar cross join).
+    GraftQuery.sql("e12_gap_interpolate",
+      s"""$evCte,
+         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
+         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+         |f AS (SELECT user_id, day, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
+         |    last_value(v IGNORE NULLS) OVER wb AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd,
+         |    first_value(v IGNORE NULLS) OVER wf AS nv
+         |  FROM j
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, day,
+         |  CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+         |  CAST(CASE WHEN v IS NOT NULL THEN v
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE pv * date_diff('day', day, nd) + nv * date_diff('day', pd, day)
+         |       END AS BIGINT) AS num,
+         |  CAST(CASE WHEN v IS NOT NULL OR nv IS NULL THEN 1
+         |       ELSE date_diff('day', pd, nd) END AS BIGINT) AS den
+         |FROM f ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1",
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val wb = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obs = when($"v".isNotNull, struct($"day", $"v"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("p", last(obs, ignoreNulls = true).over(wb))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wf))
+        .select($"user_id", $"day",
+          when($"v".isNotNull, 1L).otherwise(0L).as("observed"),
+          when($"v".isNotNull, $"v")
+            .when($"nx".isNull, $"p.v")
+            .otherwise($"p.v" * datediff($"nx.day", $"day")
+              + $"nx.v" * datediff($"day", $"p.day"))
+            .cast("long").as("num"),
+          when($"v".isNotNull || $"nx".isNull, lit(1))
+            .otherwise(datediff($"nx.day", $"p.day"))
+            .cast("long").as("den"))
+        .orderBy($"user_id", $"day")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

@@ -264,6 +264,54 @@ object Streaming {
         .orderBy($"lang")
     },
 
+    // ---- s10: decontamination ON THE INGEST STREAM — d20's eval-set
+    // 8-gram probe applied as documents arrive, so contaminated docs are
+    // flagged before they ever land in the corpus. The eval side is
+    // static-by-construction (a held-out benchmark set), so it
+    // broadcasts into every micro-batch and the stream side is a
+    // stateless projection + stream-static hash join — no watermark, no
+    // state store growth from the join itself; only the tiny
+    // (doc, eval_doc) pair aggregate is stateful. Same oracle as batch
+    // d20; exact stream/batch parity is asserted in StreamingSpec.
+    GraftQuery.sql("s10_stream_decontaminate",
+      s"""WITH nd AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |s8 AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(toks) - 8, 0) + 1),
+         |    i -> array_to_string(toks[i+1:i+8], ' '))) AS sh FROM tk)
+         |SELECT c.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs
+         |FROM s8 c JOIN s8 e ON e.doc_id < 25 AND c.doc_id >= 25
+         |  AND len(list_intersect(c.sh, e.sh)) > 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // static (batch) eval side: hashed 8-grams of the held-out docs
+      val evalGrams = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 25)
+        .select(explode(Text.hashed(Text.wordShingles($"text", 8))).as("g"),
+          $"doc_id".as("eval_id"))
+      // the corpus arrives on the stream across several micro-batches
+      val rows = Tables.load(s, dir, "documents")
+        .filter($"doc_id" >= 25)
+        .select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      val in = MemoryStream[(Long, String)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val pairs = in.toDF().toDF("doc_id", "text")
+        .select($"doc_id", explode(Text.hashed(Text.wordShingles($"text", 8))).as("g"))
+        .join(broadcast(evalGrams), "g")
+        // streaming forbids countDistinct: group to distinct (doc, eval)
+        // pairs on the stream, count them per doc after the drain
+        .groupBy($"doc_id", $"eval_id")
+        .agg(count(lit(1)).as("n_hits"))
+      drainToTable(s, pairs, "complete")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_eval_docs"))
+        .orderBy($"doc_id")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

@@ -49,6 +49,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("s10 streamed decontamination equals batch d20 exactly (sf0.001)") {
+    // the stream-side 8-gram probe must flag the same (doc, count) set
+    // as the batch operator — contamination decisions can't depend on
+    // how the corpus was micro-batched
+    val streamed = SparkEntry.queries("s10_stream_decontaminate")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("d20_decontaminate")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("native codegen expressions run under streaming execution: minhash/simhash parity") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
