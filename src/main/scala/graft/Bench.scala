@@ -35,20 +35,35 @@ object Bench {
       }
     }
     val gc0 = gcMillis
+    // Median-of-N per query (default 3): a single-shot in-suite number
+    // can swing 5x under co-tenant load (r3's d20 artifact: 20.9 s
+    // recorded vs 3.7 s isolated), so the recorded figure is the median
+    // and the min/max band is published alongside as the noise bound.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // free caches a query may have persisted so later timings are clean
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // free caches a query may have persisted so later timings are clean
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.4f"
+    val med = results.view.mapValues(ts => ts(ts.length / 2)).toMap
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMin = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.head) }
+      .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.last) }
+      .mkString("{", ",", "}")
+    val total = if (med.nonEmpty) med.values.sum else 0.0
     val gcSec = (gcMillis - gc0) / 1e3
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"reps":$reps,"gc_sec":$gcSec,"sf":"$sfDir"}"""
     println(json)
     // stdout goes through sbt's [info] prefix, which can defeat a
     // line-oriented JSON parse downstream — drop a clean copy on disk too
