@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64, WinnowFingerprints}
+import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64, SortedIntersectCount, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,14 +32,16 @@ object GraftFunctions {
     "simhash64" -> { args => SimHash64(args(0)) },
     // winnow(text, k, w) — k/w must be literals.
     "winnow" -> { args =>
-      WinnowFingerprints(args(0), litInt(args(1), "k"), litInt(args(2), "w")) }
+      WinnowFingerprints(args(0), litInt(args(1), "k"), litInt(args(2), "w")) },
+    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) }
   )
 
   private val exprClass: Map[String, String] = Map(
     "vec_dot" -> classOf[FloatVecDot].getName,
     "minhash_sig" -> classOf[MinHashSig].getName,
     "simhash64" -> classOf[SimHash64].getName,
-    "winnow" -> classOf[WinnowFingerprints].getName)
+    "winnow" -> classOf[WinnowFingerprints].getName,
+    "sorted_intersect_count" -> classOf[SortedIntersectCount].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */

@@ -18,22 +18,40 @@ import org.apache.spark.sql.functions._
   *     un-indexed tail of nearly every document.
   *   - length filter: J(A,B) >= t forces t*|A| <= |B| <= |A|/t; applied
   *     inside the candidate join before any pair materializes.
+  *   - positional filter (PPJoin, Xiao et al. WWW'08): a candidate from
+  *     prefix token at positions (i, j) can overlap at most
+  *     1 + min(|A|-i, |B|-j); J >= t needs overlap >= t/(1+t)*(|A|+|B|),
+  *     so pairs whose bound falls short are pruned BEFORE the verify
+  *     shuffle. Lossless: for a qualifying pair the first shared token
+  *     in the global order satisfies the bound (the tokens before it on
+  *     each side are disjoint by construction).
   *   - verify: exact Jaccard runs only on surviving candidates, joining
   *     the full sets back by id — the full sets cross the wire once per
-  *     candidate, never per bucket row.
+  *     candidate, never per bucket row. The intersection size is the
+  *     native sorted-merge expression (sets are sorted once at the
+  *     scan), NOT array_intersect: the built-in allocates a hash set and
+  *     a result array per pair, which the r4 sf1 scaling run measured as
+  *     the whole operator's cost on a low-entropy corpus whose candidate
+  *     count grows quadratically. |A∪B| = |A|+|B|−|A∩B| — no union
+  *     materialization either.
   *
   * Execution shape: every set is collapsed ONCE to its 8-byte xxhash64
-  * token ids — the frequency aggregate, prefix window, candidate join
-  * AND the verify intersection all run on long arrays, so shingle
-  * STRINGS never leave the scan projection (a 64-bit collision between
-  * two distinct corpus shingles could in principle perturb a count; at
-  * ~1e-7 for millions of distinct shingles this is far below any
-  * operational concern — set sizes and intersections over distinct
+  * token ids, sorted ascending — the frequency aggregate, prefix window,
+  * candidate join AND the verify merge all run on long arrays, so
+  * shingle STRINGS never leave the scan projection (a 64-bit collision
+  * between two distinct corpus shingles could in principle perturb a
+  * count; at ~1e-7 for millions of distinct shingles this is far below
+  * any operational concern — set sizes and intersections over distinct
   * hashes equal those over the strings). The hashed-set table and the
   * prefix table are persisted: each feeds two plan branches, which
   * would otherwise re-run the upstream shingle pipeline per branch.
   */
 object SimilarityJoin {
+
+  /** Broadcast the hashed-set table into the verify join while it's
+    * under this many documents (~hundreds of MB of packed longs for
+    * shingle-sized sets — comfortably executor-resident). */
+  val BroadcastSetRows = 200000L
 
   /** All pairs (a_id < b_id) with Jaccard(sh_a, sh_b) >= threshold.
     *
@@ -44,9 +62,10 @@ object SimilarityJoin {
     val spark = sets.sparkSession
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
+    graft.functions.GraftFunctions.register(spark) // standalone-safe
 
     val sized = sets.select(col(idCol).as("id"),
-        transform(col(setCol), x => xxhash64(x)).as("hset"))
+        array_sort(transform(col(setCol), x => xxhash64(x))).as("hset"))
       .withColumn("n", size($"hset"))
       .persist() // feeds the token pipeline AND both verify branches
     val toks = sized.select($"id", $"n", explode($"hset").as("g"))
@@ -59,28 +78,46 @@ object SimilarityJoin {
     val prefix = toks.join(freq, "g")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 1)
-      .select($"g", $"id", $"n")
+      .select($"g", $"id", $"n", $"rn")
       .persist() // both sides of the candidate self-join
 
-    // candidate pairs: prefix-bucket join + length filter, deduped by a
-    // partial aggregate BEFORE any verify work
-    val l = prefix.select($"g", $"id".as("a_id"), $"n".as("na"))
-    val r = prefix.select($"g", $"id".as("b_id"), $"n".as("nb"))
+    // candidate pairs: prefix-bucket join + length filter + positional
+    // overlap bound, deduped by a partial aggregate BEFORE verify work
+    val l = prefix.select($"g", $"id".as("a_id"), $"n".as("na"), $"rn".as("ra"))
+    val r = prefix.select($"g", $"id".as("b_id"), $"n".as("nb"), $"rn".as("rb"))
     val candidates = l.join(r, "g")
       .filter($"a_id" < $"b_id")
       .filter($"nb" >= ceil(lit(threshold) * $"na") && $"nb" <= floor($"na" / threshold))
+      // PPJoin positional filter: best-possible overlap from this shared
+      // token's positions must still reach the J>=t overlap requirement
+      .filter(lit(1) + least($"na" - $"ra", $"nb" - $"rb") >=
+        ceil(lit(threshold / (1.0 + threshold)) * ($"na" + $"nb")))
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_shared_prefix"))
 
-    // verify: exact Jaccard on candidates only (hashed sets — counts
-    // over distinct hashes equal counts over the strings)
+    // verify: exact Jaccard on candidates only — one allocation-free
+    // sorted-merge per pair (hashed sets — counts over distinct hashes
+    // equal counts over the strings). Join shape matters here: a shuffle
+    // join would move the FULL token array once per candidate pair
+    // (pair-multiplicity amplification — ~22 GB at the r4 sf1 probe's
+    // 9.2M candidates), where broadcasting the per-doc set table moves
+    // it once per executor and the candidates stream through two
+    // map-side hash joins. The set table is docs×tokens — far smaller
+    // than the corpus text and independent of the candidate count — so
+    // broadcast is the right shape well past this scale; the row-count
+    // guard falls back to the shuffle join for corpora whose set table
+    // outgrows executor memory (at which point candidates dwarf it
+    // anyway and partition-aligned storage is the lever).
     val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
     val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
+    val (ja, jb) =
+      if (sized.count() <= BroadcastSetRows) (broadcast(a), broadcast(b))
+      else (a, b)
     candidates
-      .join(a, "a_id").join(b, "b_id")
-      .withColumn("jaccard",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b")).cast("double"))
+      .join(ja, "a_id").join(jb, "b_id")
+      .withColumn("c", call_function("sorted_intersect_count", $"sh_a", $"sh_b"))
+      .withColumn("jaccard", $"c".cast("double") /
+        (size($"sh_a").cast("long") + size($"sh_b") - $"c").cast("double"))
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"jaccard")
   }

@@ -64,6 +64,44 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("recall-vs-probe curve: IVF recall rises monotonically with nprobe (artifact)") {
+    import graft.operators.AnnIvf
+    // The tuning story a real user needs: each nprobe step scans
+    // nprobe/16 of the corpus, so this curve IS the recall-vs-cost
+    // tradeoff. Asserted monotone (more probes can only add candidates,
+    // and candidate cosines are exact, so recall cannot drop); the
+    // measured points are published to ANN_CURVE.md.
+    val exact = topk("d10_ann_topk")
+    val nv = Tables.load(spark, Sf0001, "embeddings")
+    import spark.implicits._
+    val queries = nv.filter($"vec_id" < 10)
+    val points = Seq(1, 2, 4, 8).map { nprobe =>
+      val got = AnnIvf.search(spark, nv, queries,
+          numClusters = 16, nprobe = nprobe, k = 5)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recalls = exact.map { case (q, ex) =>
+        ex.count(got.getOrElse(q, Set.empty)) / ex.size.toDouble
+      }
+      nprobe -> recalls.sum / recalls.size
+    }
+    points.sliding(2).foreach { case Seq((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall dropped from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+    }
+    assert(points.last._2 >= 0.9,
+      s"nprobe=8/16 (half the corpus) should be near-exact, got ${points.last._2}")
+    val md = new StringBuilder(
+      "# ANN recall-vs-probe curve (IVF, C=16, k=5, sf0.001)\n\n" +
+        "Measured by AnnSpec against the exact brute-force top-k (d10).\n" +
+        "Cost column = fraction of the corpus scanned per query.\n\n" +
+        "| nprobe | corpus scanned | mean recall@5 |\n| --- | --- | --- |\n")
+    points.foreach { case (p, r) =>
+      md.append(f"| $p | ${p / 16.0 * 100}%.0f%% | $r%.2f |\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("ANN_CURVE.md"), md.toString)
+  }
+
   test("d16 LSH: locality property on constructed vectors") {
     import spark.implicits._
     import graft.operators.AnnLsh
