@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{FloatVecDot, MinHashSig, SimHash64, SortedIntersectCount, WinnowFingerprints}
+import graft.functions.expressions.{FloatVecDot, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -33,7 +33,9 @@ object GraftFunctions {
     // winnow(text, k, w) — k/w must be literals.
     "winnow" -> { args =>
       WinnowFingerprints(args(0), litInt(args(1), "k"), litInt(args(2), "w")) },
-    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) }
+    "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
+    // shingle_hashes(normalizedText, k) — k must be a literal.
+    "shingle_hashes" -> { args => ShingleHashes(args(0), litInt(args(1), "k")) }
   )
 
   private val exprClass: Map[String, String] = Map(
@@ -41,7 +43,8 @@ object GraftFunctions {
     "minhash_sig" -> classOf[MinHashSig].getName,
     "simhash64" -> classOf[SimHash64].getName,
     "winnow" -> classOf[WinnowFingerprints].getName,
-    "sorted_intersect_count" -> classOf[SortedIntersectCount].getName)
+    "sorted_intersect_count" -> classOf[SortedIntersectCount].getName,
+    "shingle_hashes" -> classOf[ShingleHashes].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */

@@ -47,6 +47,19 @@ object Text {
     * input representation for minhash_sig / simhash64. */
   def hashed(arr: Column): Column = transform(arr, x => xxhash64(x))
 
+  /** Sorted distinct xxhash64 values of the word k-shingles — value-
+    * identical to `hashed(wordShingles(text, k))` (same seed-42 hash of
+    * the same shingle strings) but computed by the single-pass native
+    * expression instead of interpreted HOF lambdas that materialize
+    * every shingle string (the dominant scan cost of the r4 sf1 run).
+    * Use this wherever only the hashes are needed (the whole near-dup
+    * family); `wordShingles` remains for callers that need the strings. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function("shingle_hashes", normalize(text), lit(k))
+  }
+
   /** Punctuation character count on normalized text. */
   def punctCount(text: Column): Column =
     length(regexp_replace(normalize(text), "[a-z0-9 ]", "")).cast("long")

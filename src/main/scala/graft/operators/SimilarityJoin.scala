@@ -55,7 +55,11 @@ object SimilarityJoin {
 
   /** All pairs (a_id < b_id) with Jaccard(sh_a, sh_b) >= threshold.
     *
-    * @param sets  (id, set) rows; `set` is an array of distinct tokens
+    * @param sets  (id, set) rows; `set` is an array of distinct string
+    *              tokens, OR an `array<bigint>` of already-hashed tokens
+    *              sorted ascending and duplicate-free (the contract
+    *              `Text.shingleHashes` produces) — the hashed form skips
+    *              the per-row hash+sort here
     * @return (a_id, b_id, jaccard) — jaccard exact, unrounded */
   def jaccard(sets: DataFrame, idCol: String, setCol: String,
               threshold: Double): DataFrame = {
@@ -64,8 +68,15 @@ object SimilarityJoin {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
     graft.functions.GraftFunctions.register(spark) // standalone-safe
 
-    val sized = sets.select(col(idCol).as("id"),
-        array_sort(transform(col(setCol), x => xxhash64(x))).as("hset"))
+    val preHashed = sets.schema(setCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val hsetCol =
+      if (preHashed) col(setCol)
+      else array_sort(transform(col(setCol), x => xxhash64(x)))
+    val sized = sets.select(col(idCol).as("id"), hsetCol.as("hset"))
       .withColumn("n", size($"hset"))
       .persist() // feeds the token pipeline AND both verify branches
     val toks = sized.select($"id", $"n", explode($"hset").as("g"))

@@ -78,16 +78,19 @@ object Docs {
     * scale; standard LSH skew control is to drop them. */
   private val MaxBucket = 1000L
 
-  /** doc_id → distinct word-3-shingle set (the unit of Jaccard).
-    * Repartitioned first: the local corpus is one parquet split, which
-    * would serialize the shingle+signature computation on a single core
-    * (on a cluster the scan arrives pre-split; the repartition then
-    * just rebalances). */
+  /** doc_id → sorted distinct xxhash64'd word-3-shingle set (the unit
+    * of Jaccard — counts over distinct hashes equal counts over the
+    * strings, and every consumer only needs counts or join keys, so the
+    * single-pass native expression replaces the interpreted build of
+    * every shingle string). Repartitioned first: the local corpus is
+    * one parquet split, which would serialize the shingle+signature
+    * computation on a single core (on a cluster the scan arrives
+    * pre-split; the repartition then just rebalances). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = s.conf.get("spark.sql.shuffle.partitions").toInt
     docs(s, dir).repartition(p)
-      .select($"doc_id", Text.wordShingles($"text", ShingleK).as("sh"))
+      .select($"doc_id", Text.shingleHashes($"text", ShingleK).as("sh"))
   }
 
   /** MinHash-LSH candidate pairs: sig → band hashes → bucket self-join.
@@ -97,7 +100,7 @@ object Docs {
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sig = shingleSets(s, dir).select($"doc_id",
-      call_function("minhash_sig", Text.hashed($"sh"),
+      call_function("minhash_sig", $"sh",
         lit(MinhashPerms), lit(MinhashSeed)).as("sig"))
     val bandCols = (0 until MinhashBands).map { b =>
       hash(slice($"sig", b * MinhashRows + 1, MinhashRows)).cast("long")
@@ -264,7 +267,7 @@ object Docs {
     GraftQuery.rowsOnly("d7_dedup_simhash") { (s, dir) =>
       import s.implicits._
       val sims = shingleSets(s, dir).select($"doc_id",
-        call_function("simhash64", Text.hashed($"sh")).as("sim"))
+        call_function("simhash64", $"sh").as("sim"))
       val bandCols = (0 until 8).map { i =>
         shiftright($"sim", i * 8).bitwiseAND(lit(0xffL))
       }
@@ -311,9 +314,11 @@ object Docs {
       val b = sets.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
       minhashCandidates(s, dir)
         .join(a, "a_id").join(b, "b_id")
-        .withColumn("jaccard",
-          size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-            size(array_union($"sh_a", $"sh_b")).cast("double"))
+        // sorted-merge count on the sorted hashed sets (same refine math
+        // as SimilarityJoin's verify): |A∪B| = |A|+|B|−|A∩B|
+        .withColumn("c", call_function("sorted_intersect_count", $"sh_a", $"sh_b"))
+        .withColumn("jaccard", $"c".cast("double") /
+          (size($"sh_a").cast("long") + size($"sh_b") - $"c").cast("double"))
         .filter($"jaccard" >= 0.5)
         .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a_id", $"b_id")
@@ -599,9 +604,10 @@ object Docs {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       // join key = xxhash64 of the 8-gram: the broadcast table carries
       // 8-byte keys instead of ~50-byte strings (counts over distinct
-      // hashes equal counts over strings sans a ~2^-64 collision)
+      // hashes equal counts over strings sans a ~2^-64 collision);
+      // native single-pass shingle hashing — no shingle strings built
       val sh8 = docs(s, dir).repartition(p)
-        .select($"doc_id", Text.hashed(Text.wordShingles($"text", 8)).as("sh"))
+        .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
       val evalGrams = sh8.filter($"doc_id" < 25)
         .select(explode($"sh").as("g"), $"doc_id".as("eval_id"))
       sh8.filter($"doc_id" >= 25)

@@ -290,7 +290,7 @@ object Streaming {
       // static (batch) eval side: hashed 8-grams of the held-out docs
       val evalGrams = Tables.load(s, dir, "documents")
         .filter($"doc_id" < 25)
-        .select(explode(Text.hashed(Text.wordShingles($"text", 8))).as("g"),
+        .select(explode(Text.shingleHashes($"text", 8)).as("g"),
           $"doc_id".as("eval_id"))
       // the corpus arrives on the stream across several micro-batches
       val rows = Tables.load(s, dir, "documents")
@@ -300,7 +300,7 @@ object Streaming {
       val in = MemoryStream[(Long, String)](s)
       rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val pairs = in.toDF().toDF("doc_id", "text")
-        .select($"doc_id", explode(Text.hashed(Text.wordShingles($"text", 8))).as("g"))
+        .select($"doc_id", explode(Text.shingleHashes($"text", 8)).as("g"))
         .join(broadcast(evalGrams), "g")
         // streaming forbids countDistinct: group to distinct (doc, eval)
         // pairs on the stream, count them per doc after the drain

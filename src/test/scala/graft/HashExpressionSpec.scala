@@ -97,6 +97,42 @@ class HashExpressionSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hashes is bit-identical to the composed HOF pipeline, sorted distinct") {
+    import spark.implicits._
+    import graft.functions.Text
+    // value identity is the load-bearing property: every near-dup
+    // artifact hash (d6/d7/d8/d18/d20) must be unchanged by swapping in
+    // the native expression. Fixtures cover: normal text, duplicates
+    // (identical shingles), doc shorter than k, single word, messy
+    // whitespace (normalize runs inside both paths), multi-byte UTF-8.
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",
+      "one two",
+      "word",
+      "  spaced   out\ttext\nhere  ",
+      "héllo wörld häufig wörld häufig wörld")
+    for (k <- Seq(2, 3, 8)) {
+      val df = docs.toDF("text").select(
+        Text.shingleHashes($"text", k).as("fast"),
+        array_sort(Text.hashed(Text.wordShingles($"text", k))).as("ref"))
+      df.collect().zip(docs).foreach { case (r, d) =>
+        val fast = r.getSeq[Long](0)
+        assert(fast === r.getSeq[Long](1), s"mismatch for k=$k doc='$d'")
+        assert(fast === fast.sorted && fast.distinct === fast,
+          s"not sorted-distinct for k=$k doc='$d'")
+      }
+    }
+    // sorted_intersect_count on two shingle sets == array_intersect size
+    val pair = Seq(("x y z w v", "x y z q r")).toDF("a", "b").select(
+      call_function("sorted_intersect_count",
+        Text.shingleHashes($"a", 2), Text.shingleHashes($"b", 2)).as("c"),
+      size(array_intersect(
+        Text.hashed(Text.wordShingles($"a", 2)),
+        Text.hashed(Text.wordShingles($"b", 2)))).as("ref")).head()
+    assert(pair.getLong(0) === pair.getInt(1).toLong)
+  }
+
   test("vec_dot algebra: commutative, distributes over concatenated segments") {
     import spark.implicits._
     val gen = Gen.zip(
