@@ -35,7 +35,9 @@ object GraftFunctions {
       WinnowFingerprints(args(0), litInt(args(1), "k"), litInt(args(2), "w")) },
     "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
     // shingle_hashes(normalizedText, k) — k must be a literal.
-    "shingle_hashes" -> { args => ShingleHashes(args(0), litInt(args(1), "k")) }
+    "shingle_hashes" -> { args => ShingleHashes(args(0), litInt(args(1), "k")) },
+    "shingle_hashes_all" -> { args =>
+      ShingleHashes(args(0), litInt(args(1), "k"), distinct = false) }
   )
 
   private val exprClass: Map[String, String] = Map(
@@ -44,7 +46,8 @@ object GraftFunctions {
     "simhash64" -> classOf[SimHash64].getName,
     "winnow" -> classOf[WinnowFingerprints].getName,
     "sorted_intersect_count" -> classOf[SortedIntersectCount].getName,
-    "shingle_hashes" -> classOf[ShingleHashes].getName)
+    "shingle_hashes" -> classOf[ShingleHashes].getName,
+    "shingle_hashes_all" -> classOf[ShingleHashes].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */

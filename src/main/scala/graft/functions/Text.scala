@@ -60,6 +60,15 @@ object Text {
     call_function("shingle_hashes", normalize(text), lit(k))
   }
 
+  /** Every k-shingle hash in document order, duplicates kept — the
+    * multiset twin of [[shingleHashes]] for per-gram counting
+    * (repetition statistics). Same value identity guarantee. */
+  def shingleHashesAll(text: Column, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function("shingle_hashes_all", normalize(text), lit(k))
+  }
+
   /** Punctuation character count on normalized text. */
   def punctCount(text: Column): Column =
     length(regexp_replace(normalize(text), "[a-z0-9 ]", "")).cast("long")

@@ -32,7 +32,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * string, matching `slice`'s partial-shingle behavior.
   */
 object Shingle {
+  /** Sorted distinct window hashes (the set form — Jaccard family). */
   def hashes(s: UTF8String, k: Int): Array[Long] = {
+    val hs = allHashes(s, k)
+    java.util.Arrays.sort(hs)
+    var out = 1
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == hs.length) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
+  /** Every window hash in document order, duplicates kept (the
+    * multiset form — repetition statistics need per-gram counts). */
+  def allHashes(s: UTF8String, k: Int): Array[Long] = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val len = s.numBytes()
@@ -66,22 +81,18 @@ object Shingle {
       hs(i) = XXH64.hashUnsafeBytes(base, off + from, until - from, 42L)
       i += 1
     }
-    java.util.Arrays.sort(hs)
-    // adjacent dedupe on the sorted array
-    var out = 1
-    i = 1
-    while (i < m) {
-      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
-      i += 1
-    }
-    if (out == m) hs else java.util.Arrays.copyOf(hs, out)
+    hs
   }
 }
 
-/** `shingle_hashes(normalizedText, k)` — see [[Shingle]]. Single-pass
-  * body invoked from codegen via the standard eval bridge; everything
-  * downstream (explode, joins, sorted-merge verify) stays codegen'd. */
-case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+/** `shingle_hashes(normalizedText, k)` (distinct = the sorted set form)
+  * / `shingle_hashes_all(normalizedText, k)` (every window in document
+  * order, duplicates kept — repetition stats count per-gram
+  * occurrences) — see [[Shingle]]. Single-pass body invoked from
+  * codegen via the standard eval bridge; everything downstream
+  * (explode, joins, sorted-merge verify) stays codegen'd. */
+case class ShingleHashes(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(k > 0, "shingle k must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -89,17 +100,22 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, got $t")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "shingle_hashes" else "shingle_hashes_all"
 
-  override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Shingle.hashes(input.asInstanceOf[UTF8String], k))
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    new GenericArrayData(
+      if (distinct) Shingle.hashes(s, k) else Shingle.allHashes(s, k))
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
       val cls = classOf[Shingle.type].getName.stripSuffix("$")
+      val fn = if (distinct) "hashes" else "allHashes"
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  $cls.hashes($in, $k));
+         |  $cls.$fn($in, $k));
        """.stripMargin
     })
 

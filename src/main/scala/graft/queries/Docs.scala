@@ -668,11 +668,11 @@ object Docs {
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val toks = Text.tokens($"text")
       docs(s, dir).repartition(p) // the local corpus arrives as ONE split
-        .select($"doc_id", explode(transform(
-          sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("g"))
+        // multiset form: every bigram occurrence, hashed natively in one
+        // pass (the composed transform/slice/concat_ws pipeline was
+        // interpreted per element — 18x at the sf1 scale)
+        .select($"doc_id", explode(Text.shingleHashesAll($"text", 2)).as("g"))
         .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
         .groupBy($"doc_id")
         .agg(max($"c").as("top_bigram_n"),

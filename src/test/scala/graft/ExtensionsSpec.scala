@@ -31,6 +31,12 @@ class ExtensionsSpec extends SparkSpec {
       val sig = injected.sql("SELECT size(minhash_sig(array(CAST(7 AS BIGINT)), 16, 42)) AS n")
         .collect()(0).getInt(0)
       assert(sig === 16)
+      // the r4 additions ride the same registration list
+      val sic = injected.sql(
+        "SELECT sorted_intersect_count(shingle_hashes('a b c d', 2), " +
+          "shingle_hashes('a b c e', 2)) AS c")
+        .collect()(0).getLong(0)
+      assert(sic === 2L) // shared 2-shingles: "a b", "b c"
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

@@ -123,6 +123,20 @@ class HashExpressionSpec extends SparkSpec {
           s"not sorted-distinct for k=$k doc='$d'")
       }
     }
+    // the multiset form must equal the composed per-window pipeline
+    // d22 used (order and duplicates preserved)
+    for (k <- Seq(2, 3)) {
+      val df2 = docs.toDF("text").select(
+        Text.shingleHashesAll($"text", k).as("fast"),
+        transform(
+          sequence(lit(0), greatest(size(Text.tokens($"text")) - k, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(Text.tokens($"text"), i + 1, lit(k))))
+        ).as("ref"))
+      df2.collect().zip(docs).foreach { case (r, d) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"multiset mismatch for k=$k doc='$d'")
+      }
+    }
     // sorted_intersect_count on two shingle sets == array_intersect size
     val pair = Seq(("x y z w v", "x y z q r")).toDF("a", "b").select(
       call_function("sorted_intersect_count",
