@@ -618,6 +618,50 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d24: contamination FRACTION — the complementary
+    // decontamination policy to d20's eval-doc count: for each corpus
+    // document, how many of ITS distinct 8-grams appear anywhere in the
+    // eval set (the overlap-fraction threshold rule used by
+    // published LM decontamination pipelines). Integer signals only
+    // (n_grams, n_hit, and a 10%-threshold flag via cross-
+    // multiplication) so the oracle is hash-exact. Scale shape: same as
+    // d20 — distinct eval grams broadcast, corpus side one scan +
+    // map-side probe; n_grams rides the explode so no second scan or
+    // rejoin of the corpus.
+    GraftQuery.sql("d24_contamination_frac",
+      s"""WITH nd AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |s8 AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(toks) - 8, 0) + 1),
+         |    i -> array_to_string(toks[i+1:i+8], ' '))) AS sh FROM tk),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s8 WHERE doc_id < 25),
+         |cg AS (SELECT doc_id, unnest(sh) AS g FROM s8 WHERE doc_id >= 25),
+         |hit AS (SELECT cg.doc_id, count(*) AS n_grams, count(ev.g) AS n_hit
+         |  FROM cg LEFT JOIN ev ON cg.g = ev.g GROUP BY cg.doc_id)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN 10 * n_hit >= n_grams THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM hit ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sh8 = docs(s, dir).repartition(p)
+        .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
+      val evalGrams = sh8.filter($"doc_id" < 25)
+        .select(explode($"sh").as("g")).distinct()
+      // every corpus doc reported, zero-hit included: n_grams = distinct
+      // 8-grams (sh is distinct, so one exploded row each), n_hit = rows
+      // that matched an eval gram in the broadcast left join.
+      sh8.filter($"doc_id" >= 25)
+        .select($"doc_id", explode($"sh").as("g"))
+        .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), count($"hit").as("n_hit"))
+        .select($"doc_id", $"n_grams", $"n_hit",
+          ($"n_hit" * 10 >= $"n_grams").cast("long").as("flagged"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d21: training-sequence chunking — split each document's token
     // stream into fixed 128-token windows with a 16-token stride overlap
     // (the pack-into-context-length step before tokenizer batching).
