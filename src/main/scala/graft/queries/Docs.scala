@@ -725,6 +725,65 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d25: corpus vocabulary statistics (tokenizer-training prep):
+    // per-term total frequency, document frequency, language spread;
+    // top-50 by tf with the term as total-order tiebreaker. Scale shape:
+    // classic word count — the pre-aggregate on (term, lang, doc_id)
+    // map-side-combines within-document repeats, so the first exchange
+    // carries distinct (doc, term) pairs, not every token occurrence;
+    // the final top-k is a TakeOrdered, no global sort.
+    GraftQuery.sql("d25_vocab_stats",
+      s"""$normCte
+         |, tok AS (SELECT doc_id, lang,
+         |    unnest(string_split(norm, ' ')) AS term FROM nd)
+         |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM tok GROUP BY term
+         |ORDER BY tf DESC, term LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      docs(s, dir).repartition(p) // the local corpus arrives as ONE split
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"term", $"lang", $"doc_id").agg(count(lit(1)).as("c"))
+        .groupBy($"term")
+        .agg(sum($"c").as("tf"), count(lit(1)).as("df"),
+          countDistinct($"lang").as("n_langs"))
+        .orderBy($"tf".desc, $"term")
+        .limit(50)
+    },
+
+    // ---- d26: corpus composition report (training-mix bookkeeping):
+    // per (source, lang) document counts, exact-duplicate share (docs
+    // whose content fingerprint appears more than once corpus-wide),
+    // token and char totals. Scale shape: the duplicate count reuses
+    // d1's fingerprint aggregation — both exchanges are keyed on the
+    // 128-bit fp with integer payloads; text never crosses the wire.
+    GraftQuery.sql("d26_source_mix",
+      s"""WITH fp AS (SELECT doc_id, source, lang, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+         |dup AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(fp.toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(fp.n_chars) AS BIGINT) AS n_chars
+         |FROM fp JOIN dup USING (f)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fp = docs(s, dir)
+        .select($"source", $"lang", $"n_chars",
+          Text.fingerprint($"text").as("f"),
+          Text.wsTokenCount($"text").as("toks"))
+      val dup = fp.groupBy($"f").agg(count(lit(1)).as("n"))
+      fp.join(dup, "f")
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"n_chars").as("n_chars"))
+        .orderBy($"source", $"lang")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
