@@ -784,6 +784,187 @@ object Docs {
         .orderBy($"source", $"lang")
     },
 
+    // ---- d27: exact-substring duplication (the ExactSubstr policy of
+    // Lee et al. 2022, window-hash form): for every document, how many
+    // of its 16-token windows (every position, duplicates kept) also
+    // appear in at least one OTHER document — the signal behind
+    // "trim or drop documents with long spans copied elsewhere". The
+    // 20% flag uses cross-multiplication so every emitted value is an
+    // integer and the oracle is hash-exact. Scale shape: windows
+    // collapse to 8-byte xxhash64s at the scan (shingle_hashes_all —
+    // counts over hashes equal counts over strings sans a ~2^-64
+    // collision); the document-frequency aggregate and the join-back
+    // both shuffle (long, long) pairs with map-side partial aggregation;
+    // window text never crosses an exchange.
+    GraftQuery.sql("d27_substring_dup",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |w AS (SELECT doc_id, array_to_string(toks[i+1:i+16], ' ') AS g
+         |  FROM tk, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 15, 1))) AS i)),
+         |dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM w GROUP BY g)
+         |SELECT w.doc_id, COUNT(*) AS n_windows,
+         |  CAST(SUM(CASE WHEN dfq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+         |  CAST(CASE WHEN 5 * SUM(CASE WHEN dfq.ndocs >= 2 THEN 1 ELSE 0 END) >= COUNT(*)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM w JOIN dfq USING (g)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val w = docs(s, dir).repartition(p)
+        .select($"doc_id", explode(Text.shingleHashesAll($"text", 16)).as("g"))
+        .persist()
+      // document frequency per window hash; only the (tiny) shared tail
+      // survives the filter, so the join-back probe side is small
+      val dup = w.groupBy($"g").agg(countDistinct($"doc_id").as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"g", lit(1).as("dup"))
+      w.join(dup, Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_windows"), count($"dup").as("n_dup_windows"))
+        .select($"doc_id", $"n_windows", $"n_dup_windows",
+          ($"n_dup_windows" * 5 >= $"n_windows").cast("long").as("flagged"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d28: kNN label propagation over embeddings — the semantic
+    // quality/domain classifier step of a curation pipeline: docs with
+    // vec_id < 20 are treated as unlabeled and receive the majority
+    // label of their 10 nearest labeled neighbors by cosine. Both
+    // tie-breaks are total orders ((cos desc, neighbor_id) for the
+    // neighbor set, (votes desc, label) for the vote), so the output is
+    // deterministic and integer-only. Scale shape: same block-parallel
+    // brute-force pairing as d10 (queries broadcast against the
+    // labeled corpus, per-query top-k via window) — swap in the d11 IVF
+    // probe for corpora where the full scan is too hot.
+    GraftQuery.sql("d28_knn_label",
+      s"""$nvCte,
+         |pr AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM nv q JOIN nv c ON c.vec_id >= 20
+         |  WHERE q.vec_id < 20),
+         |rk AS (SELECT q_id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pr),
+         |vt AS (SELECT q_id, label, COUNT(*) AS n_votes
+         |  FROM rk WHERE rk <= 10 GROUP BY q_id, label),
+         |wn AS (SELECT q_id, label, n_votes,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+         |  FROM vt)
+         |SELECT q_id, CAST(label AS BIGINT) AS pred_label, n_votes
+         |FROM wn WHERE vr = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val nv = embs(s, dir)
+        .select($"vec_id", $"embedding", $"label", Vectors.norm($"embedding").as("nrm"))
+      val q = nv.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("eq"), $"nrm".as("nq"))
+      val c = nv.filter($"vec_id" >= 20)
+        .select($"vec_id".as("n_id"), $"embedding".as("ec"), $"nrm".as("nc"), $"label")
+        .repartition(p)
+      val wNbr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      val wVote = Window.partitionBy($"q_id").orderBy($"n_votes".desc, $"label")
+      broadcast(q).join(c)
+        .withColumn("cos", Vectors.cosineWithNorms($"eq", $"ec", $"nq", $"nc"))
+        .withColumn("rk", row_number().over(wNbr))
+        .filter($"rk" <= 10)
+        .groupBy($"q_id", $"label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter($"vr" === 1)
+        .select($"q_id", $"label".cast("long").as("pred_label"), $"n_votes")
+        .orderBy($"q_id")
+    },
+
+    // ---- d29: BM25 keyword retrieval (k1=1.2, b=0.75) — the lexical
+    // search half of a curation/retrieval stack: top-15 documents for a
+    // fixed 3-term query. All float math is an identically-shaped chain
+    // of IEEE double ops on both engines (every input CAST to DOUBLE
+    // before any division), the per-doc term sum goes through exact
+    // DECIMAL accumulation so addition order can't perturb it, and the
+    // ranking orders by the ROUNDED score so both engines rank the same
+    // values. Scale shape: tf is a word-count-style partial aggregate
+    // over only the query terms (the IN filter prunes at the scan); the
+    // 3-row df side and the scalar (N, avgdl) stats broadcast; the
+    // top-15 is a TakeOrdered, no global sort.
+    GraftQuery.sql("d29_bm25",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+         |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  WHERE term IN ('data', 'query', 'stream') GROUP BY doc_id, term),
+         |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    ln(1 + (CAST(st.n - dfr.df AS DOUBLE) + 0.5) / (CAST(dfr.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (1 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)) AS sco
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |ag AS (SELECT doc_id,
+         |    ROUND(CAST(SUM(CAST(sco AS DECIMAL(30,12))) AS DOUBLE), 6) AS score
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, score FROM ag ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("data", "query", "stream")
+      val toks = docs(s, dir).select($"doc_id", Text.tokens($"text").as("toks"))
+      val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.select($"doc_id", explode($"toks").as("term"))
+        .filter($"term".isin(terms: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val sco = tf.join(broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .join(broadcast(st))
+        .withColumn("sco",
+          log(lit(1) + (($"n" - $"df").cast("double") + 0.5) / ($"df".cast("double") + 0.5))
+            * ($"tf".cast("double") * 2.2)
+            / ($"tf".cast("double")
+               + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * $"dl".cast("double") / $"avgdl")))
+      sco.groupBy($"doc_id")
+        .agg(round(sum($"sco".cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double"), 6).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(15)
+    },
+
+    // ---- d30: training-sequence packing (concat-and-chunk, the
+    // GPT-style packing step): documents are concatenated in doc_id
+    // order WITHIN each (source, lang) shard and split at a 256-token
+    // context budget; each doc reports its start offset in the shard's
+    // token stream and the chunk window(s) it spans. All integer math.
+    // Scale shape: one token-count scan, then a single window cumsum
+    // partitioned by (source, lang) — the shard key is exactly what a
+    // 1000-executor packing job parallelizes on, so no global sort and
+    // no single-partition window.
+    GraftQuery.sql("d30_pack_sequences",
+      s"""$normCte,
+         |tc AS (SELECT doc_id, source, lang, len(string_split(norm, ' ')) AS n_tok FROM nd),
+         |pk AS (SELECT doc_id, source, lang, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         |  FROM tc)
+         |SELECT doc_id, source, lang, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(tok_start // 256 AS BIGINT) AS first_chunk,
+         |  CAST((tok_start + n_tok - 1) // 256 AS BIGINT) AS last_chunk,
+         |  CAST((tok_start + n_tok - 1) // 256 - tok_start // 256 + 1 AS BIGINT) AS n_chunks
+         |FROM pk ORDER BY source, lang, doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wPack = Window.partitionBy($"source", $"lang").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select($"doc_id", $"source", $"lang",
+          size(Text.tokens($"text")).cast("long").as("n_tok"))
+        .withColumn("tok_start", coalesce(sum($"n_tok").over(wPack), lit(0L)))
+        .withColumn("first_chunk", expr("tok_start DIV 256"))
+        .withColumn("last_chunk", expr("(tok_start + n_tok - 1) DIV 256"))
+        .withColumn("n_chunks", $"last_chunk" - $"first_chunk" + 1L)
+        .orderBy($"source", $"lang", $"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
