@@ -312,6 +312,60 @@ object Streaming {
         .orderBy($"doc_id")
     },
 
+    // ---- s11: near-dup gate ON THE INGEST STREAM — d6's MinHash-LSH
+    // band probe applied as documents arrive, against a STATIC already-
+    // ingested reference corpus: an incoming doc that shares any LSH
+    // band bucket with a reference doc is flagged as a near-dup
+    // candidate before it lands. The reference band table is built once
+    // (batch side, degenerate buckets wider than the d6 cap dropped —
+    // boilerplate bands carry no near-dup signal and would fan a single
+    // stream row into thousands of pairs); the stream side is a
+    // stateless projection (shingle→signature→band hashes) + a
+    // stream-static equi-join on the 12-byte (band_idx, band_hash) key,
+    // so there is no watermark and no state growth from the join; only
+    // the tiny (doc, ref) pair aggregate is stateful. Probabilistic
+    // (LSH), so rows-only: exact stream/batch parity is asserted in
+    // StreamingSpec against the identically-parameterized batch plan.
+    GraftQuery.rowsOnly("s11_stream_neardup_gate") { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val (perms, bands, rows, seed) = (64, 16, 4, 42L)
+      val maxBucket = 1000L
+      def bandHashes(df: DataFrame): DataFrame = {
+        val sig = df.select($"doc_id",
+          call_function("minhash_sig", Text.shingleHashes($"text", 3),
+            lit(perms), lit(seed)).as("sig"))
+        val bandCols = (0 until bands).map { b =>
+          hash(slice($"sig", b * rows + 1, rows)).cast("long")
+        }
+        sig.select($"doc_id", posexplode(array(bandCols: _*)))
+          .toDF("doc_id", "band_idx", "band_hash")
+      }
+      val refBands = bandHashes(
+        Tables.load(s, dir, "documents").filter($"doc_id" < 250))
+        .withColumnRenamed("doc_id", "ref_id")
+        .persist()
+      val keptBuckets = refBands.groupBy($"band_idx", $"band_hash")
+        .agg(count(lit(1)).as("bn")).filter($"bn" <= maxBucket)
+        .select($"band_idx", $"band_hash")
+      val ref = refBands.join(keptBuckets, Seq("band_idx", "band_hash"))
+      val docRows = Tables.load(s, dir, "documents")
+        .filter($"doc_id" >= 250)
+        .select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      val in = MemoryStream[(Long, String)](s)
+      docRows.grouped(math.max(1, docRows.size / 4)).foreach(in.addData(_))
+      val pairs = bandHashes(in.toDF().toDF("doc_id", "text"))
+        .join(ref, Seq("band_idx", "band_hash"))
+        .groupBy($"doc_id", $"ref_id")
+        .agg(count(lit(1)).as("n_bands"))
+      drainToTable(s, pairs, "complete")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_ref_candidates"))
+        .orderBy($"doc_id")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

@@ -188,4 +188,51 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.load(spark, Sf0001, "documents").count()
     assert(total === docs)
   }
+
+  test("d27 substring-dup equals a driver-side window-hash recomputation") {
+    import spark.implicits._
+    // independent reimplementation: Scala-collections 16-token windows
+    // over normalized text, cross-doc frequency, same 20% flag
+    val raw = Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val windows: Map[Long, Seq[Seq[String]]] = raw.map { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      val n = math.max(toks.length - 15, 1)
+      id -> (0 until n).map(i => toks.slice(i, i + 16))
+    }.toMap
+    val docFreq = windows.toSeq
+      .flatMap { case (id, ws) => ws.distinct.map(w => w -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val expected = windows.map { case (id, ws) =>
+      val nDup = ws.count(w => docFreq(w) >= 2)
+      id -> ((ws.size.toLong, nDup.toLong, if (5 * nDup >= ws.size) 1L else 0L))
+    }
+    val got = SparkEntry.queries("d27_substring_dup")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    // exact-dup twins (d1) must be fully duplicated and flagged
+    assert(expected.values.exists(_._3 == 1L), "corpus has no flagged doc — spec is vacuous")
+  }
+
+  test("d30 packing equals a driver-side per-shard cumulative recomputation") {
+    import spark.implicits._
+    val raw = Tables.load(spark, Sf0001, "documents")
+      .select($"source", $"lang", $"doc_id", $"text")
+      .as[(String, String, Long, String)].collect()
+    val expected = raw.groupBy(t => (t._1, t._2)).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(_._3).map { case (_, _, id, text) =>
+        val n = text.toLowerCase.trim.split("\\s+").length.toLong
+        val start = cum; cum += n
+        val first = start / 256; val last = (start + n - 1) / 256
+        id -> ((n, start, first, last, last - first + 1))
+      }.toSeq
+    }.toMap
+    val got = SparkEntry.queries("d30_pack_sequences")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(got === expected)
+  }
 }

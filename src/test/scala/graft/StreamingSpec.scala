@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("s11 streamed near-dup gate equals the identically-parameterized batch plan (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    // the LSH band probe must flag the same (incoming doc → n reference
+    // candidates) set however the stream was micro-batched: the gate is
+    // a stream-static join, so its output is a pure function of the data
+    val streamed = SparkEntry.queries("s11_stream_neardup_gate")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "gate found no candidates — harness split broken")
+    // batch twin, same params as the query (64 perms, 16x4 bands, k=3)
+    def bandHashes(df: org.apache.spark.sql.DataFrame) = {
+      val sig = df.select($"doc_id",
+        call_function("minhash_sig", Text.shingleHashes($"text", 3),
+          lit(64), lit(42L)).as("sig"))
+      val bandCols = (0 until 16).map(b => hash(slice($"sig", b * 4 + 1, 4)).cast("long"))
+      sig.select($"doc_id", posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band_idx", "band_hash")
+    }
+    val all = Tables.load(spark, Sf0001, "documents")
+    val ref = bandHashes(all.filter($"doc_id" < 250)).withColumnRenamed("doc_id", "ref_id")
+    val batch = bandHashes(all.filter($"doc_id" >= 250))
+      .join(ref, Seq("band_idx", "band_hash"))
+      .groupBy($"doc_id").agg(countDistinct($"ref_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("native codegen expressions run under streaming execution: minhash/simhash parity") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
