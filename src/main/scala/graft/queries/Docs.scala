@@ -906,26 +906,47 @@ object Docs {
          |  FROM sc GROUP BY doc_id)
          |SELECT doc_id, score FROM ag ORDER BY score DESC, doc_id LIMIT 15""".stripMargin) { (s, dir) =>
       import s.implicits._
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DecimalType
       val terms = Seq("data", "query", "stream")
-      val toks = docs(s, dir).select($"doc_id", Text.tokens($"text").as("toks"))
-      val dl = toks.select($"doc_id", size($"toks").cast("long").as("dl"))
-      val st = dl.agg(count(lit(1)).as("n"),
-        (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
-      val tf = toks.select($"doc_id", explode($"toks").as("term"))
-        .filter($"term".isin(terms: _*))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dfr = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val sco = tf.join(broadcast(dfr), "term")
-        .join(dl, "doc_id")
-        .join(broadcast(st))
-        .withColumn("sco",
-          log(lit(1) + (($"n" - $"df").cast("double") + 0.5) / ($"df".cast("double") + 0.5))
-            * ($"tf".cast("double") * 2.2)
-            / ($"tf".cast("double")
-               + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * $"dl".cast("double") / $"avgdl")))
-      sco.groupBy($"doc_id")
-        .agg(round(sum($"sco".cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-          .cast("double"), 6).as("score"))
+      // ONE corpus scan: per-doc token length + a tf column per query
+      // term via conditional aggregation over the exploded tokens (the
+      // naive tf/df/dl-as-separate-joins shape re-scans and re-tokenizes
+      // the corpus four times — this is the difference between 1x and 4x
+      // the 100 TB read). Term count is query-sized (tiny), so the wide
+      // form costs |terms| longs per doc.
+      // persisted: both the scalar-stats branch and the scoring branch
+      // read it — without the pin the corpus would be scanned (and
+      // re-tokenized) twice. The cached relation is 1 row × 4 longs per
+      // doc, negligible next to the text it replaces.
+      val perDoc = docs(s, dir)
+        .select($"doc_id", explode_outer(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("dl"),
+          terms.map(t => sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+        .persist()
+      // scalar corpus stats (N, avgdl, per-term df) in one tiny agg row,
+      // broadcast back — identical arithmetic shape to the oracle's CTEs
+      val st = perDoc.agg(
+        count(lit(1)).as("n"),
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl") +:
+          terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+      def bm25(tf: Column, df: Column, dl: Column, n: Column, avgdl: Column): Column =
+        when(tf > 0,
+          log(lit(1) + ((n - df).cast("double") + 0.5) / (df.cast("double") + 0.5))
+            * (tf.cast("double") * 2.2)
+            / (tf.cast("double")
+               + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * dl.cast("double") / avgdl)))
+          .otherwise(lit(0.0))
+      // per-term doubles are bit-identical to the oracle's; the cross-
+      // term sum goes through exact DECIMAL so order can't perturb it
+      val score = terms
+        .map(t => bm25(col(s"tf_$t"), col(s"df_$t"), $"dl", $"n", $"avgdl")
+          .cast(DecimalType(30, 12)))
+        .reduce(_ + _)
+      perDoc.join(broadcast(st))
+        .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .select($"doc_id", round(score.cast("double"), 6).as("score"))
         .orderBy($"score".desc, $"doc_id")
         .limit(15)
     },
