@@ -986,6 +986,41 @@ object Docs {
         .orderBy($"source", $"lang", $"doc_id")
     },
 
+    // ---- d31: equal-token mixture planning (the UniMax-style sampling
+    // schedule): per source, how many EPOCHS (full repeats) are needed
+    // to bring it up to the largest source's token count, capped at 4 —
+    // the training-mix step that decides how often each corpus shard is
+    // repeated in an epoch-balanced schedule. Epochs are exact integer
+    // ceil-division ((max + n − 1) div n), so the oracle is hash-exact.
+    // Scale shape: one scan with a partial-aggregated per-source rollup
+    // (sources are few), a 1-row max broadcast back — no second pass
+    // over text.
+    GraftQuery.sql("d31_mix_epochs",
+      s"""WITH fp AS (SELECT source,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+         |src AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens FROM fp GROUP BY source),
+         |mx AS (SELECT MAX(n_tokens) AS max_tok FROM src)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(LEAST((max_tok + n_tokens - 1) // n_tokens, 4) AS BIGINT) AS n_epochs,
+         |  CAST(CASE WHEN (max_tok + n_tokens - 1) // n_tokens > 4
+         |    THEN 1 ELSE 0 END AS BIGINT) AS capped
+         |FROM src CROSS JOIN mx ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = docs(s, dir)
+        .select($"source", Text.wsTokenCount($"text").as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+        .persist() // two readers: the per-source rows and the 1-row max
+      val mx = src.agg(max($"n_tokens").as("max_tok"))
+      src.join(broadcast(mx))
+        .withColumn("raw_epochs", expr("(max_tok + n_tokens - 1) DIV n_tokens"))
+        .select($"source", $"n_docs", $"n_tokens",
+          least($"raw_epochs", lit(4L)).as("n_epochs"),
+          ($"raw_epochs" > 4L).cast("long").as("capped"))
+        .orderBy($"source")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

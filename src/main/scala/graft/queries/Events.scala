@@ -335,6 +335,53 @@ object Events {
         .orderBy($"user_id", $"day")
     },
 
+    // ---- e13: gap-fill with a CENTERED ROLLING MEAN — e11's dense day
+    // spine, but each day reports the mean of the OBSERVED values within
+    // ±3 days (the smoothing/denoising resample used before sequence
+    // models, vs e11's carry-forward and e12's line). Exactness
+    // discipline as e12: the mean is emitted as the exact rational
+    // (window sum, window observed-count) so the output is all-integer
+    // and hash-exact; days with no observation within ±3 days emit
+    // (0, 0). Scale: the dense spine makes the ±3-day window a ±3 ROWS
+    // frame, so both aggregates ride the SAME user_id exchange as the
+    // spine join — one shuffle total.
+    GraftQuery.sql("e13_gap_fill_mean",
+      s"""$evCte,
+         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
+         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+         |f AS (SELECT user_id, day,
+         |    CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         |    COALESCE(SUM(v) OVER wc, 0) AS num,
+         |    COUNT(v) OVER wc AS den
+         |  FROM j
+         |  WINDOW wc AS (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |SELECT user_id, day, CAST(observed AS BIGINT) AS observed,
+         |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
+         |FROM f ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("v"))
+      val spine = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1",
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val wc = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(-3, 3)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day",
+          when($"v".isNotNull, 1L).otherwise(0L).as("observed"),
+          coalesce(sum($"v").over(wc), lit(0L)).cast("long").as("num"),
+          count($"v").over(wc).cast("long").as("den"))
+        .orderBy($"user_id", $"day")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before
