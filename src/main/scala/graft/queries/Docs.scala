@@ -1021,6 +1021,90 @@ object Docs {
         .orderBy($"source")
     },
 
+    // ---- d32: per-source frequency-cap sampling (the "domain cap" /
+    // anti-over-representation step of a corpus rebalance): keep at most
+    // K docs per source, chosen by a DETERMINISTIC pseudo-random order —
+    // md5 of the doc id — so the sample is reproducible across runs,
+    // engines, and partitionings (seeded-rng samplers are not).
+    // Scale shape: a naive row_number per source is one window sort per
+    // source — a straggler when one source holds half the corpus. Here
+    // selection is two-level: each of 32 salt cells takes its LOCAL
+    // top-K by hash order (partial, map-side-friendly, bounded output
+    // 32·K per source), and the global top-K per source is picked from
+    // those ≤32·K survivors. Same answer by construction (the global
+    // top-K is contained in the union of per-cell top-Ks), but the big
+    // sort never happens: the heavy window runs inside (source, salt)
+    // cells and the final window sees only survivors.
+    GraftQuery.sql("d32_source_cap",
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 15 ORDER BY source, sample_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val K = 15
+      val cells = 32
+      val keyed = docs(s, dir).select($"doc_id", $"source",
+        md5($"doc_id".cast("string").cast("binary")).as("hkey"),
+        pmod(xxhash64($"doc_id"), lit(cells)).as("salt"))
+      val wCell = Window.partitionBy($"source", $"salt").orderBy($"hkey", $"doc_id")
+      val wSrc = Window.partitionBy($"source").orderBy($"hkey", $"doc_id")
+      keyed
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter($"cell_rank" <= K)
+        .withColumn("sample_rank", row_number().over(wSrc).cast("long"))
+        .filter($"sample_rank" <= K)
+        .select($"doc_id", $"source", $"sample_rank")
+        .orderBy($"source", $"sample_rank")
+    },
+
+    // ---- d33: temperature-sampled mixture weights (the multilingual /
+    // multi-source sampling-temperature step: p_i ∝ n_i^(1/T) with
+    // 1/T = 0.5, i.e. sqrt scaling — upweights small sources without
+    // letting them dominate). sqrt of an exact token count is IEEE-
+    // correctly-rounded on both engines, so the per-source weight
+    // numerators are bit-identical; the cross-source normalizer goes
+    // through exact DECIMAL accumulation so summation order can't
+    // perturb it (the d29 pattern).
+    // Scale shape: one corpus scan with partial-aggregated per-source
+    // rollup, a 1-row total broadcast back — the only full-data pass is
+    // the token count.
+    GraftQuery.sql("d33_temperature_mix",
+      """WITH fp AS (SELECT source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+        |src AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens FROM fp GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+        |    SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12))) AS tot_sqrt
+        |  FROM src)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE), 6) AS w_prop,
+        |  ROUND(CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12)) AS DOUBLE)
+        |        / CAST(tot_sqrt AS DOUBLE), 6) AS w_temp,
+        |  ROUND(CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,12)) AS DOUBLE)
+        |        / CAST(tot_sqrt AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)), 4) AS boost
+        |FROM src CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val src = docs(s, dir)
+        .select($"source", Text.wsTokenCount($"text").as("toks"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"))
+        .persist() // two readers: per-source rows and the 1-row total
+      val sqrtDec = sqrt($"n_tokens".cast("double")).cast(DecimalType(30, 12))
+      val tot = src.agg(sum($"n_tokens").as("tot_tok"), sum(sqrtDec).as("tot_sqrt"))
+      val wProp = $"n_tokens".cast("double") / $"tot_tok".cast("double")
+      val wTemp = sqrtDec.cast("double") / $"tot_sqrt".cast("double")
+      src.join(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          round(wProp, 6).as("w_prop"),
+          round(wTemp, 6).as("w_temp"),
+          round(wTemp / wProp, 4).as("boost"))
+        .orderBy($"source")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
