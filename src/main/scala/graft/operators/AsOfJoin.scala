@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: for every left row, attach the latest right row at or
-  * before the left row's time, per key (SURVEY.md §2.5).
+/** As-of join: for every left row, attach the nearest right row at or
+  * before (backward) or at or after (forward) the left row's time, per
+  * key (SURVEY.md §2.5).
   *
   * Implementation is a tagged union + one running-last window — ONE
   * shuffle on the key, O(n log n) in the partition sort, no range join
@@ -15,31 +16,54 @@ import org.apache.spark.sql.functions._
   * the key and a single ordered pass resolves every lookup.
   *
   * Tie semantics: a right row at exactly the left row's timestamp
-  * matches (as-of "<="). Right rows sort before left rows at equal
-  * timestamps. Among right rows sharing key AND timestamp the winner
-  * is arbitrary (partitioning-dependent) UNLESS a `tiebreaker` column
-  * is supplied — pass one (a sequence number, an ingest id) whenever
-  * the right side can carry same-instant duplicates and you need
-  * run-to-run determinism; the greatest tiebreaker value wins.
+  * matches (as-of "<=" / ">="). Right rows sort before left rows at
+  * equal timestamps. Among right rows sharing key AND timestamp the
+  * winner is arbitrary (partitioning-dependent) UNLESS a `tiebreaker`
+  * column is supplied — pass one (a sequence number, an ingest id)
+  * whenever the right side can carry same-instant duplicates and you
+  * need run-to-run determinism; backward the GREATEST tiebreaker wins
+  * (latest), forward the SMALLEST wins (earliest).
   * The strict-before variant is `graft.queries.Events` e4, which
   * composes the same window with an exclusive frame.
   */
 object AsOfJoin {
 
-  /** @param valueCols  right-side columns to carry (emitted as-is, null
+  /** Latest right row at or before the left row's time.
+    * @param valueCols  right-side columns to carry (emitted as-is, null
     *                   when no right row precedes the left row).
     * @param tiebreaker optional right-side column ordering same-instant
     *                   right duplicates; the greatest value wins. */
   def latestAtOrBefore(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        valueCols: Seq[String],
-                       tiebreaker: Option[String] = None): DataFrame = {
+                       tiebreaker: Option[String] = None): DataFrame =
+    directional(left, right, keys, leftTs, rightTs, valueCols, tiebreaker,
+      forward = false)
+
+  /** Earliest right row at or after the left row's time (the forward
+    * direction: "next reading after this event"). Same single-shuffle
+    * shape; the window simply runs time-descending, so the running-last
+    * pick is the SMALLEST right ts >= the left ts. The smallest
+    * tiebreaker value wins among same-instant right rows. */
+  def earliestAtOrAfter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        valueCols: Seq[String],
+                        tiebreaker: Option[String] = None): DataFrame =
+    directional(left, right, keys, leftTs, rightTs, valueCols, tiebreaker,
+      forward = true)
+
+  private def directional(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTs: String, rightTs: String,
+                          valueCols: Seq[String],
+                          tiebreaker: Option[String],
+                          forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(valueCols.intersect(leftCols).isEmpty,
       s"valueCols ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
     // tagged union: right rows (side=0) sort before left rows (side=1)
-    // at the same instant, so "at or before" includes ties; __tb breaks
-    // same-instant right-vs-right ties deterministically when supplied
+    // at the same instant, so the tie instant is included in BOTH
+    // directions; __tb breaks same-instant right-vs-right ties
+    // deterministically when supplied
     val l = valueCols.foldLeft(
       left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
         .withColumn("__tb",
@@ -55,8 +79,14 @@ object AsOfJoin {
       ++ Seq("__ts", "__side", "__tb")).map(col): _*)
       .unionByName(r.select((keys ++ leftCols.filterNot(keys.contains) ++ valueCols
         ++ Seq("__ts", "__side", "__tb")).map(col): _*))
+    // backward: ascending scan, last-seen right row = latest <= left.
+    // forward: descending scan, last-seen right row = earliest >= left;
+    // __tb descends too so the SMALLEST tiebreaker is scanned last.
+    val ordering: Seq[Column] =
+      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__tb").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__tb").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = valueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

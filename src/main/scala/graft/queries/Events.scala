@@ -382,6 +382,48 @@ object Events {
         .orderBy($"user_id", $"day")
     },
 
+    // ---- e14: FORWARD as-of join with a tolerance band — for every
+    // click, the next purchase at or after it by the same user, kept
+    // only when it lands within 30 minutes (the "time-to-convert"
+    // attachment; e4 is the backward direction). Runs through
+    // operators.AsOfJoin.earliestAtOrAfter: one shuffle on user_id, a
+    // single time-descending window pass — no range join, no per-row
+    // subquery (the oracle's correlated MIN is exactly the shape that
+    // does NOT survive 100 TB). Tiebreaker: same-instant purchases
+    // resolve to the smallest event_id, deterministically.
+    GraftQuery.sql("e14_asof_forward",
+      s"""$evCte,
+         |c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         |m AS (SELECT c.event_id AS click_id, c.user_id, c.ts AS cts,
+         |    (SELECT MIN(p.ts) FROM ev p WHERE p.user_id = c.user_id
+         |       AND p.event_type = 'purchase' AND p.ts >= c.ts) AS pts
+         |  FROM c)
+         |SELECT click_id, user_id, epoch_us(cts) AS click_us,
+         |  CASE WHEN pts IS NOT NULL AND pts <= cts + INTERVAL 30 MINUTE THEN
+         |    (SELECT MIN(p2.event_id) FROM ev p2 WHERE p2.user_id = m.user_id
+         |       AND p2.event_type = 'purchase' AND p2.ts = m.pts) END AS purchase_id,
+         |  CASE WHEN pts IS NOT NULL AND pts <= cts + INTERVAL 30 MINUTE
+         |    THEN epoch_us(pts) END AS purchase_us
+         |FROM m ORDER BY click_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val clicks = ev(s, dir).filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      graft.operators.AsOfJoin.earliestAtOrAfter(
+          clicks, purchases, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "p_ts",
+          valueCols = Seq("purchase_id", "p_ts"),
+          tiebreaker = Some("purchase_id"))
+        .withColumn("in_band",
+          $"p_ts".isNotNull && $"p_ts" <= $"ts" + expr("INTERVAL 30 MINUTES"))
+        .select($"event_id".as("click_id"), $"user_id",
+          unix_micros($"ts").as("click_us"),
+          when($"in_band", $"purchase_id").as("purchase_id"),
+          when($"in_band", unix_micros($"p_ts")).as("purchase_us"))
+        .orderBy($"click_id")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

@@ -48,6 +48,53 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("earliest-at-or-after semantics: forward ties, forward tiebreaker, no-match nulls") {
+    val trades = Seq(
+      (1L, t(10), "T1"), (1L, t(30), "T2"), (2L, t(5), "T3"))
+      .toDF("acct", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, t(10), 100.0, 1L), (1L, t(10), 200.0, 2L), (1L, t(12), 300.0, 3L),
+      (2L, t(4), 50.0, 4L))
+      .toDF("acct", "quote_ts", "px", "seq")
+    (1 to 3).foreach { i =>
+      val joined = AsOfJoin.earliestAtOrAfter(
+        trades, quotes.repartition(i),
+        keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+        valueCols = Seq("px"), tiebreaker = Some("seq"))
+        .select($"trade_id", $"px").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      // tie at t(10) matches (>= semantics) and the SMALLEST seq wins;
+      // T2 has no quote at or after t(30); T3's only quote is before it
+      assert(joined("T1") === Some(100.0), s"repartition($i)")
+      assert(joined("T2") === None, s"repartition($i)")
+      assert(joined("T3") === None, s"repartition($i)")
+    }
+  }
+
+  test("forward agrees with a correlated-lookup truth on real data (sf0.001)") {
+    val ev = Tables.events(spark, Sf0001)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p_us"), $"ts".as("p_ts"))
+
+    val got = AsOfJoin.earliestAtOrAfter(clicks, purchases,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "p_ts",
+      valueCols = Seq("p_us"))
+      .select($"event_id", $"p_us").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val pSeq = purchases.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val truth = clicks.withColumn("us", unix_micros($"ts")).collect().map { r =>
+      val (user, id, us) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val best = pSeq.getOrElse(user, Array.empty[Long]).dropWhile(_ < us).headOption
+      id -> best.getOrElse(-1L)
+    }.toMap
+    assert(got === truth)
+  }
+
   test("agrees with a correlated-lookup truth on real data (sf0.001)") {
     // purchases <- latest click at-or-before, per user
     val ev = Tables.events(spark, Sf0001)
