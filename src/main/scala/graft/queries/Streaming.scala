@@ -366,6 +366,38 @@ object Streaming {
         .orderBy($"doc_id")
     },
 
+    // ---- s12: per-source admission QUOTA on the ingest stream — the
+    // stateful front-door cap (StreamOps.quotaGate): every source
+    // admits its first 15 documents and rejects the rest, the running
+    // count carried in GroupState across the 4 micro-batches. Batches
+    // are fed in doc_id order, so the admitted set is deterministically
+    // "first 15 per source by doc_id" and the DuckDB row_number oracle
+    // hash-checks the drain — including the order-insensitive id
+    // checksum of exactly which docs were admitted.
+    GraftQuery.sql("s12_stream_source_quota",
+      """WITH r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_seen,
+        |  CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(SUM(CASE WHEN rk <= 15 THEN doc_id ELSE 0 END) AS BIGINT) AS admitted_id_sum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docRows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source")
+        .as[StreamOps.QuotaDoc].collect().toSeq.sortBy(_.doc_id)
+      val in = MemoryStream[StreamOps.QuotaDoc](s)
+      docRows.grouped(math.max(1, docRows.size / 4)).foreach(in.addData(_))
+      val gated = StreamOps.quotaGate(in.toDS(), cap = 15L)
+      drainToTable(s, gated.toDF(), "append")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_seen"),
+          sum($"admitted".cast("long")).as("n_admitted"),
+          sum(when($"admitted", $"doc_id").otherwise(0L)).as("admitted_id_sum"))
+        .orderBy($"source")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

@@ -81,6 +81,41 @@ object StreamOps {
       }
   }
 
+  // ---- s12: per-source admission quota ----
+
+  final case class QuotaDoc(doc_id: Long, source: String)
+  final case class QuotaOut(doc_id: Long, source: String,
+                            admit_rank: Long, admitted: Boolean)
+
+  /** s12: stateful per-source admission quota — the ingest-side
+    * "frequency cap" (the streaming twin of d32's batch sampler, and the
+    * per-tenant quota every multi-source ingest front door needs): each
+    * source admits its first `cap` documents and rejects the rest, with
+    * the running count carried in GroupState across micro-batches.
+    * Emits every document with its 1-based per-source arrival rank and
+    * the admit/reject decision, so the drain is exact and auditable
+    * (rejected docs are visible, not silently dropped).
+    *
+    * Determinism: per-source arrival order = (micro-batch order, then
+    * doc_id within the batch) — the iterator is sorted per batch, so a
+    * driver feeding batches in doc_id order gets exactly "first cap by
+    * doc_id" (the s12 oracle). State is one long per source. */
+  def quotaGate(docs: Dataset[QuotaDoc], cap: Long): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            n += 1
+            QuotaOut(d.doc_id, src, n, n <= cap)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization: open sessions live in GroupState and emit
     * when the event-time timeout fires (watermark passed start+gap) — the
     * incremental twin of sessionizeBatch. Events later than the open

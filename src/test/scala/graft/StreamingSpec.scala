@@ -159,6 +159,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((0L, 3L), (120L, 1L)))
   }
 
+  test("s12 quota gate: the admission count survives micro-batch boundaries") {
+    import graft.streaming.StreamOps.QuotaDoc
+    val in = MemoryStream[QuotaDoc](spark)
+    val gated = StreamOps.quotaGate(in.toDS(), cap = 2L)
+
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = gated.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    // batch 1 fills source A's quota of 2; batch 2's A-doc must be
+    // REJECTED (a reset-per-batch counter would admit it) while source
+    // B, first seen in batch 2, still admits.
+    in.addData(QuotaDoc(1, "A"), QuotaDoc(2, "A"))
+    q.processAllAvailable()
+    in.addData(QuotaDoc(3, "A"), QuotaDoc(4, "B"))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map(
+      1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, false), 4L -> (1L, true)))
+  }
+
   test("s6 batch and streaming sessionization agree on real data (sf0.001)") {
     val ev = Tables.events(spark, Sf0001)
       .select($"user_id", $"event_id", $"ts").as[SessEvent]
