@@ -132,4 +132,87 @@ object SimilarityJoin {
       .filter($"jaccard" >= threshold)
       .select($"a_id", $"b_id", $"jaccard")
   }
+
+  /** EXACT set-CONTAINMENT join: all ordered pairs (a, b), a != b, with
+    * |A∩B| / |A| >= threshold — the asymmetric cousin of [[jaccard]]
+    * that catches a document SUBSUMED by a larger one (a quoted page, a
+    * boilerplate-wrapped copy), which symmetric Jaccard misses whenever
+    * |B| >> |A| drags the union down.
+    *
+    * Prefix scheme (containment variant of AllPairs): the required
+    * overlap o = ceil(t·|A|) depends only on the PROBE side, so only A
+    * prefixes (its |A|−o+1 globally-rarest tokens) are probed, but the
+    * index side must carry B's FULL token list — containment places no
+    * upper bound on |B|, so a B-side prefix would lose pairs. Lossless
+    * by pigeonhole: A's un-indexed tail holds o−1 tokens < o, so some
+    * shared token — in particular the globally-rarest shared one — sits
+    * in A's prefix and hits B's full index. The positional filter
+    * 1 + min(|A|−ra, |B|−rb) >= o is safe for the same reason as
+    * PPJoin's: at the first shared token in the global order, everything
+    * earlier on both sides is disjoint.
+    *
+    * Scale shape: the full-index side is the corpus token table — the
+    * SAME linear table the frequency aggregate already scans — keyed on
+    * 8-byte hashes; bucket width per probe token is that token's global
+    * df, and rarest-first prefix ordering makes probed buckets the
+    * narrow ones. Verify is the allocation-free sorted-merge count on
+    * broadcast sets, exactly as in [[jaccard]].
+    *
+    * Pass a threshold exactly representable in binary (0.5, 0.75,
+    * 0.875…) and ceil(t·n) is exact integer math on every engine — the
+    * d34 oracle relies on this.
+    *
+    * @return (a_id, b_id, inter, n_a) — a_id is the contained side;
+    *         containment = inter / n_a, both exact longs. */
+  def containment(sets: DataFrame, idCol: String, setCol: String,
+                  threshold: Double): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
+    graft.functions.GraftFunctions.register(spark) // standalone-safe
+
+    val preHashed = sets.schema(setCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val hsetCol =
+      if (preHashed) col(setCol)
+      else array_sort(transform(col(setCol), x => xxhash64(x)))
+    val sized = sets.select(col(idCol).as("id"), hsetCol.as("hset"))
+      .withColumn("n", size($"hset"))
+      .persist()
+    val toks = sized.select($"id", $"n", explode($"hset").as("g"))
+    val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+
+    // every token ranked in the shared global rarest-first order; the
+    // probe side keeps only A's prefix, the index side keeps everything
+    val w = Window.partitionBy($"id").orderBy($"df", $"g")
+    val ranked = toks.join(freq, "g")
+      .withColumn("rn", row_number().over(w))
+      .persist() // probe and index branches
+    val o = ceil(lit(threshold) * $"na") // required overlap, probe-side only
+    val probe = ranked
+      .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 1)
+      .select($"g", $"id".as("a_id"), $"n".as("na"), $"rn".as("ra"))
+    val index = ranked.select($"g", $"id".as("b_id"), $"n".as("nb"), $"rn".as("rb"))
+    val candidates = probe.join(index, "g")
+      .filter($"a_id" =!= $"b_id")
+      .filter($"nb" >= o) // |B| < o can't hold o shared tokens
+      .filter(lit(1) + least($"na" - $"ra", $"nb" - $"rb") >= o)
+      .groupBy($"a_id", $"b_id")
+      .agg(first($"na").as("na"))
+
+    val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
+    val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
+    val (ja, jb) =
+      if (sized.count() <= BroadcastSetRows) (broadcast(a), broadcast(b))
+      else (a, b)
+    candidates
+      .join(ja, "a_id").join(jb, "b_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_count", $"sh_a", $"sh_b").cast("long"))
+      .filter($"inter" >= ceil(lit(threshold) * $"na"))
+      .select($"a_id", $"b_id", $"inter", $"na".cast("long").as("n_a"))
+  }
 }

@@ -1105,6 +1105,37 @@ object Docs {
         .orderBy($"source")
     },
 
+    // ---- d34: exact set-CONTAINMENT near-dup join — ordered pairs
+    // where |A∩B|/|A| >= 0.75 over word-3-shingle sets: the asymmetric
+    // signal that catches a doc subsumed by a larger one (quoted page,
+    // boilerplate-wrapped copy), which Jaccard misses when |B| >> |A|.
+    // Runs operators.SimilarityJoin.containment (probe-prefix against
+    // the full inverted index, lossless by pigeonhole, spec-proven);
+    // the oracle brute-forces all ordered pairs. 0.75 is exactly
+    // representable in binary so ceil(0.75·n) is exact on both engines.
+    GraftQuery.sql("d34_containment_join",
+      """WITH nd AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents),
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+        |shg AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM tk)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |  CAST(len(a.sh) AS BIGINT) AS n_a,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+        |FROM shg a JOIN shg b ON a.doc_id != b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) >= CEIL(0.75 * len(a.sh))
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      graft.operators.SimilarityJoin.containment(
+          shingleSets(s, dir), "doc_id", "sh", 0.75)
+        .withColumn("containment",
+          round($"inter".cast("double") / $"n_a".cast("double"), 6))
+        .orderBy($"a_id", $"b_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

@@ -107,6 +107,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d34 containment join equals brute-force |A∩B|/|A| >= 0.75 — zero false negatives") {
+    import spark.implicits._
+    val got = SparkEntry.queries("d34_containment_join")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute-force ORDERED-pair truth (containment is asymmetric)
+    val sets = Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", Text.wordShingles($"text", 3).as("sh"))
+    val a = sets.select($"doc_id".as("a_id"), $"sh".as("sh_a"))
+    val b = sets.select($"doc_id".as("b_id"), $"sh".as("sh_b"))
+    val expect = a.join(b, $"a_id" =!= $"b_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        size($"sh_a").cast("long").as("n_a"))
+      .filter($"inter" >= ceil(lit(0.75) * $"n_a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // the probe-prefix-vs-full-index scheme must be LOSSLESS, with
+    // exact integer intersection sizes
+    assert(got.keySet === expect.keySet,
+      s"missed=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
+    expect.foreach { case (p, v) => assert(got(p) === v, s"pair $p") }
+  }
+
   test("d13 cluster assignment equals driver-side union-find over the same edges") {
     val labels = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
