@@ -1136,6 +1136,74 @@ object Docs {
         .orderBy($"a_id", $"b_id")
     },
 
+    // ---- d35: quality-weighted sampling (the DCLM-style resample:
+    // high-quality docs kept outright, lower tiers kept with
+    // probability 1/2 / 1/4) — decided by a DETERMINISTIC hash
+    // threshold, not an RNG: a doc is kept iff the first hex byte of
+    // md5(doc_id) is below the tier's threshold ('80' → p=1/2, '40' →
+    // p=1/4). Lexicographic compare of lowercase hex is byte-identical
+    // on every engine, so the sample is reproducible and the oracle
+    // hash-exact — seeded-rng samplers are neither. Tiers from the d19
+    // integer signals (stopword density). Scale: pure per-row
+    // projection, no shuffle before the output sort.
+    GraftQuery.sql("d35_quality_sample",
+      s"""$normCte
+         |, sig AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |    len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+         |  FROM nd)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN n_stop * 20 >= n_words THEN 0
+         |            WHEN n_stop * 50 >= n_words THEN 1 ELSE 2 END AS BIGINT) AS tier,
+         |  CAST(CASE WHEN n_stop * 20 >= n_words THEN 1
+         |            WHEN n_stop * 50 >= n_words THEN CASE WHEN hb < '80' THEN 1 ELSE 0 END
+         |            ELSE CASE WHEN hb < '40' THEN 1 ELSE 0 END END AS BIGINT) AS kept
+         |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sig = docs(s, dir).select($"doc_id",
+        Text.wsTokenCount($"text").as("n_words"),
+        Text.markerCount($"text", stopwords).as("n_stop"),
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 2).as("hb"))
+      sig.select($"doc_id",
+          when($"n_stop" * 20 >= $"n_words", 0L)
+            .when($"n_stop" * 50 >= $"n_words", 1L).otherwise(2L).as("tier"),
+          when($"n_stop" * 20 >= $"n_words", 1L)
+            .when($"n_stop" * 50 >= $"n_words", ($"hb" < "80").cast("long"))
+            .otherwise(($"hb" < "40").cast("long")).as("kept"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d36: corpus-level adjacent-pair counts — the FIRST MERGE
+    // iteration of BPE tokenizer training: which token bigram is most
+    // frequent across the whole corpus (with multiplicity — BPE counts
+    // occurrences, not documents). Scale shape: the canonical
+    // map-side-combine wordcount — per-partition partial aggregation
+    // collapses each partition to its distinct pairs before the
+    // exchange, the shuffle key cardinality is bounded by the bigram
+    // vocabulary (not the corpus), and the top-20 is a TakeOrdered, no
+    // global sort. Total-order tiebreak (count desc, pair asc) keeps
+    // the cut deterministic.
+    GraftQuery.sql("d36_bpe_pairs",
+      s"""$normCte
+         |, tk AS (SELECT string_split(norm, ' ') AS toks FROM nd),
+         |pr AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair
+         |  FROM tk WHERE len(toks) >= 2)
+         |SELECT pair, COUNT(*) AS n FROM pr
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Text.tokens($"text")
+      docs(s, dir)
+        .filter(size(toks) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

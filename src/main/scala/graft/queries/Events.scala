@@ -424,6 +424,48 @@ object Events {
         .orderBy($"click_id")
     },
 
+    // ---- e15: quantiles via MERGEABLE fixed-bin histograms — per day,
+    // the value distribution collapses to 50 width-10 bin counts and
+    // P50/P95 are read off the cumulative histogram. This is the shape
+    // quantiles take at 100 TB: q20's exact per-group percentile needs
+    // the group's values materialized together (a sort per group),
+    // where a fixed-bin histogram is a constant-size, associatively
+    // MERGEABLE summary — partial-aggregated map-side, mergeable across
+    // days/hosts/reruns — at the cost of bin-width resolution. All the
+    // threshold math is integer (2·cum ≥ n, 20·cum ≥ 19·n), so the
+    // estimates are deterministic and hash-exact.
+    GraftQuery.sql("e15_mergeable_quantiles",
+      s"""$evCte,
+         |b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |cum AS (SELECT day, bin, c,
+         |    SUM(c) OVER (PARTITION BY day ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY day) AS n
+         |  FROM b)
+         |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin * 10 END) AS BIGINT) AS p50_lo,
+         |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin * 10 END) AS BIGINT) AS p95_lo
+         |FROM cum GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val binned = ev(s, dir)
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
+          floor($"value" / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"day").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"day")
+      binned
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"day")
+        .agg(max($"n").as("n"),
+          min(when($"cum" * 2 >= $"n", $"bin" * 10)).as("p50_lo"),
+          min(when($"cum" * 20 >= $"n" * 19, $"bin" * 10)).as("p95_lo"))
+        .orderBy($"day")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

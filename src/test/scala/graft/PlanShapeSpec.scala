@@ -42,4 +42,28 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "hashpartitioning\\(l_partkey".r.findAllIn(p).length
     assert(exchanges <= 1, s"pruned lineitem should shuffle once on l_partkey:\n$p")
   }
+
+  test("e14: the forward as-of join is one key shuffle, no join operator") {
+    val p = plan("e14_asof_forward")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly 1 data shuffle (user_id), got $shuffles:\n$p")
+    assert(!p.contains("Join"), s"the as-of lookup must be a window, not a join:\n$p")
+    assert(p.contains("PushedFilters"), "event_type filters did not reach the scans")
+  }
+
+  test("d32: both rank filters compile to partial-mode WindowGroupLimit") {
+    val p = plan("d32_source_cap")
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    // two logical windows × (partial + final) = 4: each mapper truncates
+    // to its local top-K BEFORE the exchange — the guard against a
+    // one-big-source straggler
+    assert(limits >= 4, s"rank-limit pushdown lost (got $limits WindowGroupLimit):\n$p")
+  }
+
+  test("d34: containment verify joins the set table by broadcast, not shuffle") {
+    val p = plan("d34_containment_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"verify must probe the broadcast set table on both sides (got $broadcasts):\n$p")
+  }
 }
