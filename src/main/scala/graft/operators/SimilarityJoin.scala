@@ -186,16 +186,30 @@ object SimilarityJoin {
     val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
 
     // every token ranked in the shared global rarest-first order; the
-    // probe side keeps only A's prefix, the index side keeps everything
+    // probe side keeps only A's prefix, the index side keeps ALMOST
+    // everything — it may drop each doc's ceil(t·minN)−1 most-frequent
+    // tail positions, because any surviving candidate needs
+    // 1 + (nb − rb) >= o >= ceil(t·minN) at its first-shared token
+    // (which IS in the truncated range: everything earlier on B's side
+    // is disjoint there, so the positional bound holds with the full
+    // overlap). Those tail positions are precisely the globally
+    // commonest tokens — the widest buckets — so the one tiny minN
+    // aggregate buys the biggest index-side skew cut for free, and the
+    // brute-force parity spec proves it stays lossless.
     val w = Window.partitionBy($"id").orderBy($"df", $"g")
     val ranked = toks.join(freq, "g")
       .withColumn("rn", row_number().over(w))
       .persist() // probe and index branches
+    val minRow = sized.agg(min($"n")).head()
+    val minN = if (minRow.isNullAt(0)) 0 else minRow.getInt(0)
+    val oMin = math.ceil(threshold * minN).toLong
     val o = ceil(lit(threshold) * $"na") // required overlap, probe-side only
     val probe = ranked
       .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 1)
       .select($"g", $"id".as("a_id"), $"n".as("na"), $"rn".as("ra"))
-    val index = ranked.select($"g", $"id".as("b_id"), $"n".as("nb"), $"rn".as("rb"))
+    val index = ranked
+      .filter($"rn" <= $"n" - oMin + 1)
+      .select($"g", $"id".as("b_id"), $"n".as("nb"), $"rn".as("rb"))
     val candidates = probe.join(index, "g")
       .filter($"a_id" =!= $"b_id")
       .filter($"nb" >= o) // |B| < o can't hold o shared tokens
