@@ -614,6 +614,83 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"a_key", $"b_key")
         .limit(20)
+    },
+
+    // ---- q33: PageRank over the co-purchase graph — iterative graph
+    // analytics on the q32 edge set (parts co-ordered ≥2 times,
+    // undirected so every node has degree ≥1 and no dangling mass).
+    // Three damped iterations, then top-15 by authority.
+    // Exactness discipline (the d13/d29 combination): per-node
+    // contributions rank/deg are bit-identical doubles on both engines;
+    // the per-target SUM goes through exact DECIMAL so aggregation
+    // order can't perturb it; the damping update is the same
+    // double-op sequence both sides. The oracle unrolls the three
+    // iterations as chained CTEs (recursive SQL forbids aggregation in
+    // the recursive term).
+    // Scale shape: edges and degrees are computed once and persisted
+    // (every iteration re-reads both); each iteration is ONE shuffle —
+    // the contribution aggregate keyed on the destination node (the
+    // rank join rides the same key) — so the whole walk is
+    // 3 × (join + partial-aggregated exchange), never a global
+    // collect; ranks live distributed end to end and only the top-15
+    // TakeOrdered reaches the driver.
+    GraftQuery.sql("q33_item_pagerank", {
+      val prelude =
+        """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+          |deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
+          |nn AS (SELECT COUNT(*) AS n FROM deg),
+          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM deg CROSS JOIN nn)""".stripMargin
+      val iters = (1 to 3).map { k =>
+        s"""c$k AS (SELECT ed.dst AS node,
+           |    CAST(SUM(CAST(r.rank / dg.deg AS DECIMAL(30,15))) AS DOUBLE) AS cont
+           |  FROM ed JOIN r${k - 1} r ON r.node = ed.src
+           |    JOIN deg dg ON dg.node = ed.src
+           |  GROUP BY ed.dst),
+           |r$k AS (SELECT deg.node,
+           |    CAST(0.15 AS DOUBLE) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(c$k.cont, 0) AS rank
+           |  FROM deg CROSS JOIN nn LEFT JOIN c$k ON c$k.node = deg.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      prelude + iters +
+        """
+          |SELECT node, ROUND(rank, 6) AS rank FROM r3
+          |ORDER BY rank DESC, node LIMIT 15""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val a = li.select($"l_orderkey", $"l_partkey".as("a"))
+      val b = li.select($"l_orderkey", $"l_partkey".as("b"))
+      val e0 = a.join(b, Seq("l_orderkey"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
+        .filter($"m" >= 2)
+        .select($"a", $"b")
+      val ed = e0.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
+        .persist() // re-read every iteration
+      val deg = ed.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .persist() // re-read every iteration (contribution + node spine)
+      val n = deg.count()
+      val srcDeg = deg.select($"node".as("src"), $"deg")
+      var rank = deg.select($"node", lit(1.0 / n).as("rank"))
+      for (_ <- 1 to 3) {
+        val cont = ed
+          .join(rank.select($"node".as("src"), $"rank".as("prank")), "src")
+          .join(srcDeg, "src")
+          .groupBy($"dst".as("node"))
+          .agg(sum(($"prank" / $"deg").cast(DecimalType(30, 15)))
+            .cast("double").as("cont"))
+        rank = deg.select($"node")
+          .join(cont, Seq("node"), "left")
+          .select($"node",
+            (lit(0.15 / n) + lit(0.85) * coalesce($"cont", lit(0.0))).as("rank"))
+      }
+      rank.orderBy($"rank".desc, $"node").limit(15)
+        .select($"node", round($"rank", 6).as("rank"))
     }
   )
 }
