@@ -8,17 +8,25 @@ import org.apache.spark.sql.functions._
   * a cluster representative (the minimum doc_id reachable through the
   * similarity graph), and "keep one per cluster" falls out.
   *
-  * Algorithm: iterative min-label propagation (the DataFrame analog of
-  * large-star/small-star): each round joins current labels across edges
-  * and keeps the minimum neighbor label. Rounds needed = graph diameter;
-  * near-dup graphs are overwhelmingly tiny cliques, so convergence is
-  * 2–3 rounds. Each round is two shuffles keyed on doc_id/label — no
-  * driver-side graph, works at any vertex count. The convergence check
-  * is FUSED into the round: the change flag is computed inside the same
-  * projection and counted by the job that materializes the round's
-  * labels, so each round is exactly one Spark job (the previous shape
-  * paid a second full label-self-join job per round just to count
-  * changes).
+  * Algorithm: min-label propagation WITH POINTER JUMPING: each round
+  * every vertex (1) adopts the minimum label among itself and its
+  * neighbors, then (2) follows its provisional label one more hop
+  * (label := label-of-label) — so label paths halve every round and
+  * convergence is O(log diameter) instead of O(diameter): a
+  * 1000-link near-dup chain (boilerplate drift) converges in ~10
+  * rounds, not 1000. Each round is a handful of shuffles keyed on
+  * doc_id/label — no driver-side graph, works at any vertex count.
+  * The convergence check is FUSED into the round: the change flag is
+  * computed inside the same projection and counted by the job that
+  * materializes the round's labels, so each round is exactly one
+  * Spark job.
+  *
+  * Fixpoint correctness: change==0 means every edge has equal labels
+  * on both ends (the neighbor-min step, applied in both edge
+  * directions, is stationary) and the label function is idempotent
+  * (the jump is stationary) — a uniform per-component label that is a
+  * member of the component and can only be its minimum doc_id, since
+  * the minimum never adopts a larger value.
   */
 object DedupClusters {
 
@@ -28,9 +36,9 @@ object DedupClusters {
     * @throws IllegalStateException if the iteration cap is hit before
     *         convergence: returning silently would hand the caller
     *         split clusters (a long near-dup chain would dedup wrong).
-    *         Rounds needed = component diameter, so the default cap of
-    *         10 covers any clique-ish near-dup graph; raise it for
-    *         genuinely chain-shaped graphs. */
+    *         With pointer jumping the default cap of 10 covers
+    *         component diameters into the hundreds; raise it for
+    *         pathological million-link chains. */
   def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -54,15 +62,23 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // each vertex adopts the min label among itself and its neighbors
+      // (1) each vertex adopts the min label among itself and its neighbors
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy($"src".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"),
-          coalesce($"nbr_min" < $"cluster_id", lit(false)).as("chg"))
+      val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id", $"cluster_id".as("old_id"),
+          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("c1"))
+      // (2) pointer jumping: follow the provisional label one more hop
+      // (labels are doc ids, so the hop table is step itself re-keyed);
+      // labels only ever decrease within the component, so the jump is
+      // monotone and safe
+      val hop = step.select($"doc_id".as("hop_key"), $"c1".as("hop_val"))
+      val updated = step.join(hop, step("c1") === hop("hop_key"), "left")
+        .select(step("doc_id"),
+          least($"c1", coalesce($"hop_val", $"c1")).as("cluster_id"),
+          (least($"c1", coalesce($"hop_val", $"c1")) =!= $"old_id").as("chg"))
       changedAcc.reset()
       val enc = org.apache.spark.sql.Encoders.row(updated.schema)
       val next = updated

@@ -153,23 +153,25 @@ class DedupSpec extends SparkSpec {
     labels.values.toSet.foreach { c: Long => assert(labels(c) === c) }
   }
 
-  test("cluster assignment: deep chain converges with a raised cap, throws at the default") {
+  test("cluster assignment: deep chain converges in O(log diameter); cap guard still throws") {
     import spark.implicits._
     import graft.operators.DedupClusters
-    // a 30-vertex path graph: diameter 29 >> the default cap of 10 —
-    // silent truncation here would split one component into several,
-    // which is exactly the wrong-dedup failure the cap guard exists for
-    val n = 30L
+    // a 200-vertex path graph: diameter 199. Plain min-label
+    // propagation would need ~199 rounds; pointer jumping must land it
+    // within the DEFAULT cap of 10 (≈ log2(199) + slack) — this is the
+    // guard that the O(log d) claim stays true.
+    val n = 200L
     val docs = (0L until n).toDF("doc_id")
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val e = intercept[IllegalStateException] {
-      DedupClusters.assign(docs, chain).collect()
-    }
-    assert(e.getMessage.contains("did not converge"))
-    // with enough rounds every vertex must reach label 0
-    val labels = DedupClusters.assign(docs, chain, maxIterations = 35)
+    val labels = DedupClusters.assign(docs, chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L), s"chain not fully labeled: $labels")
+    // the non-convergence guard must still throw rather than silently
+    // split a component when the cap is genuinely too small
+    val e = intercept[IllegalStateException] {
+      DedupClusters.assign(docs, chain, maxIterations = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("d17 dedup corpus: kept+dropped partitions the corpus; kept = one per cluster") {
