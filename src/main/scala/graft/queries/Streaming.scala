@@ -398,6 +398,53 @@ object Streaming {
         .orderBy($"source")
     },
 
+    // ---- s13: the e15 histogram, built INCREMENTALLY on the stream —
+    // the demonstration that a fixed-bin histogram is a mergeable
+    // summary: per-(day, bin) counts aggregate across micro-batches in
+    // complete mode (constant state per day: 50 bins), and the
+    // quantile read-off happens once on the drained summary. Identical
+    // oracle to e15 — if the stream drops, double-counts, or
+    // mis-merges any batch, the quantile thresholds shift and the hash
+    // breaks.
+    GraftQuery.sql("s13_stream_histogram_quantiles",
+      s"""$evCte,
+         |b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |cum AS (SELECT day, bin, c,
+         |    SUM(c) OVER (PARTITION BY day ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY day) AS n
+         |  FROM b)
+         |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
+         |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin * 10 END) AS BIGINT) AS p50_lo,
+         |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin * 10 END) AS BIGINT) AS p95_lo
+         |FROM cum GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      val rows = Tables.events(s, dir)
+        .select($"ts", $"value")
+        .as[(java.sql.Timestamp, Double)].collect().toSeq
+      val in = MemoryStream[(java.sql.Timestamp, Double)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val binned = in.toDF().toDF("ts", "value")
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
+          floor($"value" / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"day").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"day")
+      drainToTable(s, binned, "complete")
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"day")
+        .agg(max($"n").as("n"),
+          min(when($"cum" * 2 >= $"n", $"bin" * 10)).as("p50_lo"),
+          min(when($"cum" * 20 >= $"n" * 19, $"bin" * 10)).as("p95_lo"))
+        .orderBy($"day")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
