@@ -1193,12 +1193,17 @@ object Docs {
          |SELECT pair, COUNT(*) AS n FROM pr
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val toks = Text.tokens($"text")
+      // bind the token array to a column FIRST: referencing
+      // Text.tokens(text) inside the lambda would re-run the whole
+      // split per element_at call — O(tokens²) re-tokenization per doc
+      // (measured 7.3 s at sf0.1; 0.5 s bound)
       docs(s, dir)
-        .filter(size(toks) >= 2)
+        .select(Text.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
         .select(explode(transform(
-          sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))).as("pair"))
+          sequence(lit(0), size($"toks") - 2),
+          i => concat_ws(" ",
+            element_at($"toks", i + 1), element_at($"toks", i + 2)))).as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair")
         .limit(20)
