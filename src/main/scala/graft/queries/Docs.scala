@@ -1209,6 +1209,57 @@ object Docs {
         .limit(20)
     },
 
+    // ---- d37: INCREMENTAL ingest dedup — the daily-batch form of the
+    // dedup matrix (s9 = stream-vs-stream, s11 = stream-vs-static,
+    // d1 = whole-corpus): a new batch of documents checked for exact
+    // duplicates against the already-ingested corpus, each dup pointing
+    // at its earliest existing copy. Scale shape: the existing corpus
+    // collapses to (fingerprint → min doc_id) ONCE — one partial-
+    // aggregated shuffle on the 128-bit fingerprint — and the new batch
+    // left-joins that table on the same key; text never crosses an
+    // exchange on either side.
+    GraftQuery.sql("d37_incremental_dedup",
+      s"""$normCte,
+         |fp AS (SELECT doc_id, md5(norm) AS f FROM nd),
+         |ref AS (SELECT f, MIN(doc_id) AS exact_dup_of FROM fp WHERE doc_id < 250 GROUP BY f),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |shg AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(0, greatest(len(toks) - 3, 0) + 1),
+         |    i -> array_to_string(toks[i+1:i+3], ' '))) AS sh FROM tk),
+         |nr AS (SELECT nw.doc_id, MIN(r.doc_id) AS near_dup_of
+         |  FROM shg nw JOIN shg r ON nw.doc_id >= 250 AND r.doc_id < 250
+         |    AND 3 * len(list_intersect(nw.sh, r.sh)) >= len(nw.sh) + len(r.sh)
+         |  GROUP BY 1)
+         |SELECT n.doc_id,
+         |  CAST(CASE WHEN r.exact_dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+         |  r.exact_dup_of,
+         |  CAST(CASE WHEN nr.near_dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup,
+         |  nr.near_dup_of
+         |FROM fp n LEFT JOIN ref r ON n.f = r.f
+         |  LEFT JOIN nr ON nr.doc_id = n.doc_id
+         |WHERE n.doc_id >= 250 ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val fp = docs(s, dir).select($"doc_id", Text.fingerprint($"text").as("f"))
+      val ref = fp.filter($"doc_id" < 250)
+        .groupBy($"f").agg(min($"doc_id").as("exact_dup_of"))
+      // near-dup side: the shared exact-Jaccard edge engine (persisted
+      // across d13/d17/d23/d37); a_id < b_id always, so cross-boundary
+      // edges are exactly a_id(ref) < 250 <= b_id(new). J >= 0.5 is the
+      // operator's own threshold; the oracle states it integer-exactly
+      // as 3·inter >= |A| + |B|.
+      val near = jaccardEdges(s, dir)
+        .filter($"a_id" < 250 && $"b_id" >= 250)
+        .groupBy($"b_id".as("doc_id"))
+        .agg(min($"a_id").as("near_dup_of"))
+      fp.filter($"doc_id" >= 250)
+        .join(ref, Seq("f"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select($"doc_id",
+          $"exact_dup_of".isNotNull.cast("long").as("is_exact_dup"), $"exact_dup_of",
+          $"near_dup_of".isNotNull.cast("long").as("is_near_dup"), $"near_dup_of")
+        .orderBy($"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

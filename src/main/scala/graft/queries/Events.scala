@@ -466,6 +466,47 @@ object Events {
         .orderBy($"day")
     },
 
+    // ---- e16: OHLC bars — the canonical time-series downsample: per
+    // (user, day), the first/highest/lowest/last observed value with a
+    // deterministic (ts, event_id) total order for open/close. Values
+    // pass through untouched (no arithmetic), so parity is trivial.
+    // Scale shape: both window functions and the final aggregate ride
+    // ONE (user_id, day)-keyed exchange; min/max partial-aggregate
+    // map-side. This is the resample that turns a 100 TB tick stream
+    // into a bar table without ever sorting globally.
+    GraftQuery.sql("e16_ohlc_bars",
+      s"""$evCte,
+         |o AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         |    ROW_NUMBER() OVER w AS rn_open,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+         |      ORDER BY ts DESC, event_id DESC) AS rn_close
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+         |    ORDER BY ts, event_id))
+         |SELECT user_id, day,
+         |  MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+         |  COUNT(*) AS n
+         |FROM o GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val withDay = ev(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"),
+          $"ts", $"event_id", $"value")
+      val wAsc = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+      val wDesc = Window.partitionBy($"user_id", $"day")
+        .orderBy($"ts".desc, $"event_id".desc)
+      withDay
+        .withColumn("rn_open", row_number().over(wAsc))
+        .withColumn("rn_close", row_number().over(wDesc))
+        .groupBy($"user_id", $"day")
+        .agg(max(when($"rn_open" === 1, $"value")).as("open"),
+          max($"value").as("high"), min($"value").as("low"),
+          max(when($"rn_close" === 1, $"value")).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy($"user_id", $"day")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before
