@@ -1260,6 +1260,140 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d38: SEMANTIC dedup (SemDeDup, Abbas et al. 2023): embeddings
+    // whose cosine clears the threshold are near-duplicates even when
+    // they share no n-grams; connected components over those edges give
+    // each vector a cluster representative and "keep one per semantic
+    // cluster" falls out — the third cell of the dedup matrix (exact d1,
+    // lexical-near d6/d18, semantic-near here). Edge generation below is
+    // the exact d9 baseline so the recursive-CTE oracle can check the
+    // whole operator; at 100 TB the edge generator swaps for the IVF/LSH
+    // candidate set (d11/d16) with the identical componentization —
+    // SemDeDup's own formulation clusters first for exactly that reason.
+    GraftQuery.sql("d38_semdedup",
+      s"""WITH RECURSIVE nv AS (SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(len(embedding)),
+         |       i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION ALL SELECT b_id, a_id FROM pr),
+         |reach AS (SELECT vec_id AS a, vec_id AS b FROM nv
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         |lab AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT vec_id, cluster_id,
+         |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM lab ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nv = embs(s, dir)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = nv.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+        .repartition(p)
+      val b = nv.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
+      val edges = a.join(b, $"a_id" < $"b_id")
+        .filter(Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= 0.4)
+        .select($"a_id", $"b_id")
+      graft.operators.DedupClusters.assign(
+          embs(s, dir).select($"vec_id".as("doc_id")), edges)
+        .select($"doc_id".as("vec_id"), $"cluster_id",
+          ($"doc_id" === $"cluster_id").cast("long").as("is_kept"))
+        .orderBy($"vec_id")
+    },
+
+    // ---- d39: per-document top-3 TF-IDF keywords (linear-idf variant:
+    // score = tf/df — same ranking as tf·(N/df) since N is constant, and
+    // unlike log-idf the score needs no transcendental whose last ulp
+    // could differ across engines; IEEE division is correctly rounded,
+    // so the ordering is bit-reproducible). Output is all-integer.
+    // Scale shape: tokens partial-aggregate into (doc, term, tf) — the
+    // only pass over the corpus; df aggregates the tf table (vocabulary-
+    // sized) and joins back ON ITS OWN term partitioning (no extra
+    // exchange); the per-doc top-3 is one window over the doc_id
+    // exchange. No collect, no per-doc sort of the corpus.
+    GraftQuery.sql("d39_tfidf_terms",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |rk AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf / df.df DESC, tf.term) AS rk
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tf = docs(s, dir)
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(($"tf".cast("double") / $"df".cast("double")).desc, $"term")
+      tf.join(df, "term")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"rk")
+        .orderBy($"doc_id", $"rk")
+    },
+
+    // ---- d40: inter-source duplication matrix — the crawl-overlap
+    // report run before mixing corpora: for every source pair, the
+    // near-dup pair count (shared exact-Jaccard edges, reusing the
+    // persisted d18 engine) and the number of exact fingerprints present
+    // in both sources. The exact side counts shared FINGERPRINTS, not
+    // doc pairs: (fp, source) is distinct-ed first, so a fingerprint
+    // duplicated k times across two sources contributes one, and the
+    // per-fp pair fanout is bounded by (#sources choose 2) — a constant,
+    // never quadratic in copies. Scale: both aggregates shuffle on
+    // 8/16-byte keys; the output is #source² rows.
+    GraftQuery.sql("d40_source_overlap",
+      s"""$simCte,
+         |dsrc AS (SELECT doc_id, source FROM documents),
+         |np AS (SELECT least(x.source, y.source) AS source_a,
+         |    greatest(x.source, y.source) AS source_b, COUNT(*) AS n_near_pairs
+         |  FROM pr JOIN dsrc x ON pr.a_id = x.doc_id
+         |    JOIN dsrc y ON pr.b_id = y.doc_id
+         |  WHERE pr.jaccard >= 0.5 AND x.source <> y.source
+         |  GROUP BY 1, 2),
+         |fps AS (SELECT DISTINCT md5(nd.norm) AS f, dsrc.source
+         |  FROM nd JOIN dsrc USING (doc_id)),
+         |xp AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    COUNT(*) AS n_shared_fp
+         |  FROM fps a JOIN fps b ON a.f = b.f AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT COALESCE(np.source_a, xp.source_a) AS source_a,
+         |  COALESCE(np.source_b, xp.source_b) AS source_b,
+         |  CAST(COALESCE(n_near_pairs, 0) AS BIGINT) AS n_near_pairs,
+         |  CAST(COALESCE(n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+         |FROM np FULL OUTER JOIN xp
+         |  ON np.source_a = xp.source_a AND np.source_b = xp.source_b
+         |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = docs(s, dir).select($"doc_id", $"source")
+      val near = jaccardEdges(s, dir)
+        .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+        .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+        .filter($"sa" =!= $"sb")
+        .groupBy(least($"sa", $"sb").as("source_a"),
+          greatest($"sa", $"sb").as("source_b"))
+        .agg(count(lit(1)).as("n_near_pairs"))
+      val fps = docs(s, dir)
+        .select(Text.fingerprint($"text").as("f"), $"source").distinct()
+      val exact = fps.as("a").join(fps.as("b"),
+          $"a.f" === $"b.f" && $"a.source" < $"b.source")
+        .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+      near.join(exact, Seq("source_a", "source_b"), "full_outer")
+        .select($"source_a", $"source_b",
+          coalesce($"n_near_pairs", lit(0L)).as("n_near_pairs"),
+          coalesce($"n_shared_fp", lit(0L)).as("n_shared_fp"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

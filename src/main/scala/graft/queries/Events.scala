@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-time operators (SURVEY.md §2.3) over the `events` table — the
   * batch analogs of the reference's streaming consumers (the streaming
@@ -505,6 +506,45 @@ object Events {
           max(when($"rn_close" === 1, $"value")).as("close"),
           count(lit(1)).as("n"))
         .orderBy($"user_id", $"day")
+    },
+
+    // ---- e17: per-user 3-sigma anomaly flags in EXACT integer algebra.
+    // |v - mean| > 3·sigma_pop is squared and cleared of divisions:
+    //   (n·v - S)² > 9·(n·Q - S²)     with S = Σv, Q = Σv² per user,
+    // so no sqrt, no float compare — the flag is bit-identical across
+    // engines (values scaled to exact integer micros first; the events
+    // generator emits ≤6-decimal values so the DECIMAL(18,6) cast is
+    // exact). Spark carries the big products in DECIMAL(38,0) (max
+    // magnitude ~1e25 at sf1), the oracle in HUGEINT. Scale shape: one
+    // partial-agg shuffle builds the per-user stats, then stats join
+    // back to events — AQE broadcasts the stats side when users ≪
+    // events, so there is no per-user window sort over the fact table.
+    GraftQuery.sql("e17_outlier_events",
+      s"""$evCte,
+         |b AS (SELECT user_id, event_id, value,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS vi FROM ev),
+         |st AS (SELECT user_id, COUNT(*) AS n, SUM(vi) AS s, SUM(vi * vi) AS q
+         |  FROM b GROUP BY user_id)
+         |SELECT b.user_id, b.event_id, b.value, CAST(st.n AS BIGINT) AS n_user_events
+         |FROM b JOIN st USING (user_id)
+         |WHERE (st.n * b.vi - st.s) * (st.n * b.vi - st.s) > 9 * (st.n * st.q - st.s * st.s)
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val b = ev(s, dir).select($"user_id", $"event_id", $"value",
+        ($"value".cast(DecimalType(18, 6)) * 1000000).cast("long").as("vi"))
+      // vi ≤ 5.7e8 so vi² ≤ 3.3e17 stays in LONG; the SUM crosses into
+      // DECIMAL(38,0) (per-user Q reaches ~2e21 at sf1).
+      val st = b.groupBy($"user_id").agg(
+        count(lit(1)).as("n"),
+        sum($"vi").as("s"),
+        sum(($"vi" * $"vi").cast(DecimalType(38, 0))).as("q"))
+      val d = ($"n" * $"vi" - $"s").cast(DecimalType(38, 0))
+      val rhs = $"n".cast(DecimalType(38, 0)) * $"q" -
+        $"s".cast(DecimalType(38, 0)) * $"s".cast(DecimalType(38, 0))
+      b.join(st, "user_id")
+        .filter(d * d > lit(9) * rhs)
+        .select($"user_id", $"event_id", $"value", $"n".as("n_user_events"))
+        .orderBy($"user_id", $"event_id")
     },
 
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
