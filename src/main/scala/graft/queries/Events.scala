@@ -547,6 +547,45 @@ object Events {
         .orderBy($"user_id", $"event_id")
     },
 
+    // ---- e18: RUNNING 3-sigma outliers — e17's test against only the
+    // events BEFORE each event (prefix stats in event-time order), the
+    // batch twin of the online detector s14 runs in per-user state.
+    // Values are exact integer cents (the generator emits 2-decimal
+    // values), so every quantity fits BIGINT on both engines: n·vi ≤
+    // ~4e8 at sf1, squared ~1.4e17 < 2^63. minPrior=30 suppresses the
+    // small-sample noise floor. Scale shape: one (user_id) exchange
+    // carries all three prefix aggregates in a single window pass.
+    GraftQuery.sql("e18_running_outliers",
+      s"""$evCte,
+         |b AS (SELECT user_id, event_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |w AS (SELECT user_id, event_id, value, vi,
+         |    COUNT(*) OVER pre AS n,
+         |    COALESCE(SUM(vi) OVER pre, 0) AS s,
+         |    COALESCE(SUM(vi * vi) OVER pre, 0) AS q
+         |  FROM b
+         |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_prior
+         |FROM w
+         |WHERE n >= 30 AND (n * vi - s) * (n * vi - s) > 9 * (n * q - s * s)
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val b = ev(s, dir).select($"user_id", $"event_id", $"ts", $"value",
+        ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("vi"))
+      val pre = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      b.select($"user_id", $"event_id", $"value", $"vi",
+          count(lit(1)).over(pre).as("n"),
+          coalesce(sum($"vi").over(pre), lit(0L)).as("s"),
+          coalesce(sum($"vi" * $"vi").over(pre), lit(0L)).as("q"))
+        .filter($"n" >= 30 &&
+          ($"n" * $"vi" - $"s") * ($"n" * $"vi" - $"s") >
+            lit(9) * ($"n" * $"q" - $"s" * $"s"))
+        .select($"user_id", $"event_id", $"value", $"n".as("n_prior"))
+        .orderBy($"user_id", $"event_id")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

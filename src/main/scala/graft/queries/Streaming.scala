@@ -445,6 +445,48 @@ object Streaming {
         .orderBy($"day")
     },
 
+    // ---- s14: ONLINE anomaly detection — e18's running 3-sigma test
+    // as a stateful stream op: each user's exact (n, Σv, Σv²) prefix
+    // statistics live in GroupState (three longs per user, constant
+    // size forever) and every arriving event is flagged against the
+    // history SO FAR, then folded in. The harness feeds
+    // event-time-ordered micro-batches (an in-order ingest — the
+    // transport's per-shard resume guarantees order within a shard), so
+    // the drain is bit-identical to e18's batch prefix window: same
+    // integer-cents algebra, same oracle; StreamingSpec asserts the
+    // stream/batch parity row for row.
+    GraftQuery.sql("s14_stream_running_outliers",
+      s"""$evCte,
+         |b AS (SELECT user_id, event_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |w AS (SELECT user_id, event_id, value, vi,
+         |    COUNT(*) OVER pre AS n,
+         |    COALESCE(SUM(vi) OVER pre, 0) AS s,
+         |    COALESCE(SUM(vi * vi) OVER pre, 0) AS q
+         |  FROM b
+         |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_prior
+         |FROM w
+         |WHERE n >= 30 AND (n * vi - s) * (n * vi - s) > 9 * (n * q - s * s)
+         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamOps.StatEvent
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("vi"),
+          $"value")
+        .as[StatEvent]
+        .collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+      val in = MemoryStream[StatEvent](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val flagged = StreamOps.runningOutlierGate(in.toDS(), minPrior = 30L)
+      drainToTable(s, flagged.toDF(), "append")
+        .select($"user_id", $"event_id", $"value", $"n_prior")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

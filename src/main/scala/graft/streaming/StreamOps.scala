@@ -116,6 +116,47 @@ object StreamOps {
       }
   }
 
+  // ---- s14: online 3-sigma anomaly gate ----
+
+  final case class StatEvent(user_id: Long, event_id: Long, tsUs: Long,
+                             vi: Long, value: Double)
+  /** Exact per-user prefix statistics: count, Σv, Σv² in integer cents. */
+  final case class RunStats(n: Long, s: Long, q: Long)
+  final case class OutlierOut(user_id: Long, event_id: Long, value: Double,
+                              n_prior: Long)
+
+  /** s14: streaming anomaly detection — each event is flagged against
+    * the user's history SO FAR, exactly (e18's prefix test online):
+    * (n·v − S)² > 9(nQ − S²) over integer cents, state = one (n, S, Q)
+    * triple per user folded across micro-batches. No sqrt, no float
+    * compare, so the stream is bit-identical to the batch window
+    * formulation whenever batches respect per-user event-time order
+    * (the parity spec's harness feeds time-split batches).
+    *
+    * Long-math bound: with |v| ≤ ~1e6 cents the test stays below 2^63
+    * for per-user histories up to ~1e5 events; promote RunStats to
+    * BigDecimal fields past that regime. minPrior suppresses the
+    * small-sample noise floor (flags only after a real history). */
+  def runningOutlierGate(events: Dataset[StatEvent],
+                         minPrior: Long): Dataset[OutlierOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunStats, OutlierOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[StatEvent], state: GroupState[RunStats]) =>
+          var st = state.getOption.getOrElse(RunStats(0L, 0L, 0L))
+          val out = Seq.newBuilder[OutlierOut]
+          it.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            val d = st.n * e.vi - st.s
+            if (st.n >= minPrior && d * d > 9 * (st.n * st.q - st.s * st.s))
+              out += OutlierOut(user, e.event_id, e.value, st.n)
+            st = RunStats(st.n + 1, st.s + e.vi, st.q + e.vi * e.vi)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming sessionization: open sessions live in GroupState and emit
     * when the event-time timeout fires (watermark passed start+gap) — the
     * incremental twin of sessionizeBatch. Events later than the open

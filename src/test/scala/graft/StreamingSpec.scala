@@ -60,6 +60,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("s14 online outlier gate equals the e18 batch prefix window exactly (sf0.001)") {
+    // the stateful stream folds (n, Σv, Σv²) per user across
+    // micro-batches; with time-ordered ingest the flag set must be
+    // bit-identical to the batch window formulation — state continuity
+    // across the 4 harness batches is exactly what's being proven
+    val streamed = SparkEntry.queries("s14_stream_running_outliers")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val batch = SparkEntry.queries("e18_running_outliers")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(streamed.nonEmpty, "sf0.001 should contain running outliers")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("s11 streamed near-dup gate equals the identically-parameterized batch plan (sf0.001)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
