@@ -1394,6 +1394,91 @@ object Docs {
         .orderBy($"source_a", $"source_b")
     },
 
+    // ---- d41: tokenizer coverage / OOV analysis — the report run
+    // before committing to a vocabulary: per doc, how many tokens fall
+    // outside the corpus's top-K terms (multiset tf, deterministic
+    // (count desc, term) cut). Scale shape: one token pass builds the
+    // vocabulary aggregate, TakeOrdered keeps the top-K (no full sort;
+    // K=10 here because the synthetic corpus has a ~31-term vocabulary —
+    // a real corpus would use the tokenizer's 32k-ish budget),
+    // the K-row vocab broadcasts into the per-doc flag join — a second
+    // map-side pass, no corpus re-shuffle. Output is all-integer
+    // (OOV rate in basis points via integer division).
+    GraftQuery.sql("d41_tokenizer_coverage",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM nd),
+         |tf AS (SELECT term, COUNT(*) AS cnt FROM tk GROUP BY term),
+         |voc AS (SELECT term FROM tf ORDER BY cnt DESC, term LIMIT 10),
+         |d AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         |    SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM tk LEFT JOIN voc v ON tk.term = v.term GROUP BY tk.doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_oov AS BIGINT) AS n_oov,
+         |  CAST(n_oov * 10000 // n_tokens AS BIGINT) AS oov_bp
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = docs(s, dir)
+        .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      val voc = tk.groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term").limit(10)
+        .select($"term", lit(1).as("in_vocab"))
+      tk.join(broadcast(voc), Seq("term"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          // integer div, not double `/`: a float quotient one ulp above
+          // the true value would truncate UP and break the hash
+          expr("n_oov * 10000 div n_tokens").as("oov_bp"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d42: length-percentile trimming — drop each language's
+    // shortest/longest ~5% by token count (the curation gate against
+    // fragments and concatenation artifacts). The P5/P95 cuts derive
+    // from a VALUE-DOMAIN histogram: per-(lang, n_tok) counts (tiny —
+    // token counts are small integers), cumulated per lang with e15's
+    // integer threshold idiom (20·cum ≥ n / 20·cum ≥ 19·n), thresholds
+    // broadcast back over the corpus — no per-lang window sort of the
+    // corpus ever happens, so the shape survives 100 TB (q20's exact
+    // per-group sort is the anti-pattern here).
+    GraftQuery.sql("d42_length_trim",
+      s"""$normCte,
+         |t AS (SELECT doc_id, lang, len(string_split(norm, ' ')) AS n_tok FROM nd),
+         |h AS (SELECT lang, n_tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |cum AS (SELECT lang, n_tok, c,
+         |    SUM(c) OVER (PARTITION BY lang ORDER BY n_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM h),
+         |thr AS (SELECT lang,
+         |    MIN(CASE WHEN 20 * cum >= n THEN n_tok END) AS lo,
+         |    MIN(CASE WHEN 20 * cum >= 19 * n THEN n_tok END) AS hi
+         |  FROM cum GROUP BY lang)
+         |SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok,
+         |  CAST(CASE WHEN t.n_tok >= thr.lo AND t.n_tok <= thr.hi
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM t JOIN thr ON t.lang = thr.lang
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = docs(s, dir)
+        .select($"doc_id", $"lang", size(Text.tokens($"text")).cast("long").as("n_tok"))
+      val h = t.groupBy($"lang", $"n_tok").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"lang").orderBy($"n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy($"lang")
+      val thr = h
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"lang")
+        .agg(min(when($"cum" * 20 >= $"n", $"n_tok")).as("lo"),
+          min(when($"cum" * 20 >= $"n" * 19, $"n_tok")).as("hi"))
+      t.join(broadcast(thr), "lang")
+        .select($"doc_id", $"lang", $"n_tok",
+          ($"n_tok" >= $"lo" && $"n_tok" <= $"hi").cast("long").as("kept"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see

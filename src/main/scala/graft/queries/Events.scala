@@ -586,6 +586,46 @@ object Events {
         .orderBy($"user_id", $"event_id")
     },
 
+    // ---- e19: week-over-week drift — flag (user, week) cells whose
+    // mean value moved more than 50% against the previous active week.
+    // The comparison is cleared of divisions by cross-multiplying:
+    //   |S_w·n_prev − S_prev·n_w| · 2 > S_prev·n_w
+    // over integer cents (values are non-negative), so the flag is
+    // exact on both engines. Scale shape: per-(user, week) partial
+    // aggregate (the only corpus-sized exchange), then lag over the
+    // per-user week series — the window sorts week SUMMARIES, never
+    // events.
+    GraftQuery.sql("e19_weekly_drift",
+      s"""$evCte,
+         |b AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |wk AS (SELECT user_id, week, COUNT(*) AS n, SUM(vi) AS s
+         |  FROM b GROUP BY 1, 2),
+         |lagd AS (SELECT user_id, week, n, s,
+         |    LAG(n) OVER w AS pn, LAG(s) OVER w AS ps
+         |  FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week))
+         |SELECT user_id, week, CAST(n AS BIGINT) AS n_events,
+         |  CAST(s AS BIGINT) AS sum_cents,
+         |  CAST(CASE WHEN pn IS NOT NULL
+         |       AND abs(s * pn - ps * n) * 2 > ps * n
+         |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM lagd ORDER BY user_id, week""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wk = ev(s, dir)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"),
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("vi"))
+        .groupBy($"user_id", $"week")
+        .agg(count(lit(1)).as("n"), sum($"vi").as("s"))
+      val w = Window.partitionBy($"user_id").orderBy($"week")
+      wk.withColumn("pn", lag($"n", 1).over(w))
+        .withColumn("ps", lag($"s", 1).over(w))
+        .select($"user_id", $"week", $"n".as("n_events"), $"s".as("sum_cents"),
+          ($"pn".isNotNull &&
+            abs($"s" * $"pn" - $"ps" * $"n") * 2 > $"ps" * $"n")
+            .cast("long").as("drifted"))
+        .orderBy($"user_id", $"week")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before

@@ -487,6 +487,43 @@ object Streaming {
         .orderBy($"user_id", $"event_id")
     },
 
+    // ---- s15: OHLC bars built INCREMENTALLY — e16's downsample as a
+    // mergeable streaming summary: open/close are min_by/max_by on the
+    // deterministic (ts, event_id) total order, which merge
+    // associatively across micro-batches exactly like high/low/count
+    // (argmin/argmax summaries, constant state per bar). Identical
+    // oracle to e16 — a mis-merge of any component breaks the hash.
+    GraftQuery.sql("s15_stream_ohlc_bars",
+      s"""$evCte,
+         |o AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+         |    ROW_NUMBER() OVER w AS rn_open,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+         |      ORDER BY ts DESC, event_id DESC) AS rn_close
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+         |    ORDER BY ts, event_id))
+         |SELECT user_id, day,
+         |  MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+         |  MAX(value) AS high, MIN(value) AS low,
+         |  MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+         |  COUNT(*) AS n
+         |FROM o GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val bars = in.toDF().toDF("user_id", "ts", "event_id", "value")
+        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(min_by($"value", struct($"ts", $"event_id")).as("open"),
+          max($"value").as("high"), min($"value").as("low"),
+          max_by($"value", struct($"ts", $"event_id")).as("close"),
+          count(lit(1)).as("n"))
+      drainToTable(s, bars, "complete").orderBy($"user_id", $"day")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

@@ -73,6 +73,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s15 incremental OHLC equals the e16 batch downsample exactly (sf0.001)") {
+    // open/close via min_by/max_by must merge across the 4 harness
+    // micro-batches to the same bars as the batch window formulation
+    val streamed = SparkEntry.queries("s15_stream_ohlc_bars")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val batch = SparkEntry.queries("e16_ohlc_bars")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("s11 streamed near-dup gate equals the identically-parameterized batch plan (sf0.001)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
