@@ -66,4 +66,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(broadcasts >= 2,
       s"verify must probe the broadcast set table on both sides (got $broadcasts):\n$p")
   }
+
+  test("e17: the stats side broadcasts back over events; no window sort") {
+    val p = plan("e17_outlier_events")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-user stats must broadcast into the flag join:\n$p")
+    assert(!p.contains("Window"),
+      s"e17 must not sort events per user (window formulation crept in):\n$p")
+  }
+
+  test("e18: prefix stats ride ONE user_id exchange in one window pass") {
+    val p = plan("e18_running_outliers")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected exactly 1 data shuffle (user_id), got $shuffles:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"all three prefix aggregates must share one Window (got $windows):\n$p")
+  }
+
+  test("d42: threshold table broadcasts; the corpus is never window-sorted") {
+    val p = plan("d42_length_trim")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-lang P5/P95 thresholds must broadcast over the corpus:\n$p")
+  }
+
+  test("d41: the vocabulary cut is TakeOrdered and broadcasts into the flag join") {
+    val p = plan("d41_tokenizer_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-K vocab must plan as TakeOrdered, not a full sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the K-row vocab must broadcast into the per-token flag join:\n$p")
+  }
 }
