@@ -616,6 +616,74 @@ object Relational {
         .limit(20)
     },
 
+    // ---- q34: triangle counting over the co-purchase graph (local
+    // clustering signal — "parts whose co-purchase neighborhoods
+    // close"). DEGREE-ORDERED orientation (the classic O(m^1.5)
+    // formulation): each edge points from its lower-(deg, id) endpoint
+    // to the higher, so per-source oriented out-degree is bounded by
+    // O(√m) even at a power-law hub — the wedge self-join can never go
+    // quadratic in a hub's degree, which is what kills the naive
+    // id-ordered enumeration at 100 TB. Wedges close against the
+    // oriented edge set (consistent order ⇒ each triangle counted
+    // exactly once); per-part participation via a 3-way explode +
+    // partial-aggregated count; top-15 is TakeOrdered.
+    GraftQuery.sql("q34_triangles",
+      """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0),
+        |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+        |o AS (SELECT
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |         THEN e0.a ELSE e0.b END AS src,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |         THEN e0.b ELSE e0.a END AS dst,
+        |    CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |         THEN db.d ELSE da.d END AS dd
+        |  FROM e0 JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b),
+        |tri AS (SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+        |  FROM o w1 JOIN o w2 ON w1.src = w2.src
+        |    AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+        |  JOIN o e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+        |n AS (SELECT part_key, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS part_key FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT part_key, CAST(n_tri AS BIGINT) AS n_tri
+        |FROM n ORDER BY n_tri DESC, part_key LIMIT 15""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val e0 = li.select($"l_orderkey", $"l_partkey".as("a"))
+        .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("np"))
+        .filter($"np" >= 2)
+        .select($"a", $"b")
+      val deg = e0.select($"a".as("u")).unionByName(e0.select($"b".as("u")))
+        .groupBy($"u").agg(count(lit(1)).as("d"))
+      val fwd = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+      // persisted: the oriented edge set feeds all three triangle-join
+      // branches — at scale this is "materialize the orientation once"
+      val o = e0
+        .join(deg.select($"u".as("a"), $"d".as("da")), "a")
+        .join(deg.select($"u".as("b"), $"d".as("db")), "b")
+        .select(when(fwd, $"a").otherwise($"b").as("src"),
+          when(fwd, $"b").otherwise($"a").as("dst"),
+          when(fwd, $"db").otherwise($"da").as("dd"))
+        .persist()
+      val w1 = o.select($"src", $"dst".as("v"), $"dd".as("dv"))
+      val w2 = o.select($"src", $"dst".as("w"), $"dd".as("dw"))
+      val tri = w1.join(w2, "src")
+        .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
+        .join(o.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+        .select($"src".as("x"), $"v".as("y"), $"w".as("z"))
+      tri.select(explode(array($"x", $"y", $"z")).as("part_key"))
+        .groupBy($"part_key").agg(count(lit(1)).as("n_tri"))
+        .orderBy($"n_tri".desc, $"part_key").limit(15)
+    },
+
     // ---- q33: PageRank over the co-purchase graph — iterative graph
     // analytics on the q32 edge set (parts co-ordered ≥2 times,
     // undirected so every node has degree ≥1 and no dangling mass).

@@ -92,6 +92,28 @@ class Wave6Spec extends SparkSpec {
     assert(got.size == scores.size, "one rk-1 term per document")
   }
 
+  test("q34 triangles: degree-ordered enumeration equals brute-force per-node counts") {
+    val li = Tables.load(spark, Sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val a = li.select($"l_orderkey", $"l_partkey".as("a"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("b"))
+    val edges = a.join(b, Seq("l_orderkey")).filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n")).filter($"n" >= 2)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: for every edge (a,b), nodes adjacent to both
+    val adj = edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((x, y) <- edges; z <- adj(x) intersect adj(y); if x < y && y < z) {
+      triCount(x) += 1; triCount(y) += 1; triCount(z) += 1
+    }
+    val expected = triCount.toSeq.sortBy { case (k, n) => (-n, k) }.take(15)
+    val got = SparkEntry.queries("q34_triangles")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "sf0.001 co-purchase graph should contain triangles")
+  }
+
   test("d40 source overlap: exact side equals per-fingerprint source-set expansion") {
     val fps = Tables.load(spark, Sf0001, "documents")
       .select(Text.fingerprint($"text").as("f"), $"source").distinct()
