@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: each round is ONE job — three 8-byte-keyed
   * shuffles (window per large-star group, window per small-star
-  * group, final dedup) materialized by a localCheckpoint (lineage
-  * truncation; not fault-tolerant, use reliable checkpointing on
-  * lossy clusters). Convergence rides a task-side accumulator: a
+  * group, final dedup) materialized by a checkpoint (lineage
+  * truncation — localCheckpoint by default; pass reliable=true for
+  * durable checkpoints that survive executor loss on long cluster
+  * runs). Convergence rides a task-side accumulator: a
   * round is the identity exactly when the edge set is already a star
   * forest, and every non-star structure produces a per-row change
   * flag (a rewritten edge m≠u, or a multi-parent node p≠m), so
@@ -55,20 +56,34 @@ object DedupClusters {
 
   /** @param docs   one row per document, column `doc_id`
     * @param pairs  undirected edges: columns `a_id`, `b_id`
+    * @param reliable  false (default): per-round materialization uses
+    *         localCheckpoint — fastest, but round state lives on
+    *         executors and an executor loss mid-job is unrecoverable.
+    *         true: rounds checkpoint to the SparkContext checkpoint
+    *         directory (set `sc.setCheckpointDir` to durable storage
+    *         first), so a lost executor replays from the last round —
+    *         the right mode for long cluster runs at 100 TB.
     * @return (doc_id, cluster_id) — cluster_id = min doc_id in component
     * @throws IllegalStateException if the iteration cap is hit before
     *         convergence: returning silently would hand the caller
     *         split clusters. With the O(log² n) star contraction the
     *         default cap of 50 covers any realistic graph (a
-    *         5000-vertex adversarial chain converges in 10). */
-  def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    *         5000-vertex adversarial chain converges in 10). Also
+    *         thrown up front when reliable=true without a checkpoint
+    *         directory. */
+  def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 50,
+             reliable: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var e = pairs
+    if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "reliable=true requires sc.setCheckpointDir (durable storage)")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(pairs
       .select(least($"a_id", $"b_id").as("p"), greatest($"a_id", $"b_id").as("c"))
       .filter($"p" =!= $"c")
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val changedAcc = spark.sparkContext.longAccumulator("graft-stars-changed")
     var converged = false
     var iter = 0
@@ -99,12 +114,11 @@ object DedupClusters {
       val flagged = leaves.unionByName(parents)
       changedAcc.reset()
       val enc = org.apache.spark.sql.Encoders.row(flagged.schema)
-      e = flagged
+      e = materialize(flagged
         .map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }(enc)
         .toDF("p", "c", "chg")
         .select($"p", $"c")
-        .distinct()
-        .localCheckpoint() // eager: the round's one job; fills the accumulator
+        .distinct()) // eager: the round's one job; fills the accumulator
       converged = changedAcc.value == 0L
       iter += 1
     }

@@ -187,6 +187,25 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("cluster assignment: reliable checkpoint mode yields identical labels") {
+    import spark.implicits._
+    import graft.operators.DedupClusters
+    val docs = (0L until 60L).toDF("doc_id")
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    // without a checkpoint dir the durable mode must refuse up front
+    val err = intercept[IllegalStateException] {
+      DedupClusters.assign(docs, chain, reliable = true)
+    }
+    assert(err.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt-")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val durable = DedupClusters.assign(docs, chain, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable.values.toSet === Set(0L))
+    assert(durable === DedupClusters.assign(docs, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("d17 dedup corpus: kept+dropped partitions the corpus; kept = one per cluster") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
