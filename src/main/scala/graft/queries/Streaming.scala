@@ -524,6 +524,51 @@ object Streaming {
       drainToTable(s, bars, "complete").orderBy($"user_id", $"day")
     },
 
+    // ---- s16: week-over-week drift on the stream — e19's per-(user,
+    // week) aggregates are plain mergeable sums, so they build
+    // incrementally in complete mode across micro-batches; the lag
+    // comparison runs on the DRAINED summary table (weeks × users,
+    // three orders smaller than the event stream), exactly as e19's
+    // batch window does. Identical oracle to e19 — a mis-merged week
+    // cell breaks the hash.
+    GraftQuery.sql("s16_stream_weekly_drift",
+      s"""$evCte,
+         |b AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |wk AS (SELECT user_id, week, COUNT(*) AS n, SUM(vi) AS s
+         |  FROM b GROUP BY 1, 2),
+         |lagd AS (SELECT user_id, week, n, s,
+         |    LAG(n) OVER w AS pn, LAG(s) OVER w AS ps
+         |  FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week))
+         |SELECT user_id, week, CAST(n AS BIGINT) AS n_events,
+         |  CAST(s AS BIGINT) AS sum_cents,
+         |  CAST(CASE WHEN pn IS NOT NULL
+         |       AND abs(s * pn - ps * n) * 2 > ps * n
+         |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM lagd ORDER BY user_id, week""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      val rows = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"value")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      val in = MemoryStream[(Long, java.sql.Timestamp, Double)](s)
+      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
+      val wk = in.toDF().toDF("user_id", "ts", "value")
+        .groupBy($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+        .agg(count(lit(1)).as("n"),
+          sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("s"))
+      val w = Window.partitionBy($"user_id").orderBy($"week")
+      drainToTable(s, wk, "complete")
+        .withColumn("pn", lag($"n", 1).over(w))
+        .withColumn("ps", lag($"s", 1).over(w))
+        .select($"user_id", $"week", $"n".as("n_events"), $"s".as("sum_cents"),
+          ($"pn".isNotNull &&
+            abs($"s" * $"pn" - $"ps" * $"n") * 2 > $"ps" * $"n")
+            .cast("long").as("drifted"))
+        .orderBy($"user_id", $"week")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
