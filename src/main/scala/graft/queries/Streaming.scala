@@ -569,6 +569,98 @@ object Streaming {
         .orderBy($"user_id", $"week")
     },
 
+    // ---- s17: THE REFERENCE PIPELINE END TO END — one query running
+    // the whole ingestion path the reference exists to serve: documents
+    // land on a 4-shard append-only log (the transport), the DSv2
+    // source reads them back, payloads join in from the catalog
+    // (broadcast, stream-static), content dedup collapses duplicates
+    // within the watermark, a quality gate rejects fragments, and
+    // survivors drain through BatchingSink with the reference's
+    // buffer/retry/requeue semantics into the Either channel. Every
+    // per-record decision is CONTENT-keyed (fingerprint-derived), so
+    // the funnel counts are deterministic regardless of which copy of
+    // a duplicate survives or how records partition across sink
+    // instances: the sink hard-fails fingerprints starting "00" (the
+    // dead-letter arm) and throttles-once those with third hex digit
+    // '0' (requeued and retried — exercised, but status-invisible,
+    // exactly the reference's requeue contract).
+    GraftQuery.sql("s17_pipeline_end_to_end",
+      """WITH nd AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm, text
+        |  FROM documents),
+        |g AS (SELECT DISTINCT lang, md5(norm) AS f,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS sc
+        |  FROM nd)
+        |SELECT lang,
+        |  CASE WHEN n_tok < 10 OR sc < 1 THEN 'rejected_quality'
+        |       WHEN substr(f, 1, 2) = '00' THEN 'err'
+        |       ELSE 'ok' END AS status,
+        |  COUNT(*) AS n
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      // at-least-once transport: every record is delivered TWICE (a
+      // full redelivery pass follows the original), so the dedup stage
+      // is load-bearing — without it every count downstream doubles
+      // and the hash breaks
+      val root = Files.createTempDirectory("graft-pipeline-log-")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", pmod($"doc_id", lit(4)).as("shard"))
+        .collect().groupBy(_.getLong(1))
+        .foreach { case (shard, rows) =>
+          val chunks = rows.map(_.getLong(0)).sorted.toSeq.grouped(2000).zipWithIndex.toSeq
+          chunks.foreach { case (ds, i) =>
+            ShardedLog.append(root, s"s$shard", i + 1L, ds.map(_.toString))
+          }
+          chunks.foreach { case (ds, i) => // redelivery
+            ShardedLog.append(root, s"s$shard", i + 1000L, ds.map(_.toString))
+          }
+        }
+      val catalog = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text")
+      val t0 = new java.sql.Timestamp(86400000L)
+      val enriched = s.readStream.format(ShardedLog.Format)
+        .option("path", root.toString)
+        .option("startingPosition", "trim_horizon")
+        .load()
+        .select($"value".cast("long").as("doc_id"))
+        .join(broadcast(catalog), "doc_id")
+        .select($"lang", Text.fingerprint($"text").as("f"),
+          Text.wsTokenCount($"text").as("n_tok"),
+          Text.markerCount($"text", Seq("the", "a")).as("sc"),
+          lit(t0).as("ts"))
+      val deduped = StreamOps.dedupWithinWatermark(
+        enriched, tsCol = "ts", horizon = "3650 days", keys = Seq("lang", "f"))
+      val statuses = deduped
+        .select($"lang", $"f", $"n_tok", $"sc")
+        .as[(String, String, Long, Long)]
+        .mapPartitions { it =>
+          val rows = it.toVector
+          val (good, rejected) = rows.partition(r => r._3 >= 10 && r._4 >= 1)
+          val throttledOnce = scala.collection.mutable.Set.empty[String]
+          val put: Seq[(String, String)] => Seq[BatchingSink.PutResult] = batch =>
+            batch.map { case (_, f) =>
+              if (f.startsWith("00"))
+                BatchingSink.PutResult(Some("InternalFailure"))
+              else if (f.charAt(2) == '0' && throttledOnce.add(f))
+                BatchingSink.PutResult(Some(BatchingSink.ThrottledCode))
+              else BatchingSink.PutResult(None)
+            }
+          val sunk = new BatchingSink[(String, String)](put, sleeper = _ => ())
+            .run(good.iterator.map(r => (r._1, r._2)))
+            .map {
+              case Right((lang, _)) => (lang, "ok")
+              case Left(BatchingSink.PutError((lang, _), _)) => (lang, "err")
+            }
+          rejected.iterator.map(r => (r._1, "rejected_quality")) ++ sunk
+        }
+      drainToTable(s, statuses.toDF("lang", "status"), "append")
+        .groupBy($"lang", $"status")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"status")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
