@@ -1479,6 +1479,46 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d43: SURVIVORSHIP policy — which copy of a near-dup cluster
+    // to keep is a real pipeline knob, and min-id (d13/d17's choice) is
+    // only the simplest answer. This entry keeps the MOST COMPLETE
+    // copy: longest normalized text, min doc_id among ties — over the
+    // same exact-Jaccard components as d13, proving the policy is
+    // pluggable downstream of the (unchanged) clustering. Scale shape:
+    // the argmax is ONE aggregate per cluster via max(struct(len,
+    // -doc_id)) — no per-cluster window sort of the corpus — joined
+    // back on cluster_id.
+    GraftQuery.sql("d43_survivorship",
+      s"""$simCte,
+         |$ccCte,
+         |ln AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS n FROM nd),
+         |j AS (SELECT lab.doc_id, lab.cluster_id, ln.n
+         |  FROM lab JOIN ln USING (doc_id)),
+         |best AS (SELECT cluster_id, MAX(n) AS bn FROM j GROUP BY 1),
+         |keep AS (SELECT j.cluster_id, MIN(j.doc_id) AS keep_id
+         |  FROM j JOIN best ON j.cluster_id = best.cluster_id AND j.n = best.bn
+         |  GROUP BY 1)
+         |SELECT j.doc_id, j.cluster_id, j.n AS n_chars_norm,
+         |  CAST(CASE WHEN j.doc_id = keep.keep_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM j JOIN keep ON j.cluster_id = keep.cluster_id
+         |ORDER BY j.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val labels = graft.operators.DedupClusters.assign(
+        docs(s, dir).select($"doc_id"),
+        jaccardEdges(s, dir).select($"a_id", $"b_id"))
+      val withLen = labels.join(
+        docs(s, dir).select($"doc_id",
+          length(Text.normalize($"text")).cast("long").as("n")),
+        "doc_id")
+      val keep = withLen.groupBy($"cluster_id")
+        .agg(max(struct($"n", (-$"doc_id").as("neg"))).as("best"))
+        .select($"cluster_id", (-$"best.neg").as("keep_id"))
+      withLen.join(keep, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"n".as("n_chars_norm"),
+          ($"doc_id" === $"keep_id").cast("long").as("is_kept"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
