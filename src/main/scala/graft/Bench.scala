@@ -3,11 +3,29 @@ import java.lang.management.ManagementFactory
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
+/** Headline benchmark. Prints ONE compact JSON line as the FINAL stdout
+  * line (the driver parses the last line of the run log; sbt's
+  * "[success]" trailer is suppressed in build.sbt so nothing follows).
+  *
+  * Robustness against a driver wall-clock timeout (round 4's artifact
+  * was rc=124 with zero data):
+  *  - per-query progress lines + BENCH_LOCAL.json rewritten after EVERY
+  *    query, so even a killed run leaves all completed measurements;
+  *  - SPARK_GRAFT_TIME_BUDGET (seconds, default 240) adaptively degrades
+  *    reps 3→1 and then skips remaining warmup/queries before the
+  *    deadline instead of blowing through it;
+  *  - streaming entries (s*) default to 1 rep: their variance is the
+  *    micro-batch harness floor (state-store setup + drain), not plan
+  *    quality, so median-of-3 buys nothing there (BENCH_NOTES.md).
+  */
 object Bench {
   private def gcMillis: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
   def main(args: Array[String]): Unit = {
+    val t0Wall = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "240").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -19,19 +37,28 @@ object Bench {
     // Optional comma-separated subset for targeted local timing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // Deterministic d→e→q→s order: batch families get the median-of-N
+    // treatment first; the 1-rep streaming drains run last so budget
+    // degradation never starves a batch measurement for a harness floor.
     val selected = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.view.filterKeys(ks).toMap)
+      SparkEntry.queries.view.filterKeys(ks).toMap).toSeq.sortBy(_._1)
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0.
+    // SPARK_GRAFT_WARMUP=0; capped at 35% of the time budget.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory) {
-        selected.foreach { case (_, fn) =>
+        // streaming entries excluded: their cost is state-store/drain
+        // harness floor, which warmup neither measures nor improves —
+        // and at ~1-2 s each they'd eat half the warmup window
+        val it = selected.iterator.filterNot(_._1.startsWith("s"))
+        while (it.hasNext && elapsed < budget * 0.3) {
+          val (_, fn) = it.next()
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
           spark.catalog.clearCache()
         }
+        if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s (budget $budget)"}""")
       }
     }
     val gc0 = gcMillis
@@ -39,37 +66,72 @@ object Bench {
     // can swing 5x under co-tenant load (r3's d20 artifact: 20.9 s
     // recorded vs 3.7 s isolated), so the recorded figure is the median
     // and the min/max band is published alongside as the noise bound.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // free caches a query may have persisted so later timings are clean
-        spark.catalog.clearCache()
-        if (ok) dt else -1.0
-      }.sorted
-      name -> times
+    val repsBatch = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val repsStream = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt.max(1)
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
+    def queriesJson(sel: Seq[Double] => Double): String =
+      results.map { case (k, ts) => "\"" + k + "\":" + fmt(sel(ts)) }
+        .mkString("{", ",", "}")
+    def summaryJson(complete: Boolean): String = {
+      // Short ids ("d13" for "d13_dedup_clusters", per the contract's own
+      // example) keep the final line under the driver's 2000-char tail
+      // window even at 114 queries; full names live in BENCH_LOCAL.json.
+      val med = results.map { case (k, ts) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(ts(ts.length / 2))
+      }.mkString("{", ",", "}")
+      val total = results.values.map(ts => ts(ts.length / 2)).filter(_ >= 0).sum
+      val gcSec = (gcMillis - gc0) / 1e3
+      val skip = skipped.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$med,""" +
+        s""""complete":$complete,"skipped":$skip,"gc_sec":${fmt(gcSec)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     }
-    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.4f"
-    val med = results.view.mapValues(ts => ts(ts.length / 2)).toMap
-    val qs = med.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.head) }
-      .mkString("{", ",", "}")
-    val qsMax = results.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.last) }
-      .mkString("{", ",", "}")
-    val total = if (med.nonEmpty) med.values.sum else 0.0
-    val gcSec = (gcMillis - gc0) / 1e3
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"reps":$reps,"gc_sec":$gcSec,"sf":"$sfDir"}"""
-    println(json)
-    // stdout goes through sbt's [info] prefix, which can defeat a
-    // line-oriented JSON parse downstream — drop a clean copy on disk too
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // Full-detail artifact (median + min/max noise band), rewritten after
+    // every query so a timeout-killed run still leaves the data on disk.
+    def writeLocal(complete: Boolean): Unit = {
+      val body = s"""{"metric":"total","queries":${queriesJson(ts => ts(ts.length / 2))},""" +
+        s""""queries_min":${queriesJson(_.head)},"queries_max":${queriesJson(_.last)},""" +
+        s""""reps_batch":$repsBatch,"reps_stream":$repsStream,"complete":$complete,""" +
+        s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), body + "\n")
+      catch { case _: Throwable => () }
+    }
+
+    val deadline = budget * 0.95
+    for ((name, fn) <- selected) {
+      if (elapsed >= deadline) { skipped += name }
+      else {
+        val reps = if (name.startsWith("s")) repsStream else repsBatch
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        var rep = 0
+        while (rep < reps && (rep == 0 ||
+            elapsed + times.last.max(0.0) < deadline)) {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // free caches a query may have persisted so later timings are clean
+          spark.catalog.clearCache()
+          times += (if (ok) dt else -1.0)
+          rep += 1
+        }
+        results(name) = times.sorted.toSeq
+        println(s"""{"bench_progress":{"q":"$name","med":${fmt(times.sorted.apply(times.length / 2))},"reps":${times.length},"elapsed":${fmt(elapsed)}}}""")
+        writeLocal(complete = false)
+      }
+    }
+    writeLocal(complete = skipped.isEmpty)
+    val json = summaryJson(complete = skipped.isEmpty)
+    // The driver parses the LAST stdout line: silence Spark's shutdown
+    // chatter, stop, then print the summary as the genuinely final line
+    // (build.sbt suppresses sbt's "[success]" trailer and un-prefixes
+    // forked output).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
   }
 }

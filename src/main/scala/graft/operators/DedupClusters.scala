@@ -111,6 +111,13 @@ object DedupClusters {
         .select($"m2".as("p"), $"p".as("c"), lit(true).as("chg"))
       val parents = ss.filter($"p" === $"m2")
         .select($"m2".as("p"), $"c", $"anyChgL".as("chg"))
+      // Note: the flag is "this round did rewrite work", not "the output
+      // differs from the input" — a round whose OUTPUT is already the
+      // final star forest can still raise flags (a parent edge carries
+      // its group's anyChgL; duplicate emitted edges keep independent
+      // flags), costing at most one extra identity round before the
+      // fixpoint test reads 0. Deliberate: comparing output-vs-input
+      // edge sets would add a join per round to save that single round.
       val flagged = leaves.unionByName(parents)
       changedAcc.reset()
       val enc = org.apache.spark.sql.Encoders.row(flagged.schema)

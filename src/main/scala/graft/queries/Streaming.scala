@@ -5,6 +5,7 @@ import graft.streaming.{BatchingSink, ShardedLog, StreamOps}
 import java.nio.file.Files
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming transport operators (SURVEY.md §2.1) run end-to-end as real
@@ -42,6 +43,36 @@ object Streaming {
           Files.createTempDirectory("graft-ckpt-").toString)
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    spark.table(name)
+  }
+
+  /** Like drainToTable, but the query STARTS BEFORE any data exists and
+    * each chunk is fed between processAllAvailable calls — so every
+    * chunk is a real, separate micro-batch and cross-batch state
+    * continuity (GroupState folds, complete-mode re-aggregation,
+    * within-watermark dedup across a redelivery batch) actually
+    * executes. addData-all-then-start would collapse the feed into ONE
+    * micro-batch and silently skip the merge path (ADVICE r4). */
+  private def drainChunksToTable[A](spark: SparkSession, df: DataFrame,
+                                    outputMode: String, in: MemoryStream[A],
+                                    chunks: Seq[Seq[A]]): DataFrame = {
+    val name = "g_" + UUID.randomUUID().toString.replace("-", "")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt-").toString)
+        .start()
+      try {
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      } finally { q.stop() }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -168,12 +199,12 @@ object Streaming {
         .as[(Long, String, java.sql.Timestamp)]
         .collect().toSeq
       val in = MemoryStream[(Long, String, java.sql.Timestamp)](s)
-      in.addData(rows) // batch 1: original delivery
-      in.addData(rows) // batch 2: full redelivery
       val deduped = StreamOps.dedupWithinWatermark(
         in.toDF().toDF("event_id", "event_type", "ts"),
         tsCol = "ts", horizon = "3650 days", keys = Seq("event_id"))
-      drainToTable(s, deduped, "append")
+      // original delivery, then a FULL redelivery as a separate real
+      // micro-batch — the dedup state must survive the batch boundary
+      drainChunksToTable(s, deduped, "append", in, Seq(rows, rows))
         .groupBy($"event_type").agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
     },
@@ -187,16 +218,19 @@ object Streaming {
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // time-ordered ingest (the transport's per-shard order): chunk
+      // boundaries are then exact time splits, so no row of a later
+      // micro-batch can fall below the 1-hour watermark and be dropped
       val rows = Tables.events(s, dir)
         .select($"ts", $"value")
         .as[(java.sql.Timestamp, Double)]
-        .collect().toSeq
+        .collect().sortBy(_._1.getTime).toSeq
       val in = MemoryStream[(java.sql.Timestamp, Double)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val agg = StreamOps.tumblingCounts(
         in.toDF().toDF("ts", "value"),
         tsCol = "ts", width = "1 day", horizon = "1 hour")
-      drainToTable(s, agg, "complete").orderBy($"wday")
+      drainChunksToTable(s, agg, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"wday")
     },
 
     // ---- s8: the document quality gate run ON THE STREAM — the batch
@@ -221,7 +255,6 @@ object Streaming {
         .select($"doc_id", $"lang", $"text")
         .as[(Long, String, String)].collect().toSeq
       val in = MemoryStream[(Long, String, String)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val gated = in.toDF().toDF("doc_id", "lang", "text")
         .select($"lang",
           (Text.wsTokenCount($"text") >= 50L).cast("long").as("is_long"),
@@ -230,7 +263,8 @@ object Streaming {
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum($"is_long").as("n_long"), sum($"is_clean").as("n_clean"))
-      drainToTable(s, gated, "complete").orderBy($"lang")
+      drainChunksToTable(s, gated, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"lang")
     },
 
     // ---- s9: streaming content dedup — the ingest-side twin of d1:
@@ -253,13 +287,13 @@ object Streaming {
         .as[(String, String)].collect().toSeq
       val in = MemoryStream[(String, String, java.sql.Timestamp)](s)
       val t0 = new java.sql.Timestamp(86400000L)
-      in.addData(rows.map { case (l, t) => (l, t, t0) })   // delivery 1
-      in.addData(rows.map { case (l, t) => (l, t, t0) })   // full redelivery
+      val stamped = rows.map { case (l, t) => (l, t, t0) }
       val deduped = StreamOps.dedupWithinWatermark(
         in.toDF().toDF("lang", "text", "ts")
           .withColumn("fp", Text.fingerprint($"text")),
         tsCol = "ts", horizon = "3650 days", keys = Seq("lang", "fp"))
-      drainToTable(s, deduped, "append")
+      // delivery 1, then a full redelivery in its own real micro-batch
+      drainChunksToTable(s, deduped, "append", in, Seq(stamped, stamped))
         .groupBy($"lang").agg(count(lit(1)).as("n_unique"))
         .orderBy($"lang")
     },
@@ -298,7 +332,6 @@ object Streaming {
         .select($"doc_id", $"text")
         .as[(Long, String)].collect().toSeq
       val in = MemoryStream[(Long, String)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val pairs = in.toDF().toDF("doc_id", "text")
         .select($"doc_id", explode(Text.shingleHashes($"text", 8)).as("g"))
         .join(broadcast(evalGrams), "g")
@@ -306,7 +339,8 @@ object Streaming {
         // pairs on the stream, count them per doc after the drain
         .groupBy($"doc_id", $"eval_id")
         .agg(count(lit(1)).as("n_hits"))
-      drainToTable(s, pairs, "complete")
+      drainChunksToTable(s, pairs, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_eval_docs"))
         .orderBy($"doc_id")
@@ -355,12 +389,12 @@ object Streaming {
         .select($"doc_id", $"text")
         .as[(Long, String)].collect().toSeq
       val in = MemoryStream[(Long, String)](s)
-      docRows.grouped(math.max(1, docRows.size / 4)).foreach(in.addData(_))
       val pairs = bandHashes(in.toDF().toDF("doc_id", "text"))
         .join(ref, Seq("band_idx", "band_hash"))
         .groupBy($"doc_id", $"ref_id")
         .agg(count(lit(1)).as("n_bands"))
-      drainToTable(s, pairs, "complete")
+      drainChunksToTable(s, pairs, "complete", in,
+        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_ref_candidates"))
         .orderBy($"doc_id")
@@ -388,9 +422,11 @@ object Streaming {
         .select($"doc_id", $"source")
         .as[StreamOps.QuotaDoc].collect().toSeq.sortBy(_.doc_id)
       val in = MemoryStream[StreamOps.QuotaDoc](s)
-      docRows.grouped(math.max(1, docRows.size / 4)).foreach(in.addData(_))
       val gated = StreamOps.quotaGate(in.toDS(), cap = 15L)
-      drainToTable(s, gated.toDF(), "append")
+      // 4 real micro-batches in doc_id order: the per-source running
+      // count must carry across the batch boundaries in GroupState
+      drainChunksToTable(s, gated.toDF(), "append", in,
+        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_seen"),
           sum($"admitted".cast("long")).as("n_admitted"),
@@ -427,7 +463,6 @@ object Streaming {
         .select($"ts", $"value")
         .as[(java.sql.Timestamp, Double)].collect().toSeq
       val in = MemoryStream[(java.sql.Timestamp, Double)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val binned = in.toDF().toDF("ts", "value")
         .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
           floor($"value" / 10).cast("long").as("bin"))
@@ -435,7 +470,8 @@ object Streaming {
       val wCum = Window.partitionBy($"day").orderBy($"bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy($"day")
-      drainToTable(s, binned, "complete")
+      drainChunksToTable(s, binned, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
         .withColumn("cum", sum($"c").over(wCum))
         .withColumn("n", sum($"c").over(wAll))
         .groupBy($"day")
@@ -480,9 +516,11 @@ object Streaming {
         .as[StatEvent]
         .collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
       val in = MemoryStream[StatEvent](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val flagged = StreamOps.runningOutlierGate(in.toDS(), minPrior = 30L)
-      drainToTable(s, flagged.toDF(), "append")
+      // 4 real time-split micro-batches: each user's (n, Σv, Σv²) must
+      // fold across the batch boundaries in GroupState
+      drainChunksToTable(s, flagged.toDF(), "append", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
         .select($"user_id", $"event_id", $"value", $"n_prior")
         .orderBy($"user_id", $"event_id")
     },
@@ -514,14 +552,15 @@ object Streaming {
         .select($"user_id", $"ts", $"event_id", $"value")
         .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
       val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val bars = in.toDF().toDF("user_id", "ts", "event_id", "value")
         .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
         .agg(min_by($"value", struct($"ts", $"event_id")).as("open"),
           max($"value").as("high"), min($"value").as("low"),
           max_by($"value", struct($"ts", $"event_id")).as("close"),
           count(lit(1)).as("n"))
-      drainToTable(s, bars, "complete").orderBy($"user_id", $"day")
+      drainChunksToTable(s, bars, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        .orderBy($"user_id", $"day")
     },
 
     // ---- s16: week-over-week drift on the stream — e19's per-(user,
@@ -553,13 +592,13 @@ object Streaming {
         .select($"user_id", $"ts", $"value")
         .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
       val in = MemoryStream[(Long, java.sql.Timestamp, Double)](s)
-      rows.grouped(math.max(1, rows.size / 4)).foreach(in.addData(_))
       val wk = in.toDF().toDF("user_id", "ts", "value")
         .groupBy($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
         .agg(count(lit(1)).as("n"),
           sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("s"))
       val w = Window.partitionBy($"user_id").orderBy($"week")
-      drainToTable(s, wk, "complete")
+      drainChunksToTable(s, wk, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
         .withColumn("pn", lag($"n", 1).over(w))
         .withColumn("ps", lag($"s", 1).over(w))
         .select($"user_id", $"week", $"n".as("n_events"), $"s".as("sum_cents"),

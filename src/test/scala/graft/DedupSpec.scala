@@ -198,12 +198,22 @@ class DedupSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("setCheckpointDir"))
     val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt-")
+    // the shared session's checkpoint dir is a global: restore the prior
+    // value (unset here) and remove the temp dir so nothing leaks into
+    // later suites
     spark.sparkContext.setCheckpointDir(dir.toString)
-    val durable = DedupClusters.assign(docs, chain, reliable = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(durable.values.toSet === Set(0L))
-    assert(durable === DedupClusters.assign(docs, chain)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    try {
+      val durable = DedupClusters.assign(docs, chain, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(durable.values.toSet === Set(0L))
+      assert(durable === DedupClusters.assign(docs, chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // Option(null) => unset
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("d17 dedup corpus: kept+dropped partitions the corpus; kept = one per cluster") {
