@@ -41,6 +41,17 @@ object BatchingSink {
       maxTries: Int = 7,
       throttleBackoffMs: Long = 800L)
 
+  /** Sink wired to an injected client ([[RecordWriter]], the
+    * [[Transport]] seam) — the analog of the reference's `withClient`
+    * entry point (KinesisGraphStage.scala:28-30), which takes the AWS
+    * client and runs the same buffer/flush/requeue machinery over its
+    * `putRecords`. */
+  def over[A: ToRecord](
+      writer: RecordWriter,
+      config: Config = Config(),
+      sleeper: Long => Unit = Thread.sleep): BatchingSink[A] =
+    serialized[A](writer.putRecords, config, sleeper)
+
   /** Sink over a byte-level transport, records serialized through the
     * ToRecord typeclass (reference ToPutRecordsRequest.scala). */
   def serialized[A: ToRecord](

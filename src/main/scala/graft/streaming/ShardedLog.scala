@@ -168,7 +168,9 @@ class ShardedLogProvider extends TableProvider with DataSourceRegister {
 }
 
 class ShardedLogTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
-  override def name(): String = s"sharded_log(${options.get("path")})"
+  override def name(): String = "sharded_log(" +
+    Option(options.get("transport")).map("transport=" + _)
+      .getOrElse(options.get("path")) + ")"
   override def schema(): StructType = ShardedLog.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
@@ -203,8 +205,16 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   private def frontier(): Map[String, Long] =
     availableNowCap.getOrElse(currentMax())
 
-  private val root: Path = Paths.get(Option(options.get("path")).getOrElse(
-    throw new IllegalArgumentException("sharded-log requires a 'path' option")))
+  /** The injected client surface ([[Transport]] seam): a registered
+    * transport when the option names one, else the file-layout reader
+    * over `path`. Everything below compiles against the trait only, so
+    * swapping the backing client never touches offset/admission logic. */
+  private val reader: ShardReader =
+    Option(options.get("transport")).map(TransportRegistry.get).getOrElse {
+      new FileShardReader(Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          "sharded-log requires a 'path' option (or a registered 'transport')")))
+    }
   private val startingPosition: String =
     Option(options.get("startingposition")).getOrElse("trim_horizon").toLowerCase
   private val timestampMs: Option[Long] =
@@ -212,11 +222,16 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxFilesPerTrigger: Option[Int] =
     Option(options.get("maxfilespertrigger")).map(_.toInt)
 
-  private def currentMax(): Map[String, Long] =
-    listShards(root).map { d =>
-      val files = listFiles(d)
-      d.getFileName.toString -> files.lastOption.map(_._1).getOrElse(0L)
-    }.toMap
+  /** One describeShards pass → (per-shard frontier, per-shard parents);
+    * the maxes half is the admission frontier, the parents half feeds
+    * reshard gating. */
+  private def currentState(): (Map[String, Long], Map[String, Seq[String]]) = {
+    val infos = reader.describeShards()
+    (infos.map(si => si.shardId -> reader.maxSequence(si.shardId)).toMap,
+      infos.map(si => si.shardId -> si.parents).toMap)
+  }
+
+  private def currentMax(): Map[String, Long] = currentState()._1
 
   override def initialOffset(): Offset = {
     val init = startingPosition match {
@@ -227,10 +242,8 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
           "at_timestamp requires 'timestampMs'"))
         // capped at "now", mirroring reference KinesisSource.scala:99-102
         val effectiveUs = math.min(ts, System.currentTimeMillis()) * 1000L
-        listShards(root).map { d =>
-          val consumed = listFiles(d).takeWhile(_._3 < effectiveUs)
-          d.getFileName.toString -> consumed.lastOption.map(_._1).getOrElse(0L)
-        }.toMap
+        reader.describeShards().map(si =>
+          si.shardId -> reader.sequenceAtTimestamp(si.shardId, effectiveUs)).toMap
       case other => throw new IllegalArgumentException(
         s"unknown startingPosition '$other' (trim_horizon | latest | at_timestamp)")
     }
@@ -251,10 +264,11 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   // no-loss-but-unordered behavior.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ShardedLogOffset].consumed
-    val maxes = frontier()
+    val (liveMaxes, parents) = currentState()
+    val maxes = availableNowCap.getOrElse(liveMaxes)
     val capped = maxes.flatMap { case (shard, maxSeq) =>
       val s = from.getOrElse(shard, 0L)
-      val gatedByParent = s == 0L && parentsOf(root, shard).exists { p =>
+      val gatedByParent = s == 0L && parents.getOrElse(shard, Nil).exists { p =>
         maxes.get(p).exists(pMax => from.getOrElse(p, 0L) < pMax)
       }
       if (gatedByParent) None
@@ -280,14 +294,10 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
     val e = end.asInstanceOf[ShardedLogOffset].consumed
     e.toSeq.sortBy(_._1).flatMap { case (shard, endSeq) =>
       val startSeq = s.getOrElse(shard, 0L)
+      // one partition per shard per batch (shard = unit of parallelism);
+      // the range fetch itself runs executor-side through the reader
       if (endSeq <= startSeq) None
-      else {
-        val files = listFiles(root.resolve(shard))
-          .filter { case (seq, _, _) => seq > startSeq && seq <= endSeq }
-          .map { case (seq, p, mtUs) => ShardedLogFile(seq, p.toString, mtUs) }
-        if (files.isEmpty) None
-        else Some(ShardedLogPartition(shard, files.toArray): InputPartition)
-      }
+      else Some(ShardedLogPartition(shard, startSeq, endSeq, reader): InputPartition)
     }.toArray
   }
 
@@ -301,19 +311,21 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = ()
 }
 
-case class ShardedLogFile(seq: Long, path: String, mtimeUs: Long)
-case class ShardedLogPartition(shard: String, files: Array[ShardedLogFile]) extends InputPartition
+/** A shard's sequence range `(afterSeq, toSeq]` plus the transport that
+  * can fetch it — the serialized task payload. */
+case class ShardedLogPartition(shard: String, afterSeq: Long, toSeq: Long,
+                               reader: ShardReader) extends InputPartition
 
-/** Reads a shard's files in sequence order, lines in file order — the
-  * per-shard ordering guarantee. File IO goes through the retrying,
-  * taxonomy-aware ShardedLog.readRecLines. */
+/** Streams a shard's records in sequence order through the injected
+  * [[ShardReader]] — the per-shard ordering guarantee. The file-backed
+  * reader's IO goes through the retrying, taxonomy-aware
+  * ShardedLog.readRecLines. */
 class ShardedLogReader(partition: ShardedLogPartition) extends PartitionReader[InternalRow] {
-  private val shard = UTF8String.fromString(partition.shard)
-  private val rows: Iterator[InternalRow] = partition.files.iterator.flatMap { f =>
-    ShardedLog.readRecLines(Paths.get(f.path)).map { line =>
-      new GenericInternalRow(Array[Any](shard, f.seq, UTF8String.fromString(line), f.mtimeUs))
+  private val rows: Iterator[InternalRow] =
+    partition.reader.read(partition.shard, partition.afterSeq, partition.toSeq).map { r =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.shard), r.seq, UTF8String.fromString(r.value), r.tsUs))
     }
-  }
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }
   override def get(): InternalRow = current

@@ -1,0 +1,243 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** The injectable client seam — "bring your own transport".
+  *
+  * The reference makes its AWS client pluggable on both sides: the sink
+  * takes a bare function (`type PutRecords = PutRecordsRequest =>
+  * PutRecordsResult`, reference KinesisGraphStage.scala:20, injected at
+  * KinesisGraphStage.scala:28-30 via `client.putRecords`), and the
+  * source drives a three-call client surface — describeStream (shard
+  * list with parent/adjacent-parent links, KinesisSource.scala:115-141),
+  * getShardIterator (position → cursor, KinesisSource.scala:85-109) and
+  * getRecords (cursor-bounded fetch, KinesisSource.scala:255-258).
+  *
+  * graft mirrors that seam so a user can swap the local sharded-log
+  * transport for a real client without touching any operator:
+  *
+  *   - [[RecordWriter]] is the sink-side function surface; an AWS
+  *     adapter is one line (`recs => client.putRecords(toRequest(recs))
+  *     .getRecords.asScala.map(r => PutResult(Option(r.getErrorCode)))`),
+  *     and [[BatchingSink.over]] runs the full buffer/flush/requeue/
+  *     backoff machinery against it unchanged.
+  *   - [[ShardReader]] is the source-side surface, re-keyed from opaque
+  *     string iterators to explicit per-shard sequence numbers because
+  *     that is what a replayable Spark offset must serialize anyway
+  *     (the reference's iterator-reissue dance, KinesisSource.scala:
+  *     43-65, exists precisely to recover a resumable position — a
+  *     sequence range IS that position, checkpoint-durable). An AWS
+  *     adapter maps describeShards → DescribeStream,
+  *     sequenceAtTimestamp → GetShardIterator(AT_TIMESTAMP),
+  *     read → GetShardIterator(AFTER_SEQUENCE_NUMBER) + GetRecords loop.
+  *   - [[FileShardReader]] (the sharded-log layout) and
+  *     [[InMemoryTransport]] (both sides, for tests) are the built-in
+  *     implementations; `ShardedLogMicroBatchStream` itself compiles
+  *     against the trait only.
+  *
+  * Implementations must be Serializable: the reader instance rides into
+  * executor tasks inside the input partition. A real-client adapter
+  * should hold its client `@transient lazy` and reconstruct it per JVM —
+  * the same discipline as any DSv2 source.
+  */
+object Transport {
+
+  /** One delivered record: per-shard sequence + arrival timestamp — the
+    * fields the reference reads off its Record (sequence number,
+    * KinesisSource.scala:59-63; ApproximateArrivalTimestamp analog,
+    * see ShardedLog's at_timestamp note). */
+  final case class Rec(shard: String, seq: Long, value: String, tsUs: Long)
+
+  /** Shard identity with reshard parentage — the reference's
+    * parentShardId + adjacentParentShardId pair
+    * (KinesisSource.scala:135-141): one parent = split child, two
+    * parents = merge child, none = original shard. */
+  final case class ShardInfo(shardId: String, parents: Seq[String])
+}
+
+/** Source-side client surface (see [[Transport]]). All methods are
+  * driver-side except [[ShardReader.read]], which runs in executor
+  * tasks. */
+trait ShardReader extends Serializable {
+
+  /** Current shards with their declared reshard parents — the
+    * describeStream call (reference KinesisSource.scala:115-141). Called
+    * every micro-batch, so discovery of split/merge children is
+    * continuous, as in the reference's handleReshard
+    * (KinesisSource.scala:229-235). */
+  def describeShards(): Seq[Transport.ShardInfo]
+
+  /** Highest sequence currently present in `shard` (0 when empty) — the
+    * admission frontier. */
+  def maxSequence(shard: String): Long
+
+  /** Highest sequence whose record arrived strictly before `tsUs`
+    * (0 if none) — GetShardIterator(AT_TIMESTAMP)
+    * (reference KinesisSource.scala:99-102). */
+  def sequenceAtTimestamp(shard: String, tsUs: Long): Long
+
+  /** Records with `afterSeq < seq <= toSeq`, in ascending sequence
+    * order — the per-shard ordering guarantee. The AFTER_SEQUENCE_NUMBER
+    * + GetRecords loop (reference KinesisSource.scala:55-65, 255-258). */
+  def read(shard: String, afterSeq: Long, toSeq: Long): Iterator[Transport.Rec]
+}
+
+/** Sink-side client surface — the reference's injectable
+  * `PutRecordsRequest => PutRecordsResult` (KinesisGraphStage.scala:20)
+  * with the request/response flattened to (partitionKey, payload) pairs
+  * and per-record [[BatchingSink.PutResult]]s (errorCode None = ok;
+  * [[BatchingSink.ThrottledCode]] triggers the sink's requeue +
+  * self-throttle path). Must return exactly one result per record, in
+  * order, as the AWS API does. */
+trait RecordWriter extends Serializable {
+  def putRecords(records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult]
+}
+
+/** Name → reader registry so a transport can be injected through DSv2's
+  * string-only options map: `readStream.format(ShardedLog.Format)
+  * .option("transport", name)`. Driver-side resolution only (the
+  * resolved instance then travels inside partitions). */
+object TransportRegistry {
+  private val readers = TrieMap.empty[String, ShardReader]
+  def register(name: String, reader: ShardReader): Unit = readers.put(name, reader)
+  def unregister(name: String): Unit = readers.remove(name)
+  private[streaming] def get(name: String): ShardReader =
+    readers.getOrElse(name, throw new IllegalArgumentException(
+      s"no transport registered under '$name' — call TransportRegistry.register first"))
+}
+
+/** [[ShardReader]] over the sharded-log file layout
+  * (`<root>/<shard>/<seq>.rec`, [[ShardedLog]]) — the local, durable,
+  * default transport. Serializable: carries only the root path string;
+  * all IO goes through ShardedLog's retrying, taxonomy-aware readers. */
+final class FileShardReader(rootStr: String) extends ShardReader {
+  private def root: Path = Paths.get(rootStr)
+
+  override def describeShards(): Seq[Transport.ShardInfo] =
+    ShardedLog.listShards(root).map { d =>
+      val name = d.getFileName.toString
+      Transport.ShardInfo(name, ShardedLog.parentsOf(root, name))
+    }
+
+  override def maxSequence(shard: String): Long = {
+    val dir = root.resolve(shard)
+    if (!Files.isDirectory(dir)) 0L
+    else ShardedLog.listFiles(dir).lastOption.map(_._1).getOrElse(0L)
+  }
+
+  override def sequenceAtTimestamp(shard: String, tsUs: Long): Long = {
+    val dir = root.resolve(shard)
+    if (!Files.isDirectory(dir)) 0L
+    // takeWhile over the seq-ascending listing: file mtimes are
+    // monotone with seq in an append-only log, and stopping at the
+    // first at-or-after match mirrors the reference's "read from the
+    // first record at or after the timestamp"
+    else ShardedLog.listFiles(dir).takeWhile(_._3 < tsUs)
+      .lastOption.map(_._1).getOrElse(0L)
+  }
+
+  override def read(shard: String, afterSeq: Long, toSeq: Long): Iterator[Transport.Rec] =
+    ShardedLog.listFiles(root.resolve(shard)).iterator
+      .filter { case (seq, _, _) => seq > afterSeq && seq <= toSeq }
+      .flatMap { case (seq, p, mtUs) =>
+        ShardedLog.readRecLines(p).map(line => Transport.Rec(shard, seq, line, mtUs))
+      }
+}
+
+/** Both transport sides over a JVM-local in-memory log — the test fake
+  * that proves the adapter path end-to-end: records written through
+  * [[BatchingSink.over]] become readable by a real Structured Streaming
+  * query via `option("transport", id)`, no filesystem involved.
+  *
+  * Data lives in a JVM-static registry keyed by `id`, so a copy
+  * deserialized into a local-mode task re-attaches to the same log —
+  * the in-memory stand-in for how a real adapter reconstructs its
+  * client per JVM (single-JVM test transport; a distributed deploy
+  * needs a reader whose backing store is reachable from executors,
+  * which a real client adapter is by construction).
+  *
+  * @param clock arrival-timestamp source in micros, injectable so specs
+  *              are deterministic (the server-side
+  *              ApproximateArrivalTimestamp analog). */
+final class InMemoryTransport(
+    val id: String,
+    numShards: Int = 4,
+    clock: () => Long = () => System.currentTimeMillis() * 1000L)
+  extends ShardReader with RecordWriter {
+  import InMemoryTransport._
+
+  register(id)
+
+  /** Append directly to a named shard, bypassing hash routing — for
+    * reshard tests, where a split/merge child needs records of its own. */
+  def append(shard: String, value: String): Unit = {
+    val log = logs(id)
+    log.synchronized {
+      val cur = log.shards.getOrElse(shard, Vector.empty)
+      log.shards(shard) = cur :+ Transport.Rec(shard, cur.length + 1L, value, clock())
+    }
+  }
+
+  /** Reshard declaration, mirroring ShardedLog.declareParents. */
+  def declareParents(child: String, parents: Seq[String]): Unit = {
+    require(parents.nonEmpty, "declareParents needs at least one parent")
+    val log = logs(id)
+    log.synchronized {
+      log.shards.getOrElseUpdate(child, Vector.empty)
+      log.parents(child) = parents.toVector
+    }
+  }
+
+  override def putRecords(records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult] = {
+    val log = logs(id)
+    log.synchronized {
+      records.foreach { case (key, payload) =>
+        val shard = "shard-" + math.floorMod(key.hashCode, numShards)
+        val cur = log.shards.getOrElse(shard, Vector.empty)
+        log.shards(shard) = cur :+ Transport.Rec(
+          shard, cur.length + 1L,
+          new String(payload, StandardCharsets.UTF_8), clock())
+      }
+    }
+    records.map(_ => BatchingSink.PutResult(None))
+  }
+
+  override def describeShards(): Seq[Transport.ShardInfo] = {
+    val log = logs(id)
+    log.synchronized {
+      log.shards.keys.toSeq.sorted.map(s =>
+        Transport.ShardInfo(s, log.parents.getOrElse(s, Vector.empty)))
+    }
+  }
+
+  override def maxSequence(shard: String): Long = {
+    val log = logs(id)
+    log.synchronized(log.shards.getOrElse(shard, Vector.empty).length.toLong)
+  }
+
+  override def sequenceAtTimestamp(shard: String, tsUs: Long): Long = {
+    val log = logs(id)
+    log.synchronized(log.shards.getOrElse(shard, Vector.empty)
+      .takeWhile(_.tsUs < tsUs).lastOption.map(_.seq).getOrElse(0L))
+  }
+
+  override def read(shard: String, afterSeq: Long, toSeq: Long): Iterator[Transport.Rec] = {
+    val log = logs(id)
+    // snapshot under the lock; the iterator itself then needs no lock
+    log.synchronized(log.shards.getOrElse(shard, Vector.empty)
+      .filter(r => r.seq > afterSeq && r.seq <= toSeq)).iterator
+  }
+}
+
+object InMemoryTransport {
+  private final class Log {
+    val shards = scala.collection.mutable.Map.empty[String, Vector[Transport.Rec]]
+    val parents = scala.collection.mutable.Map.empty[String, Vector[String]]
+  }
+  private val logs = TrieMap.empty[String, Log]
+  private def register(id: String): Unit = logs.getOrElseUpdate(id, new Log)
+  /** Drop a fake's backing log (test cleanup). */
+  def drop(id: String): Unit = logs.remove(id)
+}
