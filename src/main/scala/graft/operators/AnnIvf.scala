@@ -99,6 +99,28 @@ object AnnIvf {
     embeddings.select($"vec_id", $"embedding", best.getField("cid").as("cluster_id"))
   }
 
+  /** Multi-probe index: every vector assigned to its `nprobe` nearest
+    * centroids (exploded — one row per (vector, probed cluster)). This
+    * is the candidate-generation side of semantic dedup's scale path
+    * (SemDedup.annEdges): two vectors can meet only inside a shared
+    * probed cluster, so the quadratic pair/verify work is bounded per
+    * bucket instead of per corpus. Same map-side literal-sort shape as
+    * [[search]]'s probe stage — no Exchange. */
+  def assignTop(spark: SparkSession, embeddings: DataFrame, cents: DataFrame,
+                nprobe: Int): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val centArr = centroidLiteral(cents)
+    val scored = transform(centArr, c => struct(
+      (Vectors.dot($"embedding", c.getField("centroid")) * lit(-1.0) /
+        (Vectors.norm($"embedding") * c.getField("cnorm"))).as("neg_csim"),
+      c.getField("cid").as("cid")))
+    embeddings
+      .select($"vec_id", $"embedding",
+        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
+      .select($"vec_id", $"embedding", $"pc.cid".as("cluster_id"))
+  }
+
   /** Top-k neighbors for each query vector, probing `nprobe` clusters. */
   def search(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
              numClusters: Int, nprobe: Int, k: Int): DataFrame = {

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023): embeddings
+  * whose cosine clears a threshold are near-duplicates even when they
+  * share no n-grams; connected components over those edges give every
+  * vector a cluster representative and "keep one per semantic cluster"
+  * falls out.
+  *
+  * Two edge generators share one componentization:
+  *
+  *   - [[exactEdges]]: the all-pairs baseline — O(n²) cosine
+  *     comparisons, deterministic and oracle-checkable (the d38 query).
+  *     Correct at any recall bar, quadratic in the corpus: the
+  *     verification standard, not the scale path.
+  *   - [[annEdges]]: the scale path — IVF multi-probe bucketing
+  *     (AnnIvf.assignTop): each vector lands in its `nprobe` nearest of
+  *     `numClusters` centroid buckets, pairs form ONLY inside a shared
+  *     bucket, and the exact cosine then verifies each candidate. The
+  *     quadratic is bounded per bucket (expected bucket ~ nprobe·n/C),
+  *     which is exactly SemDeDup's own formulation — the paper clusters
+  *     first for this reason. Probabilistic in principle (a qualifying
+  *     pair straddling disjoint probe sets is missed), so the entry is
+  *     rows-only; AnnSpec pins measured edge recall and component
+  *     parity against [[exactEdges]] on the test corpus.
+  *
+  * Both feed the identical [[DedupClusters.assign]] star-contraction
+  * call, so the cluster semantics (component = min vec_id reachable)
+  * never depend on which generator produced the edges.
+  */
+object SemDedup {
+
+  /** All pairs (a_id < b_id) with cosine >= threshold — exact, O(n²). */
+  def exactEdges(spark: SparkSession, embs: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val nv = embs.select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = nv.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
+      .repartition(p)
+    val b = nv.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, $"a_id" < $"b_id")
+      .filter(Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= threshold)
+      .select($"a_id", $"b_id")
+  }
+
+  /** Bucket-bounded candidate pairs, cosine-verified — the 100 TB form.
+    * Candidates: vectors sharing >= 1 of their `nprobe` probed IVF
+    * clusters; the distinct-pair aggregate runs BEFORE the verify so a
+    * pair sharing several buckets is verified once. */
+  def annEdges(spark: SparkSession, embs: DataFrame, threshold: Double,
+               numClusters: Int = 16, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val cents = AnnIvf.centroids(spark, embs, numClusters)
+    // deliberately NOT persisted: assignTop is an exchange-free
+    // projection over the scan (the centroids ride in as a literal), so
+    // recomputing it per join side costs one extra scan — cheaper than
+    // a cache entry that outlives the call (the q33/q34 lesson)
+    val indexed = AnnIvf.assignTop(spark, embs, cents, nprobe)
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    val l = indexed.select($"cluster_id", $"vec_id".as("a_id"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val r = indexed.select($"cluster_id", $"vec_id".as("b_id"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    l.join(r, "cluster_id")
+      .filter($"a_id" < $"b_id")
+      // dedup multi-bucket pairs BEFORE the verify: first() is safe —
+      // ea/na are functions of a_id
+      .groupBy($"a_id", $"b_id")
+      .agg(first($"ea").as("ea"), first($"na").as("na"),
+        first($"eb").as("eb"), first($"nb").as("nb"))
+      .filter(Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= threshold)
+      .select($"a_id", $"b_id")
+  }
+
+  /** Components over either edge set: (vec_id, cluster_id, is_kept). */
+  def components(spark: SparkSession, embs: DataFrame, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    DedupClusters.assign(embs.select($"vec_id".as("doc_id")), edges)
+      .select($"doc_id".as("vec_id"), $"cluster_id",
+        ($"doc_id" === $"cluster_id").cast("long").as("is_kept"))
+  }
+}

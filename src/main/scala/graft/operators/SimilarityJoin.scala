@@ -60,9 +60,13 @@ object SimilarityJoin {
     *              sorted ascending and duplicate-free (the contract
     *              `Text.shingleHashes` produces) — the hashed form skips
     *              the per-row hash+sort here
+    * @param broadcastSetRows verify-join shape guard (default
+    *              [[BroadcastSetRows]]); tests force 0 to exercise the
+    *              shuffle fallback on small corpora
     * @return (a_id, b_id, jaccard) — jaccard exact, unrounded */
   def jaccard(sets: DataFrame, idCol: String, setCol: String,
-              threshold: Double): DataFrame = {
+              threshold: Double,
+              broadcastSetRows: Long = BroadcastSetRows): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
@@ -122,7 +126,7 @@ object SimilarityJoin {
     val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
     val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
     val (ja, jb) =
-      if (sized.count() <= BroadcastSetRows) (broadcast(a), broadcast(b))
+      if (sized.count() <= broadcastSetRows) (broadcast(a), broadcast(b))
       else (a, b)
     candidates
       .join(ja, "a_id").join(jb, "b_id")
@@ -165,7 +169,8 @@ object SimilarityJoin {
     * @return (a_id, b_id, inter, n_a) — a_id is the contained side;
     *         containment = inter / n_a, both exact longs. */
   def containment(sets: DataFrame, idCol: String, setCol: String,
-                  threshold: Double): DataFrame = {
+                  threshold: Double,
+                  broadcastSetRows: Long = BroadcastSetRows): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold not in (0,1]")
@@ -220,7 +225,7 @@ object SimilarityJoin {
     val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
     val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
     val (ja, jb) =
-      if (sized.count() <= BroadcastSetRows) (broadcast(a), broadcast(b))
+      if (sized.count() <= broadcastSetRows) (broadcast(a), broadcast(b))
       else (a, b)
     candidates
       .join(ja, "a_id").join(jb, "b_id")

@@ -1288,19 +1288,27 @@ object Docs {
          |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
          |FROM lab ORDER BY vec_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val nv = embs(s, dir)
-        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val a = nv.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
-        .repartition(p)
-      val b = nv.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
-      val edges = a.join(b, $"a_id" < $"b_id")
-        .filter(Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= 0.4)
-        .select($"a_id", $"b_id")
-      graft.operators.DedupClusters.assign(
-          embs(s, dir).select($"vec_id".as("doc_id")), edges)
-        .select($"doc_id".as("vec_id"), $"cluster_id",
-          ($"doc_id" === $"cluster_id").cast("long").as("is_kept"))
+      import graft.operators.SemDedup
+      SemDedup.components(s, embs(s, dir),
+          SemDedup.exactEdges(s, embs(s, dir), 0.4))
+        .orderBy($"vec_id")
+    },
+
+    // ---- d44: d38's SCALE path made real — the same semantic
+    // componentization over IVF multi-probe candidate edges
+    // (SemDedup.annEdges: bucket join on shared probed clusters →
+    // exact cosine verify → the identical DedupClusters call). The
+    // quadratic pair generation is bounded per bucket (~nprobe·n/C
+    // vectors), which is what survives 100 TB where d38's all-pairs
+    // baseline cannot. rows-only by design (a qualifying pair whose
+    // probe sets are disjoint is missed — probabilistic, like d11/d16);
+    // AnnSpec pins the measured edge recall and component parity
+    // against the exact path on this corpus.
+    GraftQuery.rowsOnly("d44_semdedup_ann") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SemDedup
+      SemDedup.components(s, embs(s, dir),
+          SemDedup.annEdges(s, embs(s, dir), 0.4, numClusters = 16, nprobe = 4))
         .orderBy($"vec_id")
     },
 

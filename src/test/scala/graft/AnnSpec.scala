@@ -102,6 +102,34 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Paths.get("ANN_CURVE.md"), md.toString)
   }
 
+  test("d44 semantic-dedup ANN path: edge recall vs exact, identical components (sf0.01)") {
+    import graft.operators.SemDedup
+    import spark.implicits._
+    // the scale path's contract (SURVEY: "IVF/LSH candidate edges at
+    // scale with identical componentization"): the bucket-bounded edge
+    // generator must recover enough of the exact cosine graph that the
+    // star-contraction components COINCIDE on this corpus — dedup
+    // decisions, not just edge counts, are what the operator ships
+    val nv = Tables.load(spark, Sf001, "embeddings")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = edgeSet(SemDedup.exactEdges(spark, nv, 0.4))
+    val ann = edgeSet(SemDedup.annEdges(spark, nv, 0.4, numClusters = 16, nprobe = 4))
+    assert(exact.nonEmpty, "sf0.01 corpus should contain cosine>=0.4 edges")
+    assert(ann.subsetOf(exact),
+      "every ANN edge is exact-verified — false positives are impossible by construction")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.8, f"ANN edge recall $recall%.3f below 0.8 (nprobe=4/16)")
+
+    def comps(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      SemDedup.components(spark, nv, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactComps = comps(SemDedup.exactEdges(spark, nv, 0.4))
+    val annComps = comps(SemDedup.annEdges(spark, nv, 0.4, 16, 4))
+    assert(annComps === exactComps,
+      "ANN candidate edges must componentize identically to the exact graph")
+  }
+
   test("d16 LSH: locality property on constructed vectors") {
     import spark.implicits._
     import graft.operators.AnnLsh

@@ -67,6 +67,56 @@ class PlanShapeSpec extends SparkSpec {
       s"verify must probe the broadcast set table on both sides (got $broadcasts):\n$p")
   }
 
+  test("similarity verify: the shuffle fallback branch is correct and actually shuffles") {
+    import graft.functions.Text
+    import graft.operators.SimilarityJoin
+    import org.apache.spark.sql.functions._
+    // the row-count guard (BroadcastSetRows) picks the verify-join
+    // shape; the fallback arm for corpora whose set table outgrows
+    // executor memory must (a) produce the identical edge set and
+    // (b) genuinely plan as a shuffle join — an untested fallback is a
+    // landmine that only detonates at the scale it exists for
+    val sets = Tables.load(spark, Sf0001, "documents")
+      .select(col("doc_id"), Text.shingleHashes(col("text"), 3).as("sh"))
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = SimilarityJoin.jaccard(sets, "doc_id", "sh", 0.5)
+    assert("BroadcastHashJoin \\[[ab]_id".r.findFirstIn(
+      viaBroadcast.queryExecution.executedPlan.toString).isDefined,
+      "default branch must broadcast the set table into the verify join")
+    val broadcastEdges = edges(viaBroadcast)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so the un-hinted branch is a REAL shuffle
+      // join, as it would be at the corpus size that triggers it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = SimilarityJoin.jaccard(sets, "doc_id", "sh", 0.5,
+        broadcastSetRows = 0L)
+      val p = viaShuffle.queryExecution.executedPlan.toString
+      // scope to the verify joins (keyed a_id / b_id): the cached
+      // prefix/set tables legitimately embed broadcast joins from their
+      // own (first-run) plans inside the InMemoryRelation text
+      assert(!"BroadcastHashJoin \\[[ab]_id".r.findFirstIn(p).isDefined,
+        s"fallback verify join must not broadcast:\n$p")
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[a_id".r.findFirstIn(p).isDefined &&
+        "(SortMergeJoin|ShuffledHashJoin) \\[b_id".r.findFirstIn(p).isDefined,
+        s"fallback verify join is not a shuffle join on both sides:\n$p")
+      assert(edges(viaShuffle) === broadcastEdges,
+        "both verify shapes must produce the identical edge set")
+      assert(broadcastEdges.nonEmpty, "sf0.001 corpus should contain near-dup edges")
+
+      // same guarantee for the containment variant's guard
+      val cont = SimilarityJoin.containment(sets, "doc_id", "sh", 0.5,
+        broadcastSetRows = 0L)
+      assert(!"BroadcastHashJoin \\[[ab]_id".r
+        .findFirstIn(cont.queryExecution.executedPlan.toString).isDefined)
+      val contDefault = SimilarityJoin.containment(sets, "doc_id", "sh", 0.5)
+      assert(edges(cont.select(col("a_id"), col("b_id"))) ===
+        edges(contDefault.select(col("a_id"), col("b_id"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("e17: the stats side broadcasts back over events; no window sort") {
     val p = plan("e17_outlier_events")
     assert(p.contains("BroadcastHashJoin"),

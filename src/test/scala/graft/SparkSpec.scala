@@ -18,6 +18,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 
   override def beforeAll(): Unit = {
     spark.sparkContext.setLogLevel("WARN")

@@ -232,6 +232,99 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  // ---- state BOUNDS, not just results: the 100 TB claim for the
+  // complete-mode summary entries is "state scales with the summary,
+  // not the stream". These guards read the engine's own state-store
+  // accounting (StreamingQueryProgress.stateOperators.numRowsTotal)
+  // after every micro-batch, so a regression that silently starts
+  // keying state by event (or leaking evicted groups) fails here even
+  // while results stay correct.
+
+  /** Drain `chunks` as real micro-batches, recording the state-store
+    * row total after each one. */
+  private def drainWithStateTotals[A](df: org.apache.spark.sql.DataFrame,
+      outputMode: String, in: MemoryStream[A],
+      chunks: Seq[Seq[A]]): (Seq[org.apache.spark.sql.Row], Seq[Long]) = {
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      val totals = chunks.map { c =>
+        in.addData(c); q.processAllAvailable()
+        // latest progress entry that actually carries state accounting
+        // (a trailing no-data batch can report none)
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      }
+      (spark.table(name).collect().toSeq, totals)
+    } finally q.stop()
+  }
+
+  test("s13/s15/s16 shapes: complete-mode state cardinality equals the summary, not the stream") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, Sf0001)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, Timestamp, Long, Double)].collect().sortBy(_._2.getTime).toSeq
+    val nEvents = rows.size
+    def chunks = rows.grouped(math.max(1, nEvents / 4)).toSeq
+
+    // s15 shape: per-(user, day) OHLC — state rows == bars
+    val in15 = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val bars = in15.toDF().toDF("user_id", "ts", "event_id", "value")
+      .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(min_by($"value", struct($"ts", $"event_id")).as("open"),
+        max($"value").as("high"), min($"value").as("low"),
+        max_by($"value", struct($"ts", $"event_id")).as("close"),
+        count(lit(1)).as("n"))
+    val (barRows, barState) = drainWithStateTotals(bars, "complete", in15, chunks)
+    assert(barState === barState.sorted, "state totals must be monotone under complete mode")
+    assert(barState.last === barRows.size.toLong,
+      s"s15 state ${barState.last} != ${barRows.size} (user, day) bars")
+    assert(barState.last < nEvents, "state must be summary-sized, not stream-sized")
+
+    // s13 shape: per-(day, value-bin) histogram — state rows == cells
+    val in13 = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val binned = in13.toDF().toDF("user_id", "ts", "event_id", "value")
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
+        floor($"value" / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val (binRows, binState) = drainWithStateTotals(binned, "complete", in13, chunks)
+    assert(binState.last === binRows.size.toLong,
+      s"s13 state ${binState.last} != ${binRows.size} day-bins")
+    assert(binState.last < nEvents)
+
+    // s16 shape: per-(user, week) drift cells — state rows == user-weeks
+    val in16 = MemoryStream[(Long, Timestamp, Long, Double)](spark)
+    val weekly = in16.toDF().toDF("user_id", "ts", "event_id", "value")
+      .groupBy($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val (wkRows, wkState) = drainWithStateTotals(weekly, "complete", in16, chunks)
+    assert(wkState.last === wkRows.size.toLong,
+      s"s16 state ${wkState.last} != ${wkRows.size} user-weeks")
+    assert(wkState.last < nEvents)
+  }
+
+  test("s14: GroupState is one RunStats row per user — three longs, flat in events") {
+    import graft.streaming.StreamOps.StatEvent
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("vi"), $"value")
+      .as[StatEvent].collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+    val nUsers = rows.map(_.user_id).distinct.size
+    val in = MemoryStream[StatEvent](spark)
+    val flagged = StreamOps.runningOutlierGate(in.toDS(), minPrior = 30L)
+    val (_, totals) = drainWithStateTotals(flagged.toDF(), "append", in,
+      rows.grouped(math.max(1, rows.size / 4)).toSeq)
+    // RunStats is (n: Long, s: Long, q: Long) — the row count is the
+    // whole state story: one row per user, never per event
+    assert(totals.last === nUsers.toLong,
+      s"s14 state ${totals.last} != $nUsers users")
+    assert(totals.max === nUsers.toLong, "state never exceeds the user count")
+  }
+
   test("s4 watermarked dedup drops redeliveries across batches but keeps state bounded") {
     val in = MemoryStream[(Long, Timestamp)](spark)
     val deduped = StreamOps.dedupWithinWatermark(
