@@ -45,7 +45,7 @@ object Bench {
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0; capped at 35% of the time budget.
+    // SPARK_GRAFT_WARMUP=0; capped at 30% of the time budget.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory) {

@@ -25,6 +25,40 @@ object Docs {
       |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm, text
       |  FROM documents)""".stripMargin
 
+  /** d45's oracle: the k-round BPE merge loop unrolled into a CTE
+    * chain — per round, a pair count over the current tokenization, the
+    * (n desc, pair asc) argmax, and the greedy rewrite as the SAME
+    * double-space literal replace the Spark operator runs (see
+    * BpeTrain's scaladoc for why left-to-right non-overlapping replace
+    * on the doubled form IS greedy BPE). */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder(normCte)
+    sb.append(",\nd0 AS (SELECT norm AS s FROM nd WHERE length(norm) > 0)")
+    for (r <- 1 to k) {
+      val prev = s"d${r - 1}"
+      sb.append(s""",
+        |p$r AS (SELECT pair, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(0, len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS pair
+        |  FROM (SELECT string_split(s, ' ') AS toks FROM $prev) t$r
+        |  WHERE len(toks) >= 2) u$r GROUP BY pair),
+        |m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+        |d$r AS (SELECT trim(replace(replace(
+        |    ' ' || replace(s, ' ', '  ') || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$r) || ' ',
+        |    ' ' || (SELECT replace(pair, ' ', '+') FROM m$r) || ' '),
+        |  '  ', ' ')) AS s FROM $prev),
+        |c$r AS (SELECT SUM(len(string_split(s, ' '))) AS ntok FROM d$r)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (")
+    sb.append((1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, (SELECT pair FROM m$r) AS pair, " +
+        s"(SELECT CAST(n AS BIGINT) FROM m$r) AS n, " +
+        s"(SELECT CAST(ntok AS BIGINT) FROM c$r) AS n_corpus_tokens").mkString(" UNION ALL "))
+    sb.append(") z ORDER BY step")
+    sb.toString
+  }
+
   /** Oracle prelude: embeddings with exact double norms. */
   private val nvCte =
     """WITH nv AS (SELECT vec_id, label, embedding,
@@ -1310,6 +1344,22 @@ object Docs {
       SemDedup.components(s, embs(s, dir),
           SemDedup.annEdges(s, embs(s, dir), 0.4, numClusters = 16, nprobe = 4))
         .orderBy($"vec_id")
+    },
+
+    // ---- d45: ITERATED BPE training (BpeTrain) — k=6 corpus-level
+    // greedy merges with a full pair recount between rounds, the
+    // iteration d36's single round leads into. The whole loop is
+    // oracle-checked: the double-space replace trick expresses greedy
+    // left-to-right merging as ONE literal string replace per round,
+    // identical in Spark and DuckDB, so the unrolled 6-round CTE chain
+    // (generated by bpeOracleSql) recomputes the exact merge sequence
+    // AND the post-merge corpus token totals. BpeSpec re-derives both
+    // with a plain-Scala fold as a third independent implementation.
+    GraftQuery.sql("d45_bpe_train", bpeOracleSql(6)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.BpeTrain.train(s,
+          docs(s, dir).select(Text.normalize($"text").as("norm")), "norm", k = 6)
+        .orderBy($"step")
     },
 
     // ---- d39: per-document top-3 TF-IDF keywords (linear-idf variant:

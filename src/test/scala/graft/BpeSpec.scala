@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** d45 (BpeTrain): the k-round merge loop against a plain-Scala greedy
+  * fold — a third implementation independent of BOTH the Spark
+  * double-space replace and the DuckDB oracle's identical expression,
+  * so a shared misunderstanding of the replace trick (overlap handling,
+  * boundary sharing) cannot pass silently. */
+class BpeSpec extends SparkSpec {
+
+  test("d45: operator merge sequence equals an explicit greedy-fold BPE (sf0.001)") {
+    val norms = Tables.load(spark, Sf0001, "documents")
+      .select(Text.normalize(col("text")).as("norm"))
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+
+    // reference implementation on token lists: count ALL adjacent
+    // positions (overlapping, with multiplicity), merge greedily
+    // left-to-right ("a a a" -> "a+a a", "a b a b" -> both)
+    var corpus = norms.map(_.split(" ").toVector)
+    val expected = (1 to 6).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach { ts =>
+        var i = 0
+        while (i < ts.length - 1) {
+          val p = (ts(i), ts(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + 1
+          i += 1
+        }
+      }
+      val (pair, n) = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+      corpus = corpus.map { ts =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i < ts.length - 1 && ts(i) == pair._1 && ts(i + 1) == pair._2) {
+            out += ts(i) + "+" + ts(i + 1); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        out.result()
+      }
+      (step.toLong, pair._1 + " " + pair._2, n, corpus.map(_.size.toLong).sum)
+    }
+
+    val got = SparkEntry.queries("d45_bpe_train")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected, "merge sequence / corpus token totals diverge")
+    assert(got.map(_._4) === got.map(_._4).sorted.reverse,
+      "every merge must shrink (or hold) the corpus token total")
+  }
+}
