@@ -11,9 +11,12 @@ import scala.jdk.CollectionConverters._
   * was rc=124 with zero data):
   *  - per-query progress lines + BENCH_LOCAL.json rewritten after EVERY
   *    query, so even a killed run leaves all completed measurements;
-  *  - SPARK_GRAFT_TIME_BUDGET (seconds, default 240) adaptively degrades
-  *    reps 3→1 and then skips remaining warmup/queries before the
-  *    deadline instead of blowing through it;
+  *  - SPARK_GRAFT_TIME_BUDGET (seconds, default 240) is allocated
+  *    COVERAGE-FIRST: pass 1 runs every query exactly once (so the
+  *    artifact is complete even when the suite outgrows the budget —
+  *    BENCH_r05 skipped 10 streaming queries under the old
+  *    reps-first order), then remaining budget funds extra reps for
+  *    median stability, batch queries first;
   *  - streaming entries (s*) default to 1 rep: their variance is the
   *    micro-batch harness floor (state-store setup + drain), not plan
   *    quality, so median-of-3 buys nothing there (BENCH_NOTES.md).
@@ -102,36 +105,56 @@ object Bench {
     }
 
     val deadline = budget * 0.95
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // free caches a query may have persisted so later timings are clean
+      spark.catalog.clearCache()
+      if (ok) dt else -1.0
+    }
+    def record(name: String, dt: Double): Unit = {
+      val times = (results.getOrElse(name, Seq.empty) :+ dt).sorted
+      results(name) = times
+      println(s"""{"bench_progress":{"q":"$name","med":${fmt(times(times.length / 2))},"reps":${times.length},"elapsed":${fmt(elapsed)}}}""")
+      writeLocal(complete = false)
+    }
+    // Pass 1 — coverage: every selected query exactly once. The suite
+    // outgrew reps-first budgeting at 115 queries (BENCH_r05 skipped
+    // the whole streaming family); one rep of everything is ~60 s at
+    // sf0.1, so coverage always lands even on a contended host.
     for ((name, fn) <- selected) {
-      if (elapsed >= deadline) { skipped += name }
-      else {
-        val reps = if (name.startsWith("s")) repsStream else repsBatch
-        val times = scala.collection.mutable.ArrayBuffer[Double]()
-        var rep = 0
-        while (rep < reps && (rep == 0 ||
-            elapsed + times.last.max(0.0) < deadline)) {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // free caches a query may have persisted so later timings are clean
-          spark.catalog.clearCache()
-          times += (if (ok) dt else -1.0)
-          rep += 1
+      if (elapsed >= deadline) skipped += name
+      else record(name, timeOnce(name, fn))
+    }
+    // Passes 2..N — precision: spend what's left on extra reps toward
+    // the per-family rep target so the recorded figure is a median, not
+    // a single co-tenant-noise-exposed shot. Batch queries first (their
+    // variance is plan-relevant); each candidate must fit its own
+    // last-observed time inside the deadline.
+    var madeProgress = true
+    while (madeProgress && elapsed < deadline) {
+      madeProgress = false
+      for ((name, fn) <- selected if results.contains(name)) {
+        val target = if (name.startsWith("s")) repsStream else repsBatch
+        val have = results(name)
+        if (have.length < target && have.nonEmpty &&
+            elapsed + have.last.max(0.0) < deadline) {
+          record(name, timeOnce(name, fn))
+          madeProgress = true
         }
-        results(name) = times.sorted.toSeq
-        println(s"""{"bench_progress":{"q":"$name","med":${fmt(times.sorted.apply(times.length / 2))},"reps":${times.length},"elapsed":${fmt(elapsed)}}}""")
-        writeLocal(complete = false)
       }
     }
     writeLocal(complete = skipped.isEmpty)
     val json = summaryJson(complete = skipped.isEmpty)
     // The driver parses the LAST stdout line: silence Spark's shutdown
-    // chatter, stop, then print the summary as the genuinely final line
-    // (build.sbt suppresses sbt's "[success]" trailer and un-prefixes
-    // forked output).
+    // chatter, stop (failures swallowed — a throwing stop() must not
+    // push shutdown noise after the summary), then print the summary as
+    // the genuinely final line (build.sbt suppresses sbt's "[success]"
+    // trailer and un-prefixes forked output).
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    try spark.stop() catch { case _: Throwable => () }
     println(json)
   }
 }
