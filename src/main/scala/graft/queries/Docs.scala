@@ -30,7 +30,17 @@ object Docs {
     * (n desc, pair asc) argmax, and the greedy rewrite as the SAME
     * double-space literal replace the Spark operator runs (see
     * BpeTrain's scaladoc for why left-to-right non-overlapping replace
-    * on the doubled form IS greedy BPE). */
+    * on the doubled form IS greedy BPE). Exhaustion-guarded like the
+    * operator: a round with no adjacent pair left (m$r empty) rewrites
+    * nothing (COALESCE to a chr(1) pattern that never occurs — NULL
+    * would otherwise NULL-propagate through replace and wipe the
+    * corpus) and emits no row, so operator and oracle agree on
+    * degenerate/tiny corpora that exhaust before k rounds.
+    *
+    * m$r/d$r are declared MATERIALIZED: each is consumed by several
+    * downstream CTEs, and left to its own inlining heuristic DuckDB
+    * re-expands the whole chain per consumer — measured ~10× slowdown
+    * per round (exponential in k) on small inline tables. */
   private def bpeOracleSql(k: Int): String = {
     val sb = new StringBuilder(normCte)
     sb.append(",\nd0 AS (SELECT norm AS s FROM nd WHERE length(norm) > 0)")
@@ -42,11 +52,11 @@ object Docs {
         |      i -> toks[i+1] || ' ' || toks[i+2])) AS pair
         |  FROM (SELECT string_split(s, ' ') AS toks FROM $prev) t$r
         |  WHERE len(toks) >= 2) u$r GROUP BY pair),
-        |m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-        |d$r AS (SELECT trim(replace(replace(
+        |m$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+        |d$r AS MATERIALIZED (SELECT trim(replace(replace(
         |    ' ' || replace(s, ' ', '  ') || ' ',
-        |    ' ' || (SELECT replace(pair, ' ', '  ') FROM m$r) || ' ',
-        |    ' ' || (SELECT replace(pair, ' ', '+') FROM m$r) || ' '),
+        |    COALESCE((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r), chr(1)),
+        |    COALESCE((SELECT ' ' || replace(pair, ' ', '+') || ' ' FROM m$r), chr(1))),
         |  '  ', ' ')) AS s FROM $prev),
         |c$r AS (SELECT SUM(len(string_split(s, ' '))) AS ntok FROM d$r)""".stripMargin)
     }
@@ -54,7 +64,8 @@ object Docs {
     sb.append((1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS step, (SELECT pair FROM m$r) AS pair, " +
         s"(SELECT CAST(n AS BIGINT) FROM m$r) AS n, " +
-        s"(SELECT CAST(ntok AS BIGINT) FROM c$r) AS n_corpus_tokens").mkString(" UNION ALL "))
+        s"(SELECT CAST(ntok AS BIGINT) FROM c$r) AS n_corpus_tokens " +
+        s"WHERE EXISTS (SELECT 1 FROM m$r)").mkString(" UNION ALL "))
     sb.append(") z ORDER BY step")
     sb.toString
   }

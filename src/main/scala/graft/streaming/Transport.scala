@@ -53,8 +53,17 @@ object Transport {
   /** Shard identity with reshard parentage — the reference's
     * parentShardId + adjacentParentShardId pair
     * (KinesisSource.scala:135-141): one parent = split child, two
-    * parents = merge child, none = original shard. */
-  final case class ShardInfo(shardId: String, parents: Seq[String])
+    * parents = merge child, none = original shard.
+    *
+    * `maxSeq`, when present, is the shard's current frontier as of this
+    * describeShards call, letting the driver admit a micro-batch from
+    * ONE client call per trigger instead of one maxSequence call per
+    * shard (the N+1 that multiplies API traffic for a remote client at
+    * high shard counts — the reference gets shard metadata in a single
+    * describeStream). Readers that can't compute it cheaply leave None
+    * and the source falls back to per-shard maxSequence. */
+  final case class ShardInfo(
+      shardId: String, parents: Seq[String], maxSeq: Option[Long] = None)
 }
 
 /** Source-side client surface (see [[Transport]]). All methods are
@@ -118,7 +127,8 @@ final class FileShardReader(rootStr: String) extends ShardReader {
   override def describeShards(): Seq[Transport.ShardInfo] =
     ShardedLog.listShards(root).map { d =>
       val name = d.getFileName.toString
-      Transport.ShardInfo(name, ShardedLog.parentsOf(root, name))
+      Transport.ShardInfo(name, ShardedLog.parentsOf(root, name),
+        maxSeq = Some(maxSequence(name)))
     }
 
   override def maxSequence(shard: String): Long = {
@@ -208,7 +218,8 @@ final class InMemoryTransport(
     val log = logs(id)
     log.synchronized {
       log.shards.keys.toSeq.sorted.map(s =>
-        Transport.ShardInfo(s, log.parents.getOrElse(s, Vector.empty)))
+        Transport.ShardInfo(s, log.parents.getOrElse(s, Vector.empty),
+          maxSeq = Some(log.shards(s).length.toLong)))
     }
   }
 

@@ -50,4 +50,15 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._4) === got.map(_._4).sorted.reverse,
       "every merge must shrink (or hold) the corpus token total")
   }
+
+  test("d45: a corpus that exhausts before k rounds truncates the output") {
+    import spark.implicits._
+    // "a b" merges once into a+b; round 2 has no adjacent pair left
+    // (both docs are single tokens), so train(k=4) must emit 1 row —
+    // matching the oracle's EXISTS-guarded unrolled rounds.
+    val docs = Seq("a b", "c").toDF("norm")
+    val got = graft.operators.BpeTrain.train(spark, docs, "norm", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a b", 1L, 2L)))
+  }
 }

@@ -211,8 +211,12 @@ class DedupSpec extends SparkSpec {
     } finally {
       spark.sparkContext.setCheckpointDir(null) // Option(null) => unset
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // Files.walk holds a directory handle until closed (same class of
+      // leak ShardedLog.withDirStream guards against)
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
   }
 

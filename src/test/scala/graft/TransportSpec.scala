@@ -111,6 +111,33 @@ class TransportSpec extends SparkSpec {
     } finally { TransportRegistry.unregister(id); InMemoryTransport.drop(id) }
   }
 
+  test("a reader carrying the frontier in describeShards never gets per-shard maxSequence calls") {
+    // The N+1 guard: a remote client pays one API call per trigger when
+    // ShardInfo.maxSeq is populated (the reference's single
+    // describeStream); maxSequence must then never be consulted for
+    // batch admission.
+    val id = freshId()
+    val inner = new InMemoryTransport(id, numShards = 3)
+    val counting = new graft.streaming.ShardReader {
+      val maxSeqCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def describeShards() = inner.describeShards()
+      override def maxSequence(shard: String) = {
+        maxSeqCalls.incrementAndGet(); inner.maxSequence(shard)
+      }
+      override def sequenceAtTimestamp(shard: String, tsUs: Long) =
+        inner.sequenceAtTimestamp(shard, tsUs)
+      override def read(shard: String, afterSeq: Long, toSeq: Long) =
+        inner.read(shard, afterSeq, toSeq)
+    }
+    TransportRegistry.register(id, counting)
+    try {
+      (1 to 9).foreach(i => inner.putRecords(Seq((s"k$i", s"v$i".getBytes))))
+      val rows = drain(id).collect()
+      assert(rows.length === 9)
+      assert(counting.maxSeqCalls.get === 0)
+    } finally { TransportRegistry.unregister(id); InMemoryTransport.drop(id) }
+  }
+
   test("unregistered transport name fails fast with a clear error") {
     val err = intercept[Exception] { drain("no-such-transport") }
     def chain(t: Throwable): Seq[Throwable] =
