@@ -49,8 +49,16 @@ object SemDedup {
 
   /** Bucket-bounded candidate pairs, cosine-verified — the 100 TB form.
     * Candidates: vectors sharing >= 1 of their `nprobe` probed IVF
-    * clusters; the distinct-pair aggregate runs BEFORE the verify so a
-    * pair sharing several buckets is verified once. */
+    * clusters. The verify runs MAP-SIDE right after the bucket join
+    * (embeddings are only ever shuffled once per side, keyed by
+    * cluster), and only then are pairs projected to bare ids and
+    * distinct-ed — so the pair exchange carries 16-byte verified edges,
+    * not candidates dragging two embeddings each (the previous
+    * dedup-before-verify shape shuffled every candidate pair with both
+    * vectors attached: ~n²/C · 2·dim floats through one groupBy, the
+    * dominant cost at any scale). A pair sharing several probed buckets
+    * recomputes its cosine up to nprobe² times — bounded, branch-free
+    * codegen'd arithmetic, strictly cheaper than shipping the vectors. */
   def annEdges(spark: SparkSession, embs: DataFrame, threshold: Double,
                numClusters: Int = 16, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
@@ -67,14 +75,10 @@ object SemDedup {
     val r = indexed.select($"cluster_id", $"vec_id".as("b_id"),
       $"embedding".as("eb"), $"nrm".as("nb"))
     l.join(r, "cluster_id")
-      .filter($"a_id" < $"b_id")
-      // dedup multi-bucket pairs BEFORE the verify: first() is safe —
-      // ea/na are functions of a_id
-      .groupBy($"a_id", $"b_id")
-      .agg(first($"ea").as("ea"), first($"na").as("na"),
-        first($"eb").as("eb"), first($"nb").as("nb"))
-      .filter(Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= threshold)
+      .filter($"a_id" < $"b_id" &&
+        Vectors.cosineWithNorms($"ea", $"eb", $"na", $"nb") >= threshold)
       .select($"a_id", $"b_id")
+      .distinct()
   }
 
   /** Components over either edge set: (vec_id, cluster_id, is_kept). */
