@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterated corpus-level BPE merge training (word-level analog of
@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** One greedy merge of `pair` applied to a single-space-tokenized
+    * string column — the double-space replace (see scaladoc above),
+    * usable standalone to APPLY a trained merge sequence (d47) with
+    * the exact semantics training used. */
+  def applyMerge(s: Column, pair: String): Column = {
+    val doubled = " " + pair.replace(" ", "  ") + " "
+    val merged = " " + pair.replace(" ", "+") + " "
+    trim(replace(replace(
+      concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" ")),
+      lit(doubled), lit(merged)),
+      lit("  "), lit(" ")))
+  }
+
   /** @param docs    corpus with a whitespace-tokenized text column
     *                (tokens must not contain spaces; empty rows are
     *                ignored)
@@ -60,12 +73,7 @@ object BpeTrain {
       if (top.isEmpty) exhausted = true // corpus fully merged (degenerate)
       else {
         val (bestPair, bestN) = (top(0).getString(0), top(0).getLong(1))
-        val doubled = " " + bestPair.replace(" ", "  ") + " "
-        val merged = " " + bestPair.replace(" ", "+") + " "
-        cur = cur.select(trim(replace(replace(
-            concat(lit(" "), replace($"s", lit(" "), lit("  ")), lit(" ")),
-            lit(doubled), lit(merged)),
-          lit("  "), lit(" "))).as("s"))
+        cur = cur.select(applyMerge($"s", bestPair).as("s"))
           .localCheckpoint(true) // constant plan depth across rounds
         val nTok = cur.select(sum(size(split($"s", " ")))).head().getLong(0)
         steps += ((step.toLong, bestPair, bestN, nTok))

@@ -41,9 +41,12 @@ object Docs {
     * downstream CTEs, and left to its own inlining heuristic DuckDB
     * re-expands the whole chain per consumer — measured ~10× slowdown
     * per round (exponential in k) on small inline tables. */
-  private def bpeOracleSql(k: Int): String = {
+  /** The shared k-round WITH-chain (normCte + d0..dk, m1..mk, c1..ck);
+    * d$r carries doc_id so per-doc consumers (d47) can join the final
+    * corpus back to the original. */
+  private def bpeRoundsCte(k: Int): String = {
     val sb = new StringBuilder(normCte)
-    sb.append(",\nd0 AS (SELECT norm AS s FROM nd WHERE length(norm) > 0)")
+    sb.append(",\nd0 AS (SELECT doc_id, norm AS s FROM nd WHERE length(norm) > 0)")
     for (r <- 1 to k) {
       val prev = s"d${r - 1}"
       sb.append(s""",
@@ -53,13 +56,18 @@ object Docs {
         |  FROM (SELECT string_split(s, ' ') AS toks FROM $prev) t$r
         |  WHERE len(toks) >= 2) u$r GROUP BY pair),
         |m$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
-        |d$r AS MATERIALIZED (SELECT trim(replace(replace(
+        |d$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(
         |    ' ' || replace(s, ' ', '  ') || ' ',
         |    COALESCE((SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r), chr(1)),
         |    COALESCE((SELECT ' ' || replace(pair, ' ', '+') || ' ' FROM m$r), chr(1))),
         |  '  ', ' ')) AS s FROM $prev),
         |c$r AS (SELECT SUM(len(string_split(s, ' '))) AS ntok FROM d$r)""".stripMargin)
     }
+    sb.toString
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder(bpeRoundsCte(k))
     sb.append("\nSELECT * FROM (")
     sb.append((1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS step, (SELECT pair FROM m$r) AS pair, " +
@@ -67,6 +75,52 @@ object Docs {
         s"(SELECT CAST(ntok AS BIGINT) FROM c$r) AS n_corpus_tokens " +
         s"WHERE EXISTS (SELECT 1 FROM m$r)").mkString(" UNION ALL "))
     sb.append(") z ORDER BY step")
+    sb.toString
+  }
+
+  /** d46's oracle: integer-lattice Lloyd unrolled — quantize
+    * (floor((x+1)·2^20), exact FP ops both engines), then per round an
+    * argmin assignment in BIGINT squared-L2 and a centroid update
+    * re-rounded to the lattice by round-half-up integer division (all
+    * coordinates non-negative, so `//` floor-division equals Spark's
+    * truncating `div`). Final output = the assignment against the
+    * centroids after `iters` updates, exactly KMeans.fit's shape. An
+    * emptied cluster keeps its previous centroid (the LEFT JOIN
+    * COALESCE), as in the operator. a/c CTEs MATERIALIZED (the d45
+    * lesson: DuckDB's inlining heuristic re-expands chained CTE
+    * consumers exponentially on small tables). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, q AS c
+         |  FROM qv ORDER BY vec_id LIMIT $k)""".stripMargin)
+    // round r: a$r assigns against c${r-1}; c$r is the lattice-rounded
+    // update; one extra assignment a${iters+1} produces the output
+    for (r <- 1 to iters + 1) {
+      val prev = s"c${r - 1}"
+      sb.append(s""",
+        |a$r AS MATERIALIZED (SELECT vec_id, q, k, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |  FROM (SELECT qv.vec_id, qv.q, c.k,
+        |      list_sum(list_transform(range(len(qv.q)),
+        |        i -> (qv.q[i+1] - c.c[i+1]) * (qv.q[i+1] - c.c[i+1]))) AS d2
+        |    FROM qv CROSS JOIN $prev c) t$r)""".stripMargin)
+      if (r <= iters) sb.append(s""",
+        |x$r AS (SELECT k, unnest(list_transform(range(len(q)),
+        |    i -> struct_pack(i := i, v := q[i+1]))) AS u
+        |  FROM a$r WHERE rn = 1),
+        |c$r AS MATERIALIZED (SELECT p.k, COALESCE(n.c, p.c) AS c
+        |  FROM $prev p LEFT JOIN (
+        |    SELECT k, list(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY i) AS c
+        |    FROM (SELECT k, u.i AS i, SUM(u.v) AS s, COUNT(*) AS n
+        |      FROM x$r GROUP BY k, u.i) s$r GROUP BY k) n ON n.k = p.k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT vec_id, CAST(k AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
+      |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin)
     sb.toString
   }
 
@@ -1371,6 +1425,114 @@ object Docs {
       graft.operators.BpeTrain.train(s,
           docs(s, dir).select(Text.normalize($"text").as("norm")), "norm", k = 6)
         .orderBy($"step")
+    },
+
+    // ---- d48: rare-bigram fluency flag — the corpus-statistics
+    // quality signal a perplexity filter (CCNet-style) approximates
+    // without a language model: the share of a doc's bigram OCCURRENCES
+    // whose corpus-wide frequency is below 3 (word salad has many
+    // near-unique transitions; fluent text repeats the corpus's
+    // n-grams). All-integer output (occurrence counts + basis points),
+    // flag at >3% rare (the corpus's tiny synthetic vocabulary makes
+    // bigram repetition the norm; 3% is the empirical 99th-percentile
+    // tail here — a natural corpus would flag far higher rates).
+    // Complements d22 (within-doc repetition) and
+    // d36 (corpus pair stats) with a cross-doc fluency measure.
+    // Scale shape: one token pass → (doc, bigram) partial aggregate;
+    // corpus counts aggregate the SAME (bigram)-keyed table and join
+    // back on their own partitioning (the d39 df idiom — no second
+    // corpus pass); the per-doc rollup rides one doc_id exchange. No
+    // collect, no window over the corpus.
+    GraftQuery.sql("d48_rare_bigram_flag",
+      s"""$normCte
+         |, tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS pair
+         |  FROM tk WHERE len(toks) >= 2),
+         |db AS (SELECT doc_id, pair, COUNT(*) AS k FROM bg GROUP BY 1, 2),
+         |cb AS (SELECT pair, SUM(k) AS n FROM db GROUP BY 1),
+         |agg AS (SELECT db.doc_id, SUM(db.k) AS n_bi,
+         |    SUM(CASE WHEN cb.n < 3 THEN db.k ELSE 0 END) AS n_rare
+         |  FROM db JOIN cb USING (pair) GROUP BY 1)
+         |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi,
+         |  CAST(n_rare AS BIGINT) AS n_rare,
+         |  CAST(n_rare * 10000 // n_bi AS BIGINT) AS rare_bp,
+         |  (n_rare * 100 > n_bi * 3) AS flagged
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val db = docs(s, dir)
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), size($"toks") - 2),
+          i => concat_ws(" ",
+            element_at($"toks", i + 1), element_at($"toks", i + 2)))).as("pair"))
+        .groupBy($"doc_id", $"pair").agg(count(lit(1)).as("k"))
+      val cb = db.groupBy($"pair").agg(sum($"k").as("n"))
+      db.join(cb, "pair")
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_bi"),
+          sum(when($"n" < 3, $"k").otherwise(0L)).as("n_rare"))
+        .select($"doc_id", $"n_bi", $"n_rare",
+          expr("n_rare * 10000 div n_bi").as("rare_bp"),
+          ($"n_rare" * 100 > $"n_bi" * 3).as("flagged"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d47: APPLY the trained tokenizer — d45's six learned merges
+    // run over the corpus as one six-deep replace projection (the same
+    // applyMerge expression training used, so train/apply can't skew),
+    // reporting per-doc token counts before/after and the compression
+    // in integer basis points. Completes the tokenizer arc: d25 vocab →
+    // d36 pair stats → d45 train → HERE apply → d41 coverage. Docs with
+    // empty normalized text are out of scope (they have no tokens).
+    // Scale shape: training cost is d45's (k bounded jobs, one (pair)
+    // row to the driver per round); application is a single map-side
+    // projection pass — the merge literals ride into tasks like a
+    // broadcast, no join, no shuffle at all.
+    GraftQuery.sql("d47_bpe_apply",
+      s"""${bpeRoundsCte(6)}
+         |SELECT b.doc_id, CAST(len(string_split(b.s, ' ')) AS BIGINT) AS n_tok,
+         |  CAST(len(string_split(a.s, ' ')) AS BIGINT) AS n_bpe,
+         |  CAST((len(string_split(b.s, ' ')) - len(string_split(a.s, ' '))) * 10000
+         |    // len(string_split(b.s, ' ')) AS BIGINT) AS saved_bp
+         |FROM d0 b JOIN d6 a USING (doc_id) ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val corpus = docs(s, dir)
+        .select($"doc_id", Text.normalize($"text").as("norm"))
+        .filter(length($"norm") > 0)
+      val merges = graft.operators.BpeTrain
+        .train(s, corpus.select($"norm"), "norm", k = 6)
+        .orderBy($"step").collect().map(_.getString(1)).toSeq
+      val applied = merges.foldLeft($"norm".as("s"): org.apache.spark.sql.Column)(
+        (c, p) => graft.operators.BpeTrain.applyMerge(c, p))
+      corpus
+        .withColumn("n_tok", size(split($"norm", " ")).cast("long"))
+        .withColumn("n_bpe", size(split(applied, " ")).cast("long"))
+        .select($"doc_id", $"n_tok", $"n_bpe",
+          expr("(n_tok - n_bpe) * 10000 div n_tok").as("saved_bp"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d46: EXACT k-means over embeddings (KMeans.fit, k=8, 3 Lloyd
+    // rounds) — the corpus-partitioning step SemDeDup-style pipelines
+    // cluster with before per-cluster dedup, made bit-exact by running
+    // every step on the 2^-20 integer lattice: quantization, BIGINT
+    // squared-L2 argmin, and centroids re-rounded to the lattice each
+    // round by round-half-up integer division (float k-means would
+    // hash-diverge on FP summation order). Deterministic lowest-vec_id
+    // seeds, lowest-k tie-break. The oracle unrolls all three rounds
+    // plus the output assignment; KMeansSpec re-derives the same fit
+    // with a plain-Scala loop and checks lattice-vs-float centroid
+    // drift is sub-cell.
+    // Scale shape: assignment is a map-side fold over a k×dim centroid
+    // literal (no Exchange — AnnIvf's discipline); each update shuffles
+    // k·dim (sum, count) cells, never vectors; the driver holds k·dim
+    // longs per round.
+    GraftQuery.sql("d46_kmeans_embed", kmeansOracleSql(8, 3)) { (s, dir) =>
+      import s.implicits._
+      graft.operators.KMeans.fit(s, embs(s, dir), k = 8, iters = 3)
+        .orderBy($"vec_id")
     },
 
     // ---- d39: per-document top-3 TF-IDF keywords (linear-idf variant:

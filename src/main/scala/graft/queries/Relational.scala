@@ -616,6 +616,54 @@ object Relational {
         .limit(20)
     },
 
+    // ---- q35: connected components over the co-purchase graph — the
+    // "related-product groups" segmentation, and DedupClusters proving
+    // it is a general graph operator, not a dedup special: the SAME
+    // large-star/small-star contraction that labels near-dup clusters
+    // (d13) labels product components here, zero new operator code.
+    // Output: every part in the graph with its component label (= min
+    // part_key reachable) and the component size. Oracle: recursive-CTE
+    // transitive closure (feasible exactly because components are small
+    // — 29 parts max at sf0.1; the operator itself is O(log² n) rounds
+    // and does NOT depend on that).
+    // Scale shape: edge derivation is q32's order-local self-join +
+    // partial pair aggregate; the contraction shuffles (p, c) id pairs
+    // only (DedupClusters' bound); size + label join ride one
+    // component_id exchange.
+    GraftQuery.sql("q35_part_components",
+      """WITH RECURSIVE e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |nodes AS (SELECT a AS u FROM e0 UNION SELECT b FROM e0),
+        |e AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |reach AS (SELECT u AS a, u AS b FROM nodes
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |lab AS (SELECT a AS part_key, MIN(b) AS component_id FROM reach GROUP BY a),
+        |sz AS (SELECT component_id, COUNT(*) AS n FROM lab GROUP BY 1)
+        |SELECT lab.part_key, lab.component_id, CAST(sz.n AS BIGINT) AS comp_size
+        |FROM lab JOIN sz USING (component_id) ORDER BY part_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val e0 = li.select($"l_orderkey", $"l_partkey".as("a"))
+        .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("np"))
+        .filter($"np" >= 2)
+        .select($"a", $"b")
+      val nodes = e0.select($"a".as("doc_id"))
+        .unionByName(e0.select($"b".as("doc_id"))).distinct()
+      val lab = graft.operators.DedupClusters
+        .assign(nodes, e0.select($"a".as("a_id"), $"b".as("b_id")))
+        .select($"doc_id".as("part_key"), $"cluster_id".as("component_id"))
+      val sz = lab.groupBy($"component_id").agg(count(lit(1)).as("comp_size"))
+      lab.join(sz, "component_id")
+        .select($"part_key", $"component_id", $"comp_size")
+        .orderBy($"part_key")
+    },
+
     // ---- q34: triangle counting over the co-purchase graph (local
     // clustering signal — "parts whose co-purchase neighborhoods
     // close"). DEGREE-ORDERED orientation (the classic O(m^1.5)
