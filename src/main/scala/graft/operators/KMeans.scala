@@ -65,21 +65,20 @@ object KMeans {
     }.toIndexedSeq: _*)
 
   /** One assignment pass against a centroid literal: (vec_id, q,
-    * cluster_id, dist2). Fold keeps (bestD, bestK); strict `<` with
-    * ascending cid = lowest-id tie-break. No Exchange in this stage. */
+    * cluster_id, dist2). array_min over (d, cid) structs — struct
+    * ordering is field-lexicographic, so the minimum IS the argmin
+    * with the lowest-cid tie-break, and each distance is evaluated
+    * exactly once (a conditional fold would expand every distance
+    * twice: once in the compare, once in the kept struct). No Exchange
+    * in this stage. */
   private def assignDf(embs: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     import embs.sparkSession.implicits._
     val dist2 = (q: Column, c: Column) =>
       aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v)
-    val best = aggregate(
+    val best = array_min(transform(
       centroidLiteral(cents),
-      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
-      (acc, e) => {
-        val d = dist2($"q", e.getField("c"))
-        when(d < acc.getField("d"), struct(d.as("d"), e.getField("cid").as("cid")))
-          .otherwise(acc)
-      })
+      e => struct(dist2($"q", e.getField("c")).as("d"), e.getField("cid").as("cid"))))
     embs.select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("best", best)
       .select($"vec_id", $"q",

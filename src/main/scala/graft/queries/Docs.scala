@@ -1438,11 +1438,13 @@ object Docs {
     // tail here — a natural corpus would flag far higher rates).
     // Complements d22 (within-doc repetition) and
     // d36 (corpus pair stats) with a cross-doc fluency measure.
-    // Scale shape: one token pass → (doc, bigram) partial aggregate;
-    // corpus counts aggregate the SAME (bigram)-keyed table and join
-    // back on their own partitioning (the d39 df idiom — no second
-    // corpus pass); the per-doc rollup rides one doc_id exchange. No
-    // collect, no window over the corpus.
+    // Scale shape: ONE token pass → (doc, bigram) partial aggregate;
+    // the corpus-wide count is a whole-partition window SUM over the
+    // bigram partitioning (no ORDER BY → no sort) — one exchange keyed
+    // on the pair, no join, and crucially no second tokenization scan
+    // (the aggregate-then-self-join form re-derived the corpus for the
+    // count side once AQE broadcast it); the per-doc rollup rides one
+    // doc_id exchange. No collect.
     GraftQuery.sql("d48_rare_bigram_flag",
       s"""$normCte
          |, tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
@@ -1468,8 +1470,7 @@ object Docs {
           i => concat_ws(" ",
             element_at($"toks", i + 1), element_at($"toks", i + 2)))).as("pair"))
         .groupBy($"doc_id", $"pair").agg(count(lit(1)).as("k"))
-      val cb = db.groupBy($"pair").agg(sum($"k").as("n"))
-      db.join(cb, "pair")
+      db.withColumn("n", sum($"k").over(Window.partitionBy($"pair")))
         .groupBy($"doc_id")
         .agg(sum($"k").as("n_bi"),
           sum(when($"n" < 3, $"k").otherwise(0L)).as("n_rare"))

@@ -647,12 +647,16 @@ object Relational {
         |FROM lab JOIN sz USING (component_id) ORDER BY part_key""".stripMargin) { (s, dir) =>
       import s.implicits._
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      // localCheckpoint: the edge set feeds BOTH the node derivation and
+      // the contraction — without it the lineitem self-join runs twice
+      // (same materialize-once rule DedupClusters applies internally)
       val e0 = li.select($"l_orderkey", $"l_partkey".as("a"))
         .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
         .filter($"a" < $"b")
         .groupBy($"a", $"b").agg(count(lit(1)).as("np"))
         .filter($"np" >= 2)
         .select($"a", $"b")
+        .localCheckpoint(true)
       val nodes = e0.select($"a".as("doc_id"))
         .unionByName(e0.select($"b".as("doc_id"))).distinct()
       val lab = graft.operators.DedupClusters
