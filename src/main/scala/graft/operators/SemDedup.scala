@@ -59,11 +59,29 @@ object SemDedup {
     * dominant cost at any scale). A pair sharing several probed buckets
     * recomputes its cosine up to nprobe² times — bounded, branch-free
     * codegen'd arithmetic, strictly cheaper than shipping the vectors. */
+  /** The IVF sizing rule for DEDUP (all-pairs-inside-a-bucket work,
+    * unlike search where C ~ √n balances probe cost): candidate volume
+    * is ~C·occ²/2 with occupancy occ = n·nprobe/C, so holding occ
+    * CONSTANT (C ∝ n) makes total candidate work LINEAR in the corpus —
+    * the only sizing that survives unbounded growth. The occupancy
+    * target is the recall dial (finer partitions split more true
+    * pairs): measured at sf1 (n=8000, τ=0.4, nprobe=4), occ 4000
+    * (C=16) → recall 0.94, occ 1000 (C=32) → 0.82, occ 500 (C=64) →
+    * 0.68. Default 1000 holds the ≥ 0.8 bar on the loosest graph the
+    * suite runs; tight-τ dedup (SemDeDup's real 0.9+ regime, where
+    * pairs co-locate) tolerates smaller cells. The floor of 16 leaves
+    * test-scale corpora (n ≤ 2000) at the recall/parity-pinned C the
+    * spec measures. */
+  def adaptiveClusters(n: Long, nprobe: Int, targetCell: Int = 1000): Int =
+    math.max(16, math.ceil(nprobe * n.toDouble / targetCell).toInt)
+
   def annEdges(spark: SparkSession, embs: DataFrame, threshold: Double,
-               numClusters: Int = 16, nprobe: Int = 2): DataFrame = {
+               numClusters: Int = -1, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val cents = AnnIvf.centroids(spark, embs, numClusters)
+    val c = if (numClusters > 0) numClusters
+            else adaptiveClusters(embs.count(), nprobe)
+    val cents = AnnIvf.centroids(spark, embs, c)
     // deliberately NOT persisted: assignTop is an exchange-free
     // projection over the scan (the centroids ride in as a literal), so
     // recomputing it per join side costs one extra scan — cheaper than
