@@ -73,6 +73,28 @@ object Text {
   def punctCount(text: Column): Column =
     length(regexp_replace(normalize(text), "[a-z0-9 ]", "")).cast("long")
 
+  /** PII patterns (d49/s18). Kept to the regex subset where Java
+    * (Spark) and RE2 (DuckDB) agree exactly: character classes, bounded
+    * quantifiers, and ASCII `\b` word boundaries — no backreferences,
+    * no lookaround (RE2 has neither). Each pattern's redaction token is
+    * paired with it so batch, stream, and oracle can't drift. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("name", "\\bcustomer\\b", "<NAME>"))
+
+  /** Occurrences of one PII pattern (before redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** All PII patterns redacted, in [[PiiPatterns]] order (email first so
+    * the digit-bearing patterns never see an address's local part). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, lit(pat), lit(tok))
+    }
+
   /** Composite quality score in [0,1]: rewards length (saturating at 100
     * tokens), penalizes punctuation density, rewards stopword ratio —
     * the heuristic mix used by web-scale corpus filters.

@@ -236,6 +236,56 @@ object Docs {
 
   val queries: Seq[GraftQuery] = Seq(
 
+    // ---- d49: PII detection + redaction (the scrubbing pass every
+    // published web-corpus pipeline runs before training). Four
+    // patterns from Text.PiiPatterns — email, US-style phone, IPv4,
+    // and a blocklisted entity term — counted pre-redaction, then
+    // redacted in one fixed pattern order; the redacted text leaves the
+    // operator only as its md5 fingerprint. The synthetic corpus
+    // carries no natural PII, so the query's input is the document text
+    // plus a deterministic doc_id-derived contact suffix (identical
+    // string algebra on both engines) — every pattern is load-bearing
+    // on all 500 docs AND the blocklist term exercises the natural-text
+    // path; PiiSpec proves each pattern on crafted adversarial strings.
+    // Scale shape: pure map-side projection (regex over the scan, no
+    // join, no shuffle except the final presentation sort); patterns
+    // stay in the RE2/Java common subset so a DuckDB-validated corpus
+    // run and the Spark production run redact bit-identically.
+    GraftQuery.sql("d49_pii_redact",
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+        |    || CAST(doc_id % 7 AS VARCHAR) || '.com or 202-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '\bcustomer\b')) AS BIGINT) AS n_name,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\bcustomer\b', '<NAME>', 'g')) AS red_fp
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val aug = docs(s, dir).select($"doc_id",
+        concat($"text",
+          lit(" contact u"), $"doc_id".cast("string"),
+          lit("@ex"), ($"doc_id" % 7).cast("string"),
+          lit(".com or 202-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), ($"doc_id" % 256).cast("string"),
+          lit("."), (($"doc_id" * 7) % 256).cast("string")).as("t"))
+      val counts = Text.PiiPatterns.map { case (nm, pat, _) =>
+        Text.piiCount($"t", pat).as(s"n_$nm")
+      }
+      aug.select($"doc_id" +: counts :+ md5(Text.redactPii($"t")).as("red_fp"): _*)
+        .orderBy($"doc_id")
+    },
+
     // ---- d1: exact dedup by normalized-content fingerprint. Scale: the
     // shuffle key is the 128-bit hash, never the document body; payload
     // columns prune to (fp, doc_id) before the exchange.

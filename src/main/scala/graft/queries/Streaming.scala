@@ -700,6 +700,49 @@ object Streaming {
         .orderBy($"lang", $"status")
     },
 
+    // ---- s18: PII gate ON THE INGEST STREAM — d49's detection /
+    // redaction expressions (Text.PiiPatterns, applied verbatim: the
+    // same Column trees, so batch and stream scrubbing cannot drift)
+    // run as a stateless projection over arriving documents, aggregated
+    // per language: docs seen, total pattern hits, docs flagged, and
+    // the order-insensitive id checksum of exactly which docs were
+    // flagged. Raw corpus text (no synthetic contact suffix here): the
+    // blocklisted entity term is the live signal, the email/phone/IP
+    // patterns prove the no-match path costs nothing and drops nothing.
+    // Delivered across 4 real micro-batches.
+    GraftQuery.sql("s18_stream_pii_gate",
+      """WITH r AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\bcustomer\b')) AS n_pii
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_pii) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN n_pii > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS flagged_id_sum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text")
+        .as[(Long, String, String)].collect().toSeq
+      val in = MemoryStream[(Long, String, String)](s)
+      val nPii = Text.PiiPatterns
+        .map { case (_, pat, _) => Text.piiCount($"text", pat) }
+        .reduce(_ + _)
+      val gated = in.toDF().toDF("doc_id", "lang", "text")
+        .select($"doc_id", $"lang", nPii.as("n_pii"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_pii").as("n_hits"),
+          sum(($"n_pii" > 0).cast("long")).as("n_flagged"),
+          sum(when($"n_pii" > 0, $"doc_id").otherwise(0L)).as("flagged_id_sum"))
+      drainChunksToTable(s, gated, "complete", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"lang")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins
