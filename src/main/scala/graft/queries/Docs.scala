@@ -286,6 +286,96 @@ object Docs {
         .orderBy($"doc_id")
     },
 
+    // ---- d50: exact-substring dedup REMOVAL (the ExactSubstr policy of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better") — where d27 only FLAGS window-level duplication,
+    // this rewrites the corpus: every token covered by a 16-token window
+    // that also occurs in another document is dropped, and the cleaned
+    // text leaves the operator as token counts + md5 fingerprint.
+    // Removal is symmetric (duplicated spans leave every doc; the
+    // canonical copy of shared content survives via d23's cluster
+    // representatives — a deliberate policy, documented here).
+    // Coverage is computed by a position sweep, not an interval join:
+    // token q is removed iff the latest shared-window start ≤ q is
+    // within 15 positions — one running MAX over (position, starts)
+    // events, linear per doc, no O(tokens × windows) blowup.
+    // Scale shape: window hashes are map-side projections of the single
+    // token pass; the cross-doc test is one exchange keyed on the
+    // 128-bit window hash (never window text); qualifying starts join
+    // back on that same key partitioning; the sweep, the rebuild, and
+    // the rollup all ride one doc_id exchange.
+    GraftQuery.sql("d50_substr_remove",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd
+         |  WHERE length(norm) > 0),
+         |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS q,
+         |    unnest(toks) AS tok FROM tk),
+         |wins AS (SELECT doc_id, unnest(range(1, len(toks) - 14)) AS pos,
+         |    unnest(list_transform(range(1, len(toks) - 14),
+         |      i -> md5(array_to_string(toks[i:i+15], ' ')))) AS wh
+         |  FROM tk WHERE len(toks) >= 16),
+         |shared AS (SELECT wh FROM wins GROUP BY wh
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |starts AS (SELECT DISTINCT w.doc_id, w.pos
+         |  FROM wins w JOIN shared USING (wh)),
+         |ev AS (
+         |  SELECT doc_id, q AS p, 0 AS is_start, q, tok FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, pos AS p, 1 AS is_start, NULL AS q, NULL AS tok
+         |  FROM starts),
+         |sweep AS (SELECT doc_id, is_start, q, tok,
+         |    MAX(CASE WHEN is_start = 1 THEN p END) OVER (PARTITION BY doc_id
+         |      ORDER BY p, is_start DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start
+         |  FROM ev),
+         |kept AS (SELECT doc_id, q, tok,
+         |    (last_start IS NOT NULL AND q - last_start <= 15) AS covered
+         |  FROM sweep WHERE is_start = 0)
+         |SELECT doc_id, COUNT(*) AS n_tok,
+         |  CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(string_agg(tok, ' ' ORDER BY q)
+         |    FILTER (WHERE NOT covered), '')) AS clean_fp
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = docs(s, dir)
+        .filter(length(Text.normalize($"text")) > 0)
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+      val tok = tk.select($"doc_id", posexplode($"toks"))
+        .toDF("doc_id", "q0", "tok")
+        .select($"doc_id", ($"q0" + 1).as("q"), $"tok")
+      val wins = tk.filter(size($"toks") >= 16)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(1), size($"toks") - 15),
+          i => md5(concat_ws(" ", slice($"toks", i, lit(16)))))))
+        .toDF("doc_id", "p0", "wh")
+        .select($"doc_id", ($"p0" + 1).as("pos"), $"wh")
+      val shared = wins.groupBy($"wh")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"wh")
+      val starts = wins.join(shared, "wh").select($"doc_id", $"pos").distinct()
+      val ev = tok
+        .select($"doc_id", $"q".as("p"), lit(0).as("is_start"), $"q", $"tok")
+        .unionByName(starts.select($"doc_id", $"pos".as("p"),
+          lit(1).as("is_start"),
+          lit(null).cast("integer").as("q"),
+          lit(null).cast("string").as("tok")))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"p".asc, $"is_start".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = ev
+        .withColumn("last_start", max(when($"is_start" === 1, $"p")).over(w))
+        .filter($"is_start" === 0)
+        .withColumn("covered",
+          $"last_start".isNotNull && ($"q" - $"last_start" <= 15))
+      kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum($"covered".cast("long")).as("n_removed"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when(!$"covered", struct($"q", $"tok")))),
+            x => x.getField("tok")))).as("clean_fp"))
+        .orderBy($"doc_id")
+    },
+
     // ---- d1: exact dedup by normalized-content fingerprint. Scale: the
     // shuffle key is the 128-bit hash, never the document body; payload
     // columns prune to (fp, doc_id) before the exchange.
