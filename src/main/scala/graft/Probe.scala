@@ -4,51 +4,41 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe main — ad-hoc diagnostics (not part of the contract).
-  * Currently: d44 ANN-edge recall + component parity vs the exact
-  * cosine graph at the given SF, under the adaptive constant-occupancy
-  * cluster sizing (r6 sf1 study; r4's d18 stage probe lives in git
+  * Currently: d51 PQ shortlist recall vs exact lattice-L2 under
+  * varying Lloyd rounds and shortlist depths (r6 parameter study;
+  * earlier probes — r6 d44 adaptive-C, r4 d18 stages — live in git
   * history). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/testdata-sf1")
-    val threshold = args.lift(1).map(_.toDouble).getOrElse(0.4)
-    val nprobe = 4
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    import graft.operators.SemDedup
-    val nv = Tables.load(spark, dir, "embeddings")
-    val n = nv.count()
-    println(s"n=$n adaptiveC=${SemDedup.adaptiveClusters(n, nprobe)}")
+    import graft.operators.{KMeans, PqAnn}
 
-    def timed[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-    val exact = timed("exactEdges") {
-      SemDedup.exactEdges(spark, nv, threshold)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    val c = args.lift(2).map(_.toInt).getOrElse(-1)
-    val ann = timed(s"annEdges(C=${if (c > 0) c else "adaptive"})") {
-      SemDedup.annEdges(spark, nv, threshold, numClusters = c, nprobe = nprobe)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
-    require(ann.subsetOf(exact), "ANN edges must be exact-verified")
-    println(f"edges exact=${exact.size} ann=${ann.size} recall=${ann.size.toDouble / exact.size}%.4f")
+    val e = Tables.load(spark, dir, "embeddings")
+    val vecs = e.select($"vec_id", KMeans.quantize($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val exact = vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum, nid)
+        }.sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
 
-    def comps(edges: Set[(Long, Long)]): Map[Long, Long] = {
-      val df = spark.createDataFrame(edges.toSeq).toDF("a_id", "b_id")
-      SemDedup.components(spark, nv, df)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((m, k) <- Seq((8, 16), (8, 32), (16, 16), (16, 32))) {
+      val cb = PqAnn.train(spark, e, m = m, k = k, iters = 3)
+      for (s <- Seq(25, 50, 100)) {
+        val short = PqAnn.topK(spark, e, cb, $"vec_id" < 10, k = s)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+        val recall = exact.map { case (q, ex) =>
+          (short(q) intersect ex).size.toDouble / ex.size }.sum / exact.size
+        println(f"m=$m k=$k shortlist=$s%3d recall-of-exact-top5 = $recall%.3f")
+      }
     }
-    val (ce, ca) = (comps(exact), comps(ann))
-    val diff = ce.keys.count(k => ce(k) != ca(k))
-    println(s"component labels differing: $diff of ${ce.size}")
     spark.stop()
   }
 }

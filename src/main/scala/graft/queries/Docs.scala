@@ -621,6 +621,29 @@ object Docs {
         .orderBy($"q_id", $"rk")
     },
 
+    // ---- d51: product-quantization ANN (Jégou et al., ADC+R) — the
+    // MEMORY scale path: d11 bounds how much of the corpus a query
+    // touches, PQ bounds how many bytes per vector it costs — 16 codes
+    // (one per 4-dim subspace, 16 codewords each ⇒ 4 bits/code, 8
+    // bytes total) instead of 64 floats, 32× smaller, scanned against
+    // a per-query distance lookup table that rides into tasks as a
+    // literal (asymmetric ADC). The scan emits a 50-deep shortlist per
+    // query; only those rows fetch vectors for the EXACT lattice-L2
+    // re-rank (the standard PQ pipeline — scan cost never touches
+    // vectors, re-rank cost is shortlist·queries). Training, encoding,
+    // scan, and re-rank all run on KMeans' 2^-20 integer lattice, so
+    // the operator is bit-deterministic; approximate shortlist ⇒
+    // rows-only, with end-to-end recall vs the exact ranking pinned in
+    // Wave7Spec (0.96 measured; m/k/shortlist dial in BENCH_NOTES).
+    // Same (dist, neighbor_id) tie-break as d10.
+    GraftQuery.rowsOnly("d51_ann_pq") { (s, dir) =>
+      import s.implicits._
+      val e = embs(s, dir)
+      val cb = graft.operators.PqAnn.train(s, e, m = 16, k = 16, iters = 3)
+      graft.operators.PqAnn.topKReranked(s, e, cb, $"vec_id" < 10,
+        k = 5, shortlist = 50)
+    },
+
     // ---- d11: IVF ANN — the scale path for top-k search. Probes 4 of
     // 16 centroid clusters per query (~25% of the corpus) instead of
     // scanning everything; recall vs the exact d10 is asserted in
