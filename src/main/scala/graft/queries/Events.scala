@@ -626,6 +626,66 @@ object Events {
         .orderBy($"user_id", $"week")
     },
 
+    // ---- e20: change-point detection per user (Pettitt-style CUSUM
+    // split statistic) in EXACT integer algebra: over each user's daily
+    // sums (cents), the deviation of every prefix from the user's
+    // overall rate is D_i = |S_i·N − i·S_N| (cross-multiplied — no
+    // division, no float); the argmax locates the most likely change
+    // day, flagged when 8·maxD > S_N·N (relative shift > 1/8). Bounds:
+    // S_N ≤ events·max_value·100 ≲ 2^37 here and N ≤ days ≲ 2^10, so
+    // D stays far under 2^63 (at petabyte row counts promote to
+    // DECIMAL(38,0) — same algebra). Completes the time-series family:
+    // e17/e18 flag point outliers, e19 flags step drift week-over-week,
+    // e20 locates the single most likely LEVEL SHIFT per series.
+    // Scale shape: daily partial aggregate first (events collapse
+    // map-side), then all four windows — prefix index, prefix sum,
+    // partition totals, argmax rank — ride ONE user_id exchange; no
+    // event-level window, no join, no collect.
+    GraftQuery.sql("e20_change_point",
+      s"""$evCte,
+         |b AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS vi
+         |  FROM ev GROUP BY 1, 2),
+         |p AS (SELECT user_id, day, vi,
+         |    ROW_NUMBER() OVER w AS i,
+         |    SUM(vi) OVER (PARTITION BY user_id ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS nd,
+         |    SUM(vi) OVER (PARTITION BY user_id) AS st
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         |d AS (SELECT user_id, day, nd, st,
+         |    abs(sp * nd - i * st) AS dev,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY abs(sp * nd - i * st) DESC, day) AS rk
+         |  FROM p)
+         |SELECT user_id, CAST(nd AS BIGINT) AS n_days, day AS split_day,
+         |  CAST(dev AS BIGINT) AS max_dev,
+         |  CAST(CASE WHEN dev * 8 > st * nd THEN 1 ELSE 0 END AS BIGINT) AS changed
+         |FROM d WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val b = ev(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"),
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("vi"))
+        .groupBy($"user_id", $"day")
+        .agg(sum($"vi").as("vi"))
+      val wOrd = Window.partitionBy($"user_id").orderBy($"day")
+      val wAll = Window.partitionBy($"user_id")
+      val p = b
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("sp", sum($"vi").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", count(lit(1)).over(wAll))
+        .withColumn("st", sum($"vi").over(wAll))
+        .withColumn("dev", abs($"sp" * $"nd" - $"i" * $"st"))
+      p.withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"dev".desc, $"day")))
+        .filter($"rk" === 1)
+        .select($"user_id", $"nd".cast("long").as("n_days"),
+          $"day".as("split_day"), $"dev".as("max_dev"),
+          ($"dev" * 8 > $"st" * $"nd").cast("long").as("changed"))
+        .orderBy($"user_id")
+    },
+
     // ---- e8: semi-structured extraction — JSON props parsed in-plan
     // (codegen'd get_json_object; no UDF), aggregated per type. At scale
     // the JSON never leaves the scan stage: extraction happens before
