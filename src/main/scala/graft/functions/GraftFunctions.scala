@@ -1,9 +1,11 @@
 package graft.functions
 
-import graft.functions.expressions.{FloatVecDot, MinHashSig, ShingleHashes, SimHash64, SortedIntersectCount, WinnowFingerprints}
+import graft.functions.expressions.{FloatVecDot, MinHashSig, PqAssignCodes, ShingleHashes, SimHash64, SortedIntersectCount, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Registration of graft's native Catalyst expressions in the session
   * `FunctionRegistry`, making them usable both from the Column API
@@ -23,6 +25,11 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(
       s"$arg must be a long literal, got $other")
   }
+  private def litLongArray(e: Expression, arg: String): Seq[Long] = e match {
+    case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray().toSeq
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an array<bigint> literal, got $other")
+  }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => FloatVecDot(args(0), args(1)) },
@@ -37,7 +44,11 @@ object GraftFunctions {
     // shingle_hashes(normalizedText, k) — k must be a literal.
     "shingle_hashes" -> { args => ShingleHashes(args(0), litInt(args(1), "k")) },
     "shingle_hashes_all" -> { args =>
-      ShingleHashes(args(0), litInt(args(1), "k"), distinct = false) }
+      ShingleHashes(args(0), litInt(args(1), "k"), distinct = false) },
+    // pq_codes(latticeVec, flatCodebook, m, k) — codebook/m/k literals.
+    "pq_codes" -> { args =>
+      PqAssignCodes(args(0), litLongArray(args(1), "flatCb"),
+        litInt(args(2), "m"), litInt(args(3), "k")) }
   )
 
   private val exprClass: Map[String, String] = Map(
@@ -47,7 +58,8 @@ object GraftFunctions {
     "winnow" -> classOf[WinnowFingerprints].getName,
     "sorted_intersect_count" -> classOf[SortedIntersectCount].getName,
     "shingle_hashes" -> classOf[ShingleHashes].getName,
-    "shingle_hashes_all" -> classOf[ShingleHashes].getName)
+    "shingle_hashes_all" -> classOf[ShingleHashes].getName,
+    "pq_codes" -> classOf[PqAssignCodes].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */

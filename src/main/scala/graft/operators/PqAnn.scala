@@ -41,26 +41,21 @@ object PqAnn {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  private def codebookLiteral(cb: Codebooks): Column =
-    array(cb.map { codes =>
-      array(codes.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cid"), typedLit(c.toSeq).as("c"))
-      }.toIndexedSeq: _*)
-    }.toIndexedSeq: _*)
+  /** The native assignment expression over a flattened codebook literal
+    * (expressions/PqExpression.scala — one fused codegen loop; the HOF
+    * form of the same argmin ran interpreted and was the d51 hot spot). */
+  private def codesCol(q: Column, cb: Codebooks): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val flat = cb.flatMap(_.flatMap(_.toSeq)).toSeq
+    call_function("pq_codes", q, typedLit(flat), lit(cb.length), lit(cb.head.length))
+  }
 
   /** (vec_id, codes array<int>) — one map-side projection, no Exchange. */
   def encode(embs: DataFrame, cb: Codebooks): DataFrame = {
     import embs.sparkSession.implicits._
-    val m = cb.length
-    val subDim = cb.head.head.length
-    val cbLit = codebookLiteral(cb)
-    val codes = transform(sequence(lit(0), lit(m - 1)), j =>
-      array_min(transform(element_at(cbLit, j.cast("int") + 1), e =>
-        struct(dist2(slice($"q", j.cast("int") * subDim + 1, lit(subDim)),
-          e.getField("c")).as("d"), e.getField("cid").as("cid"))))
-        .getField("cid"))
     embs.select($"vec_id", KMeans.quantize($"embedding").as("q"))
-      .select($"vec_id", codes.as("codes"))
+      .select($"vec_id", codesCol($"q", cb).as("codes"))
   }
 
   /** Train m codebooks of k codewords with `iters` joint Lloyd rounds. */
@@ -80,19 +75,13 @@ object PqAnn {
 
     val qDf = embs.select(KMeans.quantize($"embedding").as("q"))
     for (_ <- 1 to iters) {
-      val cbLit = codebookLiteral(cb)
-      // all m assignments in one projection, then (j, code, pos) cells:
-      // the round's only exchange carries m·k·subDim longs
-      val perSub = transform(sequence(lit(0), lit(m - 1)), j => {
-        val qj = slice($"q", j.cast("int") * subDim + 1, lit(subDim))
-        struct(
-          array_min(transform(element_at(cbLit, j.cast("int") + 1), e =>
-            struct(dist2(qj, e.getField("c")).as("d"),
-              e.getField("cid").as("cid")))).getField("cid").as("cid"),
-          qj.as("qs"))
-      })
-      val cells = qDf.select(posexplode(perSub).as(Seq("j", "a")))
-        .select($"j", $"a.cid".as("cid"), posexplode($"a.qs").as(Seq("pos", "v")))
+      // all m assignments in one native pq_codes call, then (j, code, pos)
+      // cells: the round's only exchange carries m·k·subDim longs
+      val cells = qDf
+        .select($"q", posexplode(codesCol($"q", cb)).as(Seq("j", "cid")))
+        .select($"j", $"cid",
+          posexplode(slice($"q", $"j" * lit(subDim) + 1, lit(subDim)))
+            .as(Seq("pos", "v")))
         .groupBy($"j", $"cid", $"pos")
         .agg(sum($"v").as("s"), count(lit(1)).as("n"))
         .collect()
