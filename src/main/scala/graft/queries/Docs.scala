@@ -234,6 +234,69 @@ object Docs {
     graft.operators.SimilarityJoin.jaccard(
       shingleSets(s, dir), "doc_id", "sh", 0.5).persist()
 
+  /** d52's oracle — generated per n-gram size (top-mass CTEs for
+    * n = 2..4, coverage CTEs for n = 5..10), the same structure the
+    * Spark plan builds. SUMs pass through DuckDB HUGEINT, so every
+    * aggregate is CAST back to BIGINT before the final projection. */
+  private val repetitionSuiteOracle: String = {
+    val topCtes = (2 to 4).map { n =>
+      s"""g$n AS (SELECT doc_id, md5(g) AS mh, CAST(length(g) AS BIGINT) AS gw
+         |  FROM (SELECT doc_id, array_to_string(toks[i+1:i+$n], ' ') AS g
+         |    FROM tk, LATERAL (SELECT unnest(range(0,
+         |      greatest(len(toks) - ${n - 1}, 0))) AS i) u$n) q$n),
+         |c$n AS (SELECT doc_id, mh, MAX(gw) AS gw, COUNT(*) AS c
+         |  FROM g$n GROUP BY doc_id, mh),
+         |t$n AS (SELECT doc_id, c AS top${n}_c, c * gw AS top${n}_chars
+         |  FROM c$n QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, gw DESC, mh DESC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val winCtes = (5 to 10).map { n =>
+      s"""w$n AS (SELECT doc_id, $n AS n, i + 1 AS pos,
+         |    md5(array_to_string(toks[i+1:i+$n], ' ')) AS mh
+         |  FROM tk, LATERAL (SELECT unnest(range(0,
+         |    greatest(len(toks) - ${n - 1}, 0))) AS i) v$n)""".stripMargin
+    }.mkString(",\n")
+    val winUnion = (5 to 10).map(n => s"SELECT * FROM w$n").mkString(" UNION ALL ")
+    val covwCols = (5 to 10).map(n =>
+      s"CAST(MAX(CASE WHEN n = $n THEN cc END) AS BIGINT) AS dup${n}_chars")
+      .mkString(", ")
+    val topSel = (2 to 4).map(n =>
+      s"CAST(COALESCE(t$n.top${n}_c, 0) AS BIGINT) AS top${n}_c, " +
+        s"CAST(COALESCE(t$n.top${n}_chars, 0) AS BIGINT) AS top${n}_chars")
+      .mkString(",\n  ")
+    val dupSel = (5 to 10).map(n =>
+      s"COALESCE(covw.dup${n}_chars, 0) AS dup${n}_chars").mkString(", ")
+    s"""$normCte,
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks,
+       |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(length(replace(norm, ' ', '')) AS BIGINT) AS n_chars_tok
+       |  FROM nd WHERE length(norm) > 0),
+       |$topCtes,
+       |$winCtes,
+       |wins AS ($winUnion),
+       |dups AS (SELECT doc_id, n, mh FROM wins
+       |  GROUP BY doc_id, n, mh HAVING COUNT(*) >= 2),
+       |sts AS (SELECT doc_id, n, list(pos) AS ss
+       |  FROM (SELECT w.doc_id, w.n, w.pos
+       |    FROM wins w JOIN dups USING (doc_id, n, mh)) sq GROUP BY doc_id, n),
+       |tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS q,
+       |    unnest(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS w
+       |  FROM tk),
+       |cov AS (SELECT t.doc_id, s.n,
+       |    SUM(CASE WHEN len(list_filter(s.ss,
+       |      x -> x <= t.q AND x >= t.q - (s.n - 1))) > 0 THEN t.w ELSE 0 END) AS cc
+       |  FROM tok t JOIN sts s USING (doc_id) GROUP BY t.doc_id, s.n),
+       |covw AS (SELECT doc_id, $covwCols FROM cov GROUP BY doc_id)
+       |SELECT tk.doc_id, tk.n_tok, tk.n_chars_tok,
+       |  $topSel,
+       |  $dupSel
+       |FROM tk LEFT JOIN t2 ON tk.doc_id = t2.doc_id
+       |  LEFT JOIN t3 ON tk.doc_id = t3.doc_id
+       |  LEFT JOIN t4 ON tk.doc_id = t4.doc_id
+       |  LEFT JOIN covw ON tk.doc_id = covw.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- d49: PII detection + redaction (the scrubbing pass every
@@ -1917,6 +1980,161 @@ object Docs {
         .select($"doc_id", $"cluster_id", $"n".as("n_chars_norm"),
           ($"doc_id" === $"keep_id").cast("long").as("is_kept"))
         .orderBy($"doc_id")
+    },
+
+    // ---- d52: the FULL Gopher repetition signal set (Rae et al. 2022,
+    // Table A1 — d22 covers only the top-bigram count). Two families,
+    // all integer char counting so the hash is exact:
+    //   (a) top-n-gram char mass for n = 2,3,4: occurrences × gram
+    //       length of the doc's most frequent n-gram (ties broken
+    //       count desc, gram length desc, md5 desc — identical
+    //       total order both engines);
+    //   (b) duplicated-n-gram char coverage for n = 5..10: characters
+    //       of tokens covered by ANY within-doc n-gram occurring >= 2
+    //       times (position-union via the exists test, not double
+    //       counting overlaps).
+    // Scale shape: all six window families materialize from the single
+    // token pass in ONE flatten/explode; the dup test is a partial-
+    // aggregated exchange keyed (doc_id, n, md5) with integer payloads;
+    // start lists ride back on one doc_id exchange and the per-token
+    // coverage test is an exists() over a per-(doc,n) start array whose
+    // length is bounded by the doc's own window count — nothing here is
+    // corpus-quadratic, and nothing shuffles gram text (md5 only).
+    GraftQuery.sql("d52_repetition_suite", repetitionSuiteOracle) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tk = docs(s, dir).repartition(p) // the local corpus arrives as ONE split
+        .filter(length(Text.normalize($"text")) > 0)
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+      val base = tk.select($"doc_id", size($"toks").cast("long").as("n_tok"),
+        length(concat_ws("", $"toks")).cast("long").as("n_chars_tok"))
+      // (a) top-n-gram char mass, one hashed-gram pass per n (d22's shape)
+      def top(n: Int): DataFrame = tk
+        .filter(size($"toks") >= n)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"toks") - (n - 1)),
+          i => concat_ws(" ", slice($"toks", i, lit(n))))).as("g"))
+        .select($"doc_id", md5($"g").as("mh"), length($"g").cast("long").as("gw"))
+        .groupBy($"doc_id", $"mh")
+        .agg(max($"gw").as("gw"), count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max(struct($"c", $"gw", $"mh")).as("t"))
+        .select($"doc_id", $"t.c".as(s"top${n}_c"),
+          ($"t.c" * $"t.gw").as(s"top${n}_chars"))
+      // (b) duplicated-n-gram coverage, n = 5..10 in one explode
+      val covNs = 5 to 10
+      val winTpe = "array<struct<n:int,pos:int,mh:string>>"
+      val winCols = covNs.map(n =>
+        when(size($"toks") >= n, transform(
+          sequence(lit(1), size($"toks") - (n - 1)),
+          i => struct(lit(n).as("n"), i.as("pos"),
+            md5(concat_ws(" ", slice($"toks", i, lit(n)))).as("mh"))))
+          .otherwise(lit(null).cast(winTpe)))
+      val wins = tk
+        .select($"doc_id", explode(flatten(filter(array(winCols: _*), a => a.isNotNull))).as("w"))
+        .select($"doc_id", $"w.n".as("n"), $"w.pos".as("pos"), $"w.mh".as("mh"))
+      val startArrs = wins.groupBy($"doc_id", $"n", $"mh")
+        .agg(count(lit(1)).as("c"), collect_list($"pos").as("ps"))
+        .filter($"c" >= 2)
+        .select($"doc_id", $"n", explode($"ps").as("pos"))
+        .groupBy($"doc_id", $"n").agg(collect_list($"pos").as("ss"))
+      val tok = tk.select($"doc_id", posexplode($"toks")).toDF("doc_id", "q0", "tok")
+        .select($"doc_id", ($"q0" + 1).as("q"), length($"tok").cast("long").as("w"))
+      val cov = tok.join(startArrs, Seq("doc_id"))
+        .withColumn("covered",
+          exists($"ss", x => x <= $"q" && x >= $"q" - ($"n" - 1)))
+        .groupBy($"doc_id", $"n")
+        .agg(sum(when($"covered", $"w").otherwise(0L)).as("cov_chars"))
+      val covWide = cov.groupBy($"doc_id")
+        .agg(covNs.map(n =>
+          max(when($"n" === n, $"cov_chars")).as(s"dup${n}_chars")).head,
+          covNs.map(n =>
+            max(when($"n" === n, $"cov_chars")).as(s"dup${n}_chars")).tail: _*)
+      val topCols = (2 to 4).flatMap(n =>
+        Seq(coalesce(col(s"top${n}_c"), lit(0L)).as(s"top${n}_c"),
+          coalesce(col(s"top${n}_chars"), lit(0L)).as(s"top${n}_chars")))
+      val dupCols = covNs.map(n =>
+        coalesce(col(s"dup${n}_chars"), lit(0L)).as(s"dup${n}_chars"))
+      base.join(top(2), Seq("doc_id"), "left")
+        .join(top(3), Seq("doc_id"), "left")
+        .join(top(4), Seq("doc_id"), "left")
+        .join(covWide, Seq("doc_id"), "left")
+        .select(($"doc_id" +: $"n_tok" +: $"n_chars_tok" +: (topCols ++ dupCols)): _*)
+        .orderBy($"doc_id")
+    },
+
+    // ---- d53: n-gram novelty vs the corpus-so-far (curation-order
+    // signal: how much UNSEEN content each doc contributes, the curve
+    // dataset builders watch to decide when a source is mined out).
+    // A doc's distinct word-8-grams are novel iff no lower-doc_id doc
+    // contains them; share in integer basis points. Scale shape: the
+    // first-occurrence table is one exchange keyed on the 8-byte gram
+    // hash (min doc_id partial-aggregates map-side); the join back
+    // rides that same key partitioning; the rollup is one doc_id
+    // exchange. Gram text never leaves the scan (native shingle_hashes).
+    GraftQuery.sql("d53_ngram_novelty",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd
+         |  WHERE length(norm) > 0),
+         |dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+8], ' ') AS g
+         |  FROM tk, LATERAL (SELECT unnest(range(0,
+         |    greatest(len(toks) - 7, 0))) AS i) u),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
+         |SELECT dg.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+         |    * 10000 AS BIGINT) // COUNT(*) AS novelty_bp
+         |FROM dg JOIN f USING (g)
+         |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val dg = docs(s, dir).repartition(p) // the local corpus arrives as ONE split
+        .select($"doc_id", explode(Text.shingleHashes($"text", 8)).as("g"))
+      val firsts = dg.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      dg.join(firsts, "g")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(($"first_doc" === $"doc_id").cast("long")).as("n_novel"))
+        .withColumn("novelty_bp", expr("n_novel * 10000 div n_grams"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d54: rendezvous-hash shard assignment (highest-random-weight,
+    // Thaler & Ravishankar 1996) — the deterministic doc→shard routing a
+    // distributed tokenization/embedding job needs: each doc goes to
+    // argmax over shards of md5(doc_id:shard), so resizing N→N+1 moves
+    // only ~1/(N+1) of docs (vs ~all for mod-N) and assignment needs no
+    // coordination or lookup table. Emits the per-shard balance report
+    // (docs / tokens / chars) a capacity planner reads. Scale shape: the
+    // argmax folds over an unrolled 8-struct literal per row — pure
+    // map-side, no explode, no shuffle before the 8-group rollup.
+    GraftQuery.sql("d54_rendezvous_shards",
+      """WITH a AS (SELECT doc_id, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |    shard, md5(doc_id || ':' || shard) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(0, 8)) AS shard) u),
+        |pick AS (SELECT doc_id, n_tok, n_chars, shard FROM a
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, shard DESC) = 1)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_shard_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM pick GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nShards = 8
+      val cand = array((0 until nShards).map(sh =>
+        struct(md5(concat($"doc_id".cast("string"), lit(":"),
+          lit(sh).cast("string"))).as("h"), lit(sh.toLong).as("shard"))): _*)
+      docs(s, dir)
+        .select($"doc_id", Text.wsTokenCount($"text").as("n_tok"), $"n_chars",
+          array_max(cand).getField("shard").as("shard"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          sum($"n_chars").as("n_shard_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"shard")
     },
 
     // ---- d12: multimodal plumbing — binary payload column + typed

@@ -146,4 +146,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"the K-row vocab must broadcast into the per-token flag join:\n$p")
   }
+
+  test("d54: rendezvous routing is map-side; only the balance rollup shuffles") {
+    val p = plan("d54_rendezvous_shards")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"doc->shard argmax must not shuffle; expected only the 8-group rollup, got $shuffles:\n$p")
+    assert(!p.contains("Join"), s"shard assignment must be a projection, not a join:\n$p")
+  }
+
+  test("d53: first-occurrence join rides the gram-hash partitioning") {
+    val p = plan("d53_ngram_novelty")
+    // exchanges: dg->g (groupBy min), dg->g (join probe side), doc_id
+    // rollup. The min aggregate's output partitioning must be REUSED by
+    // the join - a fourth hash exchange means the join re-shuffled the
+    // aggregate side and the "two logical exchanges" claim is broken.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 3,
+      s"first-occurrence table re-shuffled for the join (got $shuffles hash exchanges):\n$p")
+    assert(p.contains("partial_min"),
+      s"min(doc_id) must partial-aggregate map-side before the gram exchange:\n$p")
+  }
+
+  test("d52: no quadratic join and no gram text in any exchange") {
+    val p = plan("d52_repetition_suite")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage must be the start-array exists(), never a tokens x windows product:\n$p")
+    // every exchange row is (ids, n, md5 hash, integer cells) - the raw
+    // gram string column 'g' must be consumed by md5() before any shuffle
+    val badExchange = "Exchange[^\\n]*\\bg#".r.findFirstIn(p)
+    assert(badExchange.isEmpty, s"raw gram text entered a shuffle: $badExchange")
+  }
 }
