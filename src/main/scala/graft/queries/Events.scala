@@ -703,6 +703,61 @@ object Events {
         .groupBy($"event_type")
         .agg(sum($"k").as("sum_k"), max($"k").as("max_k"), count(lit(1)).as("n"))
         .orderBy($"event_type")
+    },
+
+    // ---- e21: multi-touch attribution (the marketing-analytics report
+    // e4/e14's single-sided as-ofs lead into): each purchase's value is
+    // split EQUALLY across all of the user's clicks in the preceding
+    // 3-day horizon, in exact integer cents — each touch gets cents div
+    // n, the LATEST touch (max (ts, event_id)) also takes cents mod n,
+    // so per-purchase credit sums to the purchase exactly and the
+    // per-(user, click-day) report is bit-deterministic. Orphan
+    // purchases (no touch in horizon) are excluded by the inner join.
+    // Scale shape: the touch join is a per-user range join whose fanout
+    // is bounded by horizon x per-user click rate (e5's bound), the
+    // per-purchase count/rank rides ONE purchase-keyed exchange, and
+    // the report is one (user, day) rollup — nothing corpus-quadratic.
+    GraftQuery.sql("e21_attribution",
+      s"""$evCte,
+         |c AS (SELECT event_id AS cid, user_id, ts AS cts FROM ev
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS pid, user_id, ts AS pts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM ev WHERE event_type = 'purchase'),
+         |t AS (SELECT p.pid, p.user_id, p.cents, c.cid, c.cts,
+         |    COUNT(*) OVER (PARTITION BY p.pid) AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY p.pid
+         |      ORDER BY c.cts DESC, c.cid DESC) AS rk
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 3 DAY),
+         |cr AS (SELECT user_id, cid, cts,
+         |    cents // n + CASE WHEN rk = 1 THEN cents % n ELSE 0 END AS credit
+         |  FROM t)
+         |SELECT user_id, CAST(date_trunc('day', cts) AS DATE) AS day,
+         |  COUNT(DISTINCT cid) AS n_credited_clicks,
+         |  CAST(SUM(credit) AS BIGINT) AS attributed_cents
+         |FROM cr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("cid"), $"ts".as("cts"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"),
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter($"cts" < $"pts" && $"cts" >= $"pts" - expr("INTERVAL 3 DAYS"))
+      val wN = Window.partitionBy($"pid")
+      val wRk = Window.partitionBy($"pid").orderBy($"cts".desc, $"cid".desc)
+      touches
+        .withColumn("n", count(lit(1)).over(wN))
+        .withColumn("rk", row_number().over(wRk))
+        .select($"user_id", $"cid", $"cts",
+          (expr("cents div n") +
+            when($"rk" === 1, $"cents" % $"n").otherwise(0L)).as("credit"))
+        .groupBy($"user_id", date_trunc("day", $"cts").cast("date").as("day"))
+        .agg(countDistinct($"cid").as("n_credited_clicks"),
+          sum($"credit").as("attributed_cents"))
+        .orderBy($"user_id", $"day")
     }
   )
 }

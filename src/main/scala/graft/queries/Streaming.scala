@@ -725,7 +725,7 @@ object Streaming {
       import s.implicits._
       import graft.functions.Text
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows = Tables.load(s, dir, "documents")
+      val piiRows = Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang", $"text")
         .as[(Long, String, String)].collect().toSeq
       val in = MemoryStream[(Long, String, String)](s)
@@ -740,7 +740,47 @@ object Streaming {
           sum(($"n_pii" > 0).cast("long")).as("n_flagged"),
           sum(when($"n_pii" > 0, $"doc_id").otherwise(0L)).as("flagged_id_sum"))
       drainChunksToTable(s, gated, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"lang")
+        piiRows.grouped(math.max(1, piiRows.size / 4)).toSeq).orderBy($"lang")
+    },
+
+    // ---- s19: per-source TOKEN budget on the doc stream — s12's quota
+    // weighted by content (a mix builder caps sources by tokens, not doc
+    // counts). Truncation semantics: the source closes once its running
+    // token total crosses the budget; admitted iff the prefix sum incl.
+    // this doc <= 800. State = one long per source in GroupState,
+    // carried across 4 real micro-batch boundaries; the oracle is the
+    // same decision as one batch window over the prefix sum.
+    GraftQuery.sql("s19_stream_token_quota",
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS run_tok
+        |  FROM r)
+        |SELECT source, COUNT(*) AS n_seen,
+        |  CAST(SUM(CASE WHEN run_tok <= 800 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted,
+        |  CAST(SUM(CASE WHEN run_tok <= 800 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS admitted_tokens,
+        |  CAST(SUM(CASE WHEN run_tok <= 800 THEN doc_id ELSE 0 END) AS BIGINT)
+        |    AS admitted_id_sum
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docRows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", Text.wsTokenCount($"text").as("n_tok"))
+        .as[StreamOps.TokDoc].collect().toSeq.sortBy(_.doc_id)
+      val in = MemoryStream[StreamOps.TokDoc](s)
+      val gated = StreamOps.tokenQuotaGate(in.toDS(), budget = 800L)
+      drainChunksToTable(s, gated.toDF(), "append", in,
+        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_seen"),
+          sum($"admitted".cast("long")).as("n_admitted"),
+          sum(when($"admitted", $"n_tok").otherwise(0L)).as("admitted_tokens"),
+          sum(when($"admitted", $"doc_id").otherwise(0L)).as("admitted_id_sum"))
+        .orderBy($"source")
     },
 
     // ---- s7: stream-stream join — clicks joined to purchases of the

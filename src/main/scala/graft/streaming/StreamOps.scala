@@ -116,6 +116,41 @@ object StreamOps {
       }
   }
 
+  // ---- s19: per-source token-budget quota ----
+
+  final case class TokDoc(doc_id: Long, source: String, n_tok: Long)
+  final case class TokQuotaOut(doc_id: Long, source: String, n_tok: Long,
+                               run_tok: Long, admitted: Boolean)
+
+  /** s19: stateful per-source TOKEN budget — s12 weighted by content:
+    * a training-mix builder caps each source by tokens contributed, not
+    * documents, because doc sizes vary 100x. Truncation semantics: docs
+    * stream in curation order and the source closes once its cumulative
+    * token count crosses the budget (a doc is admitted iff the running
+    * total INCLUDING it is <= budget) — the decision is a pure function
+    * of the prefix sum, so the batch oracle is one window. Every doc is
+    * emitted with its running total and the decision (auditable drain).
+    * State is one long per source, constant regardless of stream length.
+    *
+    * Determinism: as quotaGate — per-batch iterator sorted by doc_id, so
+    * a driver feeding batches in doc_id order reproduces the oracle's
+    * per-source prefix order exactly. */
+  def tokenQuotaGate(docs: Dataset[TokDoc], budget: Long): Dataset[TokQuotaOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, TokQuotaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[TokDoc], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            used += d.n_tok
+            TokQuotaOut(d.doc_id, src, d.n_tok, used, used <= budget)
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
+
   // ---- s14: online 3-sigma anomaly gate ----
 
   final case class StatEvent(user_id: Long, event_id: Long, tsUs: Long,

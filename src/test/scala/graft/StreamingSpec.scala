@@ -208,6 +208,31 @@ class StreamingSpec extends SparkSpec {
       1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, false), 4L -> (1L, true)))
   }
 
+  test("s19 token budget: the running total survives batches; a too-big doc closes the source") {
+    import graft.streaming.StreamOps.TokDoc
+    val in = MemoryStream[TokDoc](spark)
+    val gated = StreamOps.tokenQuotaGate(in.toDS(), budget = 10L)
+
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = gated.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    // batch 1 spends 7 of A's 10-token budget; batch 2's 5-token A-doc
+    // crosses it (7+5=12 > 10) and must be REJECTED even though A has
+    // budget "left" — truncation semantics — and everything after stays
+    // rejected. B's running total is independent.
+    in.addData(TokDoc(1, "A", 3), TokDoc(2, "A", 4))
+    q.processAllAvailable()
+    in.addData(TokDoc(3, "A", 5), TokDoc(4, "A", 1), TokDoc(5, "B", 9))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table(name).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got === Map(
+      1L -> (3L, true), 2L -> (7L, true), 3L -> (12L, false),
+      4L -> (13L, false), 5L -> (9L, true)))
+  }
+
   test("s6 batch and streaming sessionization agree on real data (sf0.001)") {
     val ev = Tables.events(spark, Sf0001)
       .select($"user_id", $"event_id", $"ts").as[SessEvent]
