@@ -24,12 +24,23 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` as a proper TimestampType (µs). Nanos are floored
-    * to micros — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does,
-    * so oracle comparisons see identical instants. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` as a proper TimestampType (µs), whatever physical
+    * type the generated parquet carries for it:
+    *  - TIMESTAMP(NANOS) arrives as long (nanosAsLong) → floor to micros,
+    *    exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ → cast to TimestampType (sessions run in UTC, so
+    *    wall times and instants coincide, matching DuckDB's naive read);
+    *  - TimestampType passes through. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
