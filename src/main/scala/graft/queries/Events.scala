@@ -11,9 +11,9 @@ import org.apache.spark.sql.types.DecimalType
   * twins live in graft.streaming.StreamOps); here they're verified
   * exactly against DuckDB.
   *
-  * Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); both
-  * engines are normalized to µs (Tables.events floors ns→µs exactly as
-  * DuckDB's TIMESTAMP_NS→TIMESTAMP cast does). Fine-grained outputs are
+  * Timestamp discipline: both engines are normalized to µs TimestampType
+  * whatever physical type events.ts carries (see Tables.events: nanos
+  * floored, NTZ cast under the UTC session). Fine-grained outputs are
   * emitted as epoch micros (unix_micros ↔ epoch_us).
   */
 object Events {
