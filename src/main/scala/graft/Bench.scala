@@ -48,7 +48,13 @@ object Bench {
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0; capped at 30% of the time budget.
+    // SPARK_GRAFT_WARMUP=0; capped at 10% of the time budget — JIT/
+    // codegen warmup is dominated by shared infrastructure (parquet
+    // reader, codegen, shuffle), so a prefix of the suite warms nearly
+    // all of it, and coverage (pass 1 must finish: at 129 queries a
+    // single rep of everything is ~155 s at sf0.1, so a 30% warmup
+    // starved the last pass-1 entries — BENCH_LOCAL r6) outranks
+    // per-query steady-state polish.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory) {
@@ -56,7 +62,7 @@ object Bench {
         // harness floor, which warmup neither measures nor improves —
         // and at ~1-2 s each they'd eat half the warmup window
         val it = selected.iterator.filterNot(_._1.startsWith("s"))
-        while (it.hasNext && elapsed < budget * 0.3) {
+        while (it.hasNext && elapsed < budget * 0.1) {
           val (_, fn) = it.next()
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
           spark.catalog.clearCache()

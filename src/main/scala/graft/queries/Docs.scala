@@ -2150,6 +2150,92 @@ object Docs {
           round($"mean_byte", 4).as("mean_byte"),
           round($"byte_entropy", 4).as("byte_entropy"), $"phash")
         .orderBy($"doc_id")
+    },
+
+    // ---- d55: corpus heavy hitters — every token above 1/32 of total
+    // corpus frequency — via the two-pass sketch-then-verify pattern
+    // that survives 100 TB: pass 1 is a Misra-Gries candidate sketch
+    // (operators.HeavyHitters, ≤ 31 counters per partial aggregate,
+    // merged associatively — ONE scan, constant state, one ≤31-entry
+    // row to the driver, same discipline as d45's argmax); pass 2
+    // exactly recounts ONLY the candidate tokens (map-side partial agg
+    // → ≤ 31 keys shuffle). The MG guarantee (count > N/(cap+1) ⇒
+    // counter survives) makes the candidate set a superset of the
+    // answer, so after the exact recount the output equals the plain
+    // GROUP BY … HAVING cnt·32 > N — deterministic, hash-checked —
+    // while never materializing the full token frequency table.
+    GraftQuery.sql("d55_heavy_hitters",
+      s"""$normCte,
+         |tk AS (SELECT unnest(string_split(norm, ' ')) AS token FROM nd),
+         |tok AS (SELECT token FROM tk WHERE token <> ''),
+         |tot AS (SELECT COUNT(*) AS n FROM tok)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM tok, tot GROUP BY token, n HAVING COUNT(*) * 32 > n
+         |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select(explode(Text.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+      val sketched = tok
+        .agg(graft.operators.HeavyHitters.sketch($"token", 31).as("mg"),
+          count(lit(1)).as("n"))
+        .head()
+      val n = sketched.getLong(1)
+      val cands = sketched.getMap[String, Long](0).keys.toSeq
+      tok.filter($"token".isInCollection(cands))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 32 > n)
+        .orderBy($"cnt".desc, $"token")
+    },
+
+    // ---- d56: robust per-source length statistics — exact p05/p95
+    // order statistics and the winsorized mean — via the VALUE
+    // HISTOGRAM, not a per-row sort: because n_chars has a bounded
+    // domain, group by (source, n_chars) first (map-side partial agg →
+    // tiny summary), take exact order statistics from the cumulative
+    // histogram (window over the summary only — the full data is never
+    // sorted or windowed, unlike the textbook percentile-by-rank plan
+    // whose per-source window would funnel 100 TB into one partition
+    // per source), then broadcast the per-source thresholds back and
+    // clamp + aggregate map-side. cum·20 ≥ n picks the ceil(n/20)-th
+    // value exactly (integer cross-multiplication, s13's trick).
+    GraftQuery.sql("d56_winsorized_stats",
+      """WITH h AS (SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
+        |th AS (SELECT source,
+        |    MIN(CASE WHEN cum * 20 >= n THEN n_chars END) AS p05,
+        |    MIN(CASE WHEN cum * 20 >= n * 19 THEN n_chars END) AS p95
+        |  FROM cum GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(MAX(th.p05) AS BIGINT) AS p05,
+        |  CAST(MAX(th.p95) AS BIGINT) AS p95,
+        |  CAST(SUM(CAST(LEAST(GREATEST(d.n_chars, th.p05), th.p95)
+        |    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS win_mean
+        |FROM documents d JOIN th USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select($"source", $"n_chars")
+      val wOrd = Window.partitionBy($"source").orderBy($"n_chars")
+      val wAll = Window.partitionBy($"source")
+      val th = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wOrd))
+        .withColumn("n", sum($"c").over(wAll))
+        .groupBy($"source")
+        .agg(min(when($"cum" * 20 >= $"n", $"n_chars")).as("p05"),
+          min(when($"cum" * 20 >= $"n" * 19, $"n_chars")).as("p95"))
+      d.join(broadcast(th), Seq("source"))
+        .select($"source",
+          least(greatest($"n_chars", $"p05"), $"p95").as("clamped"),
+          $"p05", $"p95")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          max($"p05").cast("long").as("p05"),
+          max($"p95").cast("long").as("p95"),
+          Agg.davg($"clamped").as("win_mean"))
+        .orderBy($"source")
     }
   )
 }

@@ -758,6 +758,98 @@ object Events {
         .agg(countDistinct($"cid").as("n_credited_clicks"),
           sum($"credit").as("attributed_cents"))
         .orderBy($"user_id", $"day")
+    },
+
+    // ---- e22: EWMA smoothing (α = 1/2) with the kernel truncated at
+    // 8 taps, zero-padded before the series start — the truncation is
+    // what makes the op EXACT and streamable: weights become the
+    // integer kernel 128·x₀ + 64·x₁ + … + 1·x₇ over cents (denominator
+    // 2⁸ carried in the column name), so there's no float recursion,
+    // and the streaming twin (s20) needs only seven longs of state per
+    // user. Dropped taps carry < 1/256 ≈ 0.4% of the weight. Scale
+    // shape: ONE user-keyed exchange, one sort, all eight taps read
+    // from the same window frame — the lag chain adds no extra
+    // shuffles or sorts.
+    GraftQuery.sql("e22_ewma_smooth",
+      s"""$evCte,
+         |b AS (SELECT user_id, event_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |l AS (SELECT user_id, event_id, vi,
+         |    COALESCE(LAG(vi, 1) OVER w, 0) AS l1,
+         |    COALESCE(LAG(vi, 2) OVER w, 0) AS l2,
+         |    COALESCE(LAG(vi, 3) OVER w, 0) AS l3,
+         |    COALESCE(LAG(vi, 4) OVER w, 0) AS l4,
+         |    COALESCE(LAG(vi, 5) OVER w, 0) AS l5,
+         |    COALESCE(LAG(vi, 6) OVER w, 0) AS l6,
+         |    COALESCE(LAG(vi, 7) OVER w, 0) AS l7
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id,
+         |  vi*128 + l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7 AS ewma_x256
+         |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val b = ev(s, dir).select($"user_id", $"event_id", $"ts",
+        ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("vi"))
+      val taps = (1 to 7).map(j => coalesce(lag($"vi", j).over(w), lit(0L)))
+      b.select($"user_id", $"event_id",
+          taps.zip(Seq(64L, 32L, 16L, 8L, 4L, 2L, 1L))
+            .foldLeft($"vi" * 128L) { case (acc, (t, c)) => acc + t * c }
+            .as("ewma_x256"))
+        .orderBy($"user_id", $"event_id")
+    },
+
+    // ---- e23: lag-1 autocorrelation of each user's daily spend,
+    // DIVISION-FREE (e19's cross-multiplication discipline): with n
+    // days, S = Σsd, the mean-centered products are computed as
+    // (n·sd_t − S)(n·sd_{t−1} − S) — i.e. scaled by n², which cancels
+    // in the ratio — so positivity (momentum vs mean-reversion) and
+    // the |r| > 1/4 magnitude flag are exact integer/decimal compares,
+    // no float division anywhere. Terms are cast to DECIMAL(38,0)
+    // before squaring: at 100 TB scale n·sd can reach ~2^40 and the
+    // summed squares ~10^25, far past BIGINT but comfortable in 38
+    // digits. Scale shape: the daily rollup is one (user, day)
+    // partial-agg exchange; the lag + per-user stats ride ONE
+    // user-keyed window; the final rollup is tiny.
+    GraftQuery.sql("e23_autocorr_flag",
+      s"""$evCte,
+         |b AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |d AS (SELECT user_id, day, SUM(vi) AS sd FROM b GROUP BY 1, 2),
+         |t AS (SELECT user_id, day, sd,
+         |    LAG(sd) OVER u AS ps,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+         |    SUM(sd) OVER (PARTITION BY user_id) AS s
+         |  FROM d WINDOW u AS (PARTITION BY user_id ORDER BY day)),
+         |agg AS (SELECT user_id, MAX(n) AS n_days,
+         |    SUM(CASE WHEN ps IS NOT NULL THEN
+         |      CAST(n*sd - s AS DECIMAL(38,0)) * CAST(n*ps - s AS DECIMAL(38,0))
+         |      END) AS num,
+         |    SUM(CAST(n*sd - s AS DECIMAL(38,0)) * CAST(n*sd - s AS DECIMAL(38,0))) AS den
+         |  FROM t GROUP BY 1)
+         |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+         |  (num > 0) AS pos_corr, (4 * abs(num) > den) AS strong
+         |FROM agg WHERE den > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = ev(s, dir)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"),
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("vi"))
+        .groupBy($"user_id", $"day").agg(sum($"vi").as("sd"))
+      val u = Window.partitionBy($"user_id")
+      val dec = DecimalType(38, 0)
+      val t = daily
+        .withColumn("ps", lag($"sd", 1).over(u.orderBy($"day")))
+        .withColumn("n", count(lit(1)).over(u))
+        .withColumn("s", sum($"sd").over(u))
+        .withColumn("ct", ($"n" * $"sd" - $"s").cast(dec))
+        .withColumn("cp", ($"n" * $"ps" - $"s").cast(dec))
+      t.groupBy($"user_id")
+        .agg(max($"n").as("n_days"),
+          sum(when($"ps".isNotNull, $"ct" * $"cp")).as("num"),
+          sum($"ct" * $"ct").as("den"))
+        .filter($"den" > 0)
+        .select($"user_id", $"n_days".cast("long").as("n_days"),
+          ($"num" > 0).as("pos_corr"), (abs($"num") * 4 > $"den").as("strong"))
+        .orderBy($"user_id")
     }
   )
 }

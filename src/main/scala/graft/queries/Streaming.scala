@@ -783,6 +783,51 @@ object Streaming {
         .orderBy($"source")
     },
 
+    // ---- s20: EWMA smoothing ON THE STREAM — e22's 8-tap truncated
+    // kernel (α = 1/2, integer cents × weights 128…1) as a stateful
+    // op: the seven most recent values per user live in GroupState
+    // (seven longs, constant forever), each arriving event emits its
+    // smoothed value immediately. The kernel truncation is what makes
+    // the op streamable at all — the textbook EWMA recursion carries
+    // float state and unbounded history; this one is bit-identical to
+    // the e22 batch window under in-order per-user delivery (the
+    // transport's per-shard order), which the time-split harness feeds
+    // and the shared oracle hash-checks.
+    GraftQuery.sql("s20_stream_ewma",
+      s"""$evCte,
+         |b AS (SELECT user_id, event_id, ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
+         |l AS (SELECT user_id, event_id, vi,
+         |    COALESCE(LAG(vi, 1) OVER w, 0) AS l1,
+         |    COALESCE(LAG(vi, 2) OVER w, 0) AS l2,
+         |    COALESCE(LAG(vi, 3) OVER w, 0) AS l3,
+         |    COALESCE(LAG(vi, 4) OVER w, 0) AS l4,
+         |    COALESCE(LAG(vi, 5) OVER w, 0) AS l5,
+         |    COALESCE(LAG(vi, 6) OVER w, 0) AS l6,
+         |    COALESCE(LAG(vi, 7) OVER w, 0) AS l7
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id,
+         |  vi*128 + l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7 AS ewma_x256
+         |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamOps.StatEvent
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"),
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("vi"),
+          $"value")
+        .as[StatEvent]
+        .collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+      val in = MemoryStream[StatEvent](s)
+      val smoothed = StreamOps.ewmaGate(in.toDS())
+      // 4 time-split micro-batches: each user's 7-tap ring must fold
+      // across the batch boundaries in GroupState
+      drainChunksToTable(s, smoothed.toDF(), "append", in,
+        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        .select($"user_id", $"event_id", $"ewma_x256")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

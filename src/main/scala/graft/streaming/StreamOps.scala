@@ -151,6 +151,41 @@ object StreamOps {
       }
   }
 
+  // ---- s20: truncated-kernel EWMA smoothing ----
+
+  /** Ring of the ≤7 most recent cents values, most-recent-first. */
+  final case class EwmaState(prev: Seq[Long])
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma_x256: Long)
+
+  /** s20: per-user EWMA smoothing (α = 1/2, kernel truncated at 8
+    * taps) as a stateful stream op — e22's batch window online. The
+    * truncation is the point: the textbook recursion y_n = αx_n +
+    * (1−α)y_{n−1} needs unbounded history and float state, while the
+    * 8-tap kernel is EXACT integer algebra (weights 128…1 over cents,
+    * denominator 2⁸ carried in the column name) with state = at most
+    * seven longs per user, so the stream is bit-identical to e22's
+    * batch LAG formulation whenever batches respect per-user
+    * event-time order (dropped taps are below 1/256 ≈ 0.4% weight). */
+  def ewmaGate(events: Dataset[StatEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[StatEvent], state: GroupState[EwmaState]) =>
+          var prev = state.getOption.map(_.prev.toList).getOrElse(Nil)
+          val out = Seq.newBuilder[EwmaOut]
+          it.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            var acc = e.vi * 128L
+            var w = 64L
+            prev.foreach { v => acc += v * w; w >>= 1 }
+            out += EwmaOut(user, e.event_id, acc)
+            prev = (e.vi :: prev).take(7)
+          }
+          state.update(EwmaState(prev))
+          out.result().iterator
+      }
+  }
+
   // ---- s14: online 3-sigma anomaly gate ----
 
   final case class StatEvent(user_id: Long, event_id: Long, tsUs: Long,

@@ -86,6 +86,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s20 streamed EWMA equals the e22 batch lag window exactly (sf0.001)") {
+    // the 7-tap ring in GroupState must fold across the 4 harness
+    // micro-batches: a lost or reordered tap shifts every subsequent
+    // smoothed value, so full equality proves state continuity
+    val streamed = SparkEntry.queries("s20_stream_ewma")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = SparkEntry.queries("e22_ewma_smooth")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("s11 streamed near-dup gate equals the identically-parameterized batch plan (sf0.001)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text

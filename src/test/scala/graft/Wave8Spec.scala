@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.HeavyHitters
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: heavy hitters (d55), winsorized robust stats
+  * (d56), truncated-kernel EWMA (e22), lag-1 autocorrelation flags
+  * (e23). Each is re-derived driver-side in plain Scala and compared
+  * exactly; the Misra-Gries sketch is additionally property-checked
+  * against its theoretical guarantee on an adversarial layout.
+  */
+class Wave8Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("Misra-Gries guarantee holds across forced partial-merge trees") {
+    // adversarial mix: two genuine heavy hitters buried in a long tail
+    // of near-distinct tokens, shuffled and split over 8 partitions so
+    // reduce AND merge both run. Guarantee (cap m): every token with
+    // true count > N/(m+1) survives, and every surviving counter
+    // undercounts by at most N/(m+1) and never overcounts.
+    val rnd = new scala.util.Random(7)
+    val items = rnd.shuffle(
+      Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+        (1 to 480).map(i => s"rare_${i % 240}"))
+    val n = items.size.toLong
+    val cap = 7
+    val sketch = items.toDF("token").repartition(8)
+      .agg(HeavyHitters.sketch($"token", cap))
+      .head().getMap[String, Long](0)
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch.size <= cap)
+    val mustSurvive = exact.filter { case (_, c) => c * (cap + 1) > n }.keySet
+    assert(mustSurvive.subsetOf(sketch.keySet),
+      s"lost guaranteed heavy hitters: ${mustSurvive -- sketch.keySet}")
+    sketch.foreach { case (k, est) =>
+      val truth = exact(k)
+      assert(est <= truth, s"$k overcounted: $est > $truth")
+      assert(est * (cap + 1) >= truth * (cap + 1) - n,
+        s"$k undercounted past the bound: est $est, truth $truth, N $n")
+    }
+  }
+
+  test("d55 sketch-then-verify equals the exact frequency filter (sf0.001)") {
+    val out = SparkEntry.queries("d55_heavy_hitters")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = Tables.load(spark, Sf0001, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.replaceAll("\\s+", " ").trim.split(" "))
+      .filter(_.nonEmpty)
+    val n = toks.length.toLong
+    val expected = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 32 > n }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    assert(out.nonEmpty, "corpus should contain heavy hitters at 1/32")
+    assert(out === expected)
+  }
+
+  test("d56 winsorized stats equal a driver-side order-statistic re-derivation (sf0.001)") {
+    val out = SparkEntry.queries("d56_winsorized_stats")(spark, Sf0001)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val bySource = Tables.load(spark, Sf0001, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(out.keySet === bySource.keySet)
+    bySource.foreach { case (src, vs) =>
+      val nn = vs.size
+      // ceil(p·n)-th order statistic, 1-indexed
+      def orderStat(num: Int, den: Int): Long =
+        vs((nn * num + den - 1) / den - 1)
+      val p05 = orderStat(1, 20)
+      val p95 = orderStat(19, 20)
+      val winMean = vs.map(v => BigDecimal(v.max(p05).min(p95)))
+        .sum.toDouble / nn
+      assert(out(src) === ((nn.toLong, p05, p95, winMean)), s"source $src")
+    }
+  }
+
+  test("e22 EWMA equals a per-user kernel fold (sf0.001)") {
+    val out = SparkEntry.queries("e22_ewma_smooth")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", unix_micros($"ts"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(e => (e._2, e._4))
+      sorted.indices.map { i =>
+        val acc = (0 to 7.min(i)).map(j => sorted(i - j)._2 * (128L >> j)).sum
+        (u, sorted(i)._1) -> acc
+      }
+    }
+    assert(out.size === ev.length)
+    assert(out === expected)
+  }
+
+  test("e23 autocorrelation flags equal an exact BigInt re-derivation (sf0.001)") {
+    val out = SparkEntry.queries("e23_autocorr_flag")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    val daily = Tables.events(spark, Sf0001)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").cast("string"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1).map(_._2).toVector).toMap
+    var flaggedStrong = 0
+    daily.foreach { case (u, sd) =>
+      val n = BigInt(sd.size)
+      val s = sd.map(BigInt(_)).sum
+      val cent = sd.map(v => n * v - s)
+      val den = cent.map(c => c * c).sum
+      if (den > 0) {
+        val num = cent.zip(cent.tail).map { case (a, b) => a * b }.sum
+        assert(out(u) === ((sd.size.toLong, num > 0, num.abs * 4 > den)), s"user $u")
+        if (num.abs * 4 > den) flaggedStrong += 1
+      } else assert(!out.contains(u), s"user $u with zero variance must be excluded")
+    }
+    assert(out.size === daily.count { case (_, sd) =>
+      val n = BigInt(sd.size); val s = sd.map(BigInt(_)).sum
+      sd.map(v => { val c = n * v - s; c * c }).sum > 0
+    })
+  }
+}
