@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions.udaf
   */
 object HeavyHitters {
 
+  /** One Misra-Gries counter update — shared by the batch Aggregator
+    * and the streaming gate (s21) so the two paths cannot drift. */
+  def add(b: Map[String, Long], t: String, capacity: Int): Map[String, Long] =
+    b.get(t) match {
+      case Some(v) => b.updated(t, v + 1L)
+      case None if b.size < capacity => b.updated(t, 1L)
+      // full and unseen: decrement all counters, drop the zeros
+      // (the arriving item's own +1 and one −1 cancel)
+      case None => b.flatMap { case (k, v) =>
+        if (v > 1L) Some(k -> (v - 1L)) else None
+      }
+    }
+
   final class MisraGries(capacity: Int)
       extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(capacity > 0)
@@ -34,15 +47,7 @@ object HeavyHitters {
     def zero: Map[String, Long] = Map.empty
 
     def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-      b.get(t) match {
-        case Some(v) => b.updated(t, v + 1L)
-        case None if b.size < capacity => b.updated(t, 1L)
-        // full and unseen: decrement all counters, drop the zeros
-        // (the arriving item's own +1 and one −1 cancel)
-        case None => b.flatMap { case (k, v) =>
-          if (v > 1L) Some(k -> (v - 1L)) else None
-        }
-      }
+      add(b, t, capacity)
 
     def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
       val summed = b.foldLeft(a) { case (m, (k, v)) =>

@@ -828,6 +828,58 @@ object Streaming {
         .orderBy($"user_id", $"event_id")
     },
 
+    // ---- s21: heavy hitters ON THE INGEST STREAM — d55's two-pass
+    // pattern split across stream and batch the way a 100 TB ingest
+    // would run it: the Misra-Gries candidate sketch folds per source
+    // in GroupState (≤ 31 counters + one long per source, constant
+    // forever — the same HeavyHitters.add update d55's batch
+    // Aggregator runs, so the paths cannot drift), each micro-batch
+    // emits the source's snapshot, and the LAST snapshot's candidates
+    // (superset guarantee over the whole stream) are exactly recounted
+    // against the corpus — so the final output equals the plain
+    // per-source GROUP BY … HAVING cnt·32 > n and hash-checks, while
+    // the stream side never holds more than the sketch.
+    GraftQuery.sql("s21_stream_heavy_hitters",
+      s"""WITH nd AS (SELECT source,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT source, unnest(string_split(norm, ' ')) AS token FROM nd),
+         |tok AS (SELECT source, token FROM tk WHERE token <> ''),
+         |tot AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY 1)
+         |SELECT t.source, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM tok t JOIN tot USING (source)
+         |GROUP BY t.source, t.token, tot.n HAVING COUNT(*) * 32 > tot.n
+         |ORDER BY source, cnt DESC, token""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Text
+      import graft.streaming.StreamOps.HHDoc
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docRows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", Text.tokens($"text").as("toks"))
+        .as[HHDoc].collect().toSeq.sortBy(_.doc_id)
+        .map(d => d.copy(toks = d.toks.filter(_.nonEmpty)))
+      val in = MemoryStream[HHDoc](s)
+      val sketched = StreamOps.heavyHitterGate(in.toDS(), capacity = 31)
+      val snaps = drainChunksToTable(s, sketched.toDF(), "append", in,
+        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+      // last snapshot per source = the full-stream sketch
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n".desc)
+      val cands = snaps
+        .withColumn("rn", row_number().over(wLast)).filter($"rn" === 1)
+        .select($"source", $"n".as("n_total"),
+          explode(map_keys($"counters")).as("token"))
+      // exact recount of candidates only (batch side)
+      val tok = Tables.load(s, dir, "documents")
+        .select($"source", explode(Text.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+      tok.join(cands, Seq("source", "token"))
+        .groupBy($"source", $"token", $"n_total")
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 32 > $"n_total")
+        .select($"source", $"token", $"cnt")
+        .orderBy($"source", $"cnt".desc, $"token")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

@@ -151,6 +151,42 @@ object StreamOps {
       }
   }
 
+  // ---- s21: per-source streaming heavy hitters ----
+
+  final case class HHDoc(doc_id: Long, source: String, toks: Seq[String])
+  /** Misra-Gries counters + items-seen, per source. Bounded: at most
+    * `capacity` map entries regardless of stream length. */
+  final case class HHState(n: Long, counters: Map[String, Long])
+  final case class HHOut(source: String, n: Long, counters: Map[String, Long])
+
+  /** s21: frequent-token candidates ON THE INGEST STREAM — the
+    * Misra-Gries summary (operators.HeavyHitters.add, the same update
+    * the batch d55 Aggregator runs) held in GroupState per source: at
+    * most `capacity` counters + one long, constant forever, folded
+    * across micro-batches. Each invocation emits the source's current
+    * (n, counters) snapshot; the LAST snapshot per source carries the
+    * full-stream guarantee (every token with count > n/(capacity+1)
+    * survives), which a cheap exact recount then turns into the exact
+    * per-source frequency filter — sketch on the stream, verify in
+    * batch. */
+  def heavyHitterGate(docs: Dataset[HHDoc], capacity: Int): Dataset[HHOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[HHState, HHOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[HHDoc], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(HHState(0L, Map.empty))
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            d.toks.foreach { t =>
+              st = HHState(st.n + 1L,
+                graft.operators.HeavyHitters.add(st.counters, t, capacity))
+            }
+          }
+          state.update(st)
+          Iterator.single(HHOut(src, st.n, st.counters))
+      }
+  }
+
   // ---- s20: truncated-kernel EWMA smoothing ----
 
   /** Ring of the ≤7 most recent cents values, most-recent-first. */

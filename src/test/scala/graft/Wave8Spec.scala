@@ -55,6 +55,27 @@ class Wave8Spec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("s21 streamed sketch + batch recount equals the per-source exact filter (sf0.001)") {
+    // the GroupState sketch folds across 4 micro-batches; its final
+    // candidates must form a superset per the MG bound, so after the
+    // exact recount the output equals the plain per-source HAVING
+    val out = SparkEntry.queries("s21_stream_heavy_hitters")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val bySource = Tables.load(spark, Sf0001, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(
+        _._2.toLowerCase.replaceAll("\\s+", " ").trim.split(" "))
+        .filter(_.nonEmpty)).toMap
+    val expected = bySource.toSeq.flatMap { case (src, toks) =>
+      val n = toks.length.toLong
+      toks.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 32 > n }
+        .map { case (t, c) => (src, t, c) }
+    }.sortBy { case (s2, t, c) => (s2, -c, t) }
+    assert(out.nonEmpty)
+    assert(out === expected)
+  }
+
   test("d56 winsorized stats equal a driver-side order-statistic re-derivation (sf0.001)") {
     val out = SparkEntry.queries("d56_winsorized_stats")(spark, Sf0001)
       .collect().map(r => (r.getString(0),
