@@ -2236,6 +2236,100 @@ object Docs {
           max($"p95").cast("long").as("p95"),
           Agg.davg($"clamped").as("win_mean"))
         .orderBy($"source")
+    },
+
+    // ---- d57: equi-depth shard planning — the range-partitioner's
+    // planning pass as a first-class operator: 8 balanced-by-count
+    // bins over per-doc token length, boundaries = the ceil(j·n/8)-th
+    // order statistics taken from the (n_tok) VALUE HISTOGRAM (d56's
+    // trick: the corpus is never sorted; the cumulative window runs
+    // over distinct lengths only), docs assigned by counting
+    // boundaries strictly below their length, per-bin doc/token mass
+    // + bounds reported. Ties collapse into one bin by construction —
+    // the report SHOWING that imbalance is the point (a planner reads
+    // skew here before choosing d54 hash routing vs d30 packing).
+    GraftQuery.sql("d57_equidepth_shards",
+      s"""$normCte,
+         |t AS (SELECT doc_id, len(string_split(norm, ' ')) AS n_tok FROM nd),
+         |h AS (SELECT n_tok, COUNT(*) AS c FROM t GROUP BY 1),
+         |cum AS (SELECT n_tok, c,
+         |    SUM(c) OVER (ORDER BY n_tok) AS cum,
+         |    SUM(c) OVER () AS n FROM h),
+         |b AS (SELECT j, MIN(CASE WHEN cum * 8 >= n * j THEN n_tok END) AS cut
+         |  FROM cum CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) AS js(j)
+         |  GROUP BY j),
+         |assigned AS (SELECT t.doc_id, t.n_tok,
+         |    (SELECT COUNT(*) FROM b WHERE b.cut < t.n_tok) AS bin FROM t)
+         |SELECT bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(n_tok) AS BIGINT) AS lo, CAST(MAX(n_tok) AS BIGINT) AS hi
+         |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val t = docs(s, dir).select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tok"))
+      val cum = t.groupBy($"n_tok").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(Window.orderBy($"n_tok")))
+        .withColumn("n", sum($"c").over(Window.partitionBy(lit(1))))
+      // 7 interior cuts from the tiny histogram, collected as literals
+      val cuts = (1 to 7).map(j =>
+        min(when($"cum" * 8 >= $"n" * j, $"n_tok")).as(s"c$j"))
+      val cutRow = cum.agg(cuts.head, cuts.tail: _*).head()
+      val cutVals = (0 until 7).map(cutRow.getLong)
+      val bin = cutVals.foldLeft(lit(0L)) { (acc, cv) =>
+        acc + ($"n_tok" > cv).cast("long")
+      }
+      t.select($"doc_id", $"n_tok", bin.as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"n_tok").as("lo"), max($"n_tok").as("hi"))
+        .orderBy($"bin")
+    },
+
+    // ---- d58: per-source distributional divergence — total-variation
+    // distance between each source's token distribution and the whole
+    // corpus, EXACT (the data-mixing diagnostic a curator reads before
+    // d26/d31/d33 reweighting): with per-source totals n_s, corpus
+    // total n_c, 2·TV·n_s·n_c = Σ_{t∈s}|c_st·n_c − c_t·n_s| +
+    // n_s·(n_c − Σ_{t∈s}c_t) — the second term folds every
+    // source-ABSENT token in closed form, so there is NO source×vocab
+    // grid and the plan survives open vocabularies: one (source,
+    // token) partial-agg exchange, corpus counts aggregated from that
+    // same summary and joined back token-keyed, per-source rollup
+    // tiny. Long algebra stays under 2^63 through sf1 ~10^17; at
+    // petabyte counts promote to DECIMAL(38,0) — same expressions.
+    GraftQuery.sql("d58_source_divergence",
+      s"""$normCte,
+         |tk AS (SELECT source, unnest(string_split(norm, ' ')) AS token FROM nd),
+         |tok AS (SELECT source, token FROM tk WHERE token <> ''),
+         |st AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ns AS (SELECT source, SUM(c) AS nsn FROM st GROUP BY 1),
+         |ct AS (SELECT token, SUM(c) AS cc FROM st GROUP BY 1),
+         |nc AS (SELECT SUM(cc) AS ncn FROM ct),
+         |agg AS (SELECT st.source,
+         |    SUM(abs(st.c * nc.ncn - ct.cc * ns.nsn)) AS present,
+         |    SUM(ct.cc) AS cc_present,
+         |    MAX(ns.nsn) AS nsn, MAX(nc.ncn) AS ncn
+         |  FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nc
+         |  GROUP BY st.source)
+         |SELECT source, CAST(nsn AS BIGINT) AS n_tokens,
+         |  CAST((present + nsn * (ncn - cc_present)) * 10000
+         |    // (2 * nsn * ncn) AS BIGINT) AS tv_bp
+         |FROM agg ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val st = docs(s, dir)
+        .select($"source", explode(Text.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      val ns = st.groupBy($"source").agg(sum($"c").as("nsn"))
+      val ct = st.groupBy($"token").agg(sum($"c").as("cc"))
+      val nc = ct.agg(sum($"cc").as("ncn"))
+      st.join(ct, "token").join(broadcast(ns), "source").crossJoin(broadcast(nc))
+        .groupBy($"source")
+        .agg(sum(abs($"c" * $"ncn" - $"cc" * $"nsn")).as("present"),
+          sum($"cc").as("cc_present"), max($"nsn").as("nsn"), max($"ncn").as("ncn"))
+        .select($"source", $"nsn".as("n_tokens"),
+          expr("(present + nsn * (ncn - cc_present)) * 10000 div (2 * nsn * ncn)")
+            .cast("long").as("tv_bp"))
+        .orderBy($"source")
     }
   )
 }

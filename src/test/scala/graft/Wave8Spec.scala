@@ -97,6 +97,49 @@ class Wave8Spec extends SparkSpec {
     }
   }
 
+  test("d57 equi-depth bins equal a sorted-order-statistic re-derivation (sf0.001)") {
+    val out = SparkEntry.queries("d57_equidepth_shards")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val lens = Tables.load(spark, Sf0001, "documents")
+      .select($"text").as[String].collect()
+      .map(_.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").length.toLong)
+    val sorted = lens.sorted.toVector
+    val n = sorted.size
+    val cuts = (1 to 7).map(j => sorted((n * j + 7) / 8 - 1))
+    val expected = lens.groupBy(v => cuts.count(_ < v).toLong).view.mapValues(vs =>
+      (vs.length.toLong, vs.sum, vs.min, vs.max)).toMap
+    assert(out === expected)
+    // balance sanity: total docs conserved
+    assert(out.values.map(_._1).sum === n.toLong)
+  }
+
+  test("d58 total-variation divergence equals an exact rational re-derivation (sf0.001)") {
+    val out = SparkEntry.queries("d58_source_divergence")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val toks = Tables.load(spark, Sf0001, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .flatMap { case (src, t) =>
+        t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+          .filter(_.nonEmpty).map(src -> _) }
+    val corpus = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nc = BigInt(toks.length)
+    toks.groupBy(_._1).foreach { case (src, ts) =>
+      val cnt = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ns = BigInt(ts.length)
+      // TV·2·ns·nc over the full union vocab (the closed form the
+      // operator uses for source-absent tokens must agree with the
+      // grid sum computed here); iterator, NOT .keys.map — keys is a
+      // Set and mapping it would collapse equal |term| values
+      val num = corpus.iterator.map { case (t, c) =>
+        (BigInt(cnt.getOrElse(t, 0L)) * nc - BigInt(c) * ns).abs
+      }.sum
+      val tvBp = (num * 10000 / (2 * ns * nc)).toLong
+      assert(out(src) === ((ts.length.toLong, tvBp)), s"source $src")
+    }
+    assert(out.keySet === toks.map(_._1).toSet)
+  }
+
   test("e22 EWMA equals a per-user kernel fold (sf0.001)") {
     val out = SparkEntry.queries("e22_ewma_smooth")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
