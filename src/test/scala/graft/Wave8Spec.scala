@@ -40,6 +40,46 @@ class Wave8Spec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries invariants hold on random streams under random merge trees (property)") {
+    // pure-Scala property check of the add/merge algebra itself (no
+    // Spark): for random token streams split into random segments and
+    // merged in a random binary-tree order, the final summary must (a)
+    // never overcount, (b) undercount by at most N/(cap+1), (c) retain
+    // every item with true count > N/(cap+1), (d) hold ≤ cap counters.
+    import graft.operators.HeavyHitters
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val agg = new HeavyHitters.MisraGries(5)
+    val genStream: Gen[List[Int]] =
+      Gen.listOf(Gen.frequency(4 -> Gen.choose(0, 2), 2 -> Gen.choose(3, 8),
+        1 -> Gen.choose(9, 60)))
+    val gen = Gen.zip(genStream, Gen.choose(1, 6), Gen.long)
+    var seed = Seed(7L)
+    val params = Gen.Parameters.default.withSize(120)
+    (0 until 80).foreach { _ =>
+      gen.apply(params, seed).foreach { case (xs, nSeg, shuf) =>
+        val toks = xs.map(i => s"t$i")
+        val n = toks.size.toLong
+        val segs = if (toks.isEmpty) Seq(Nil)
+          else toks.grouped(math.max(1, toks.size / nSeg)).toSeq
+        val partials = segs.map(_.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)))
+        // merge in a rotated order so tree shapes vary across samples
+        val rot = (math.abs(shuf) % math.max(1, partials.size)).toInt
+        val merged = (partials.drop(rot) ++ partials.take(rot)).reduce(agg.merge)
+        val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(merged.size <= 5)
+        merged.foreach { case (k, est) =>
+          assert(est <= exact(k), s"overcount of $k")
+          assert((exact(k) - est) * 6 <= n, s"undercount of $k past N/6")
+        }
+        exact.foreach { case (k, c) =>
+          if (c * 6 > n) assert(merged.contains(k), s"lost guaranteed $k")
+        }
+      }
+      seed = seed.next
+    }
+  }
+
   test("d55 sketch-then-verify equals the exact frequency filter (sf0.001)") {
     val out = SparkEntry.queries("d55_heavy_hitters")(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
