@@ -91,6 +91,46 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: the frame's byte slice reduced to fixed-width
+    * features (a real deployment would decode + resize the frame here). */
+  final case class FrameSample(
+      doc_id: Long,
+      frame_idx: Long,
+      n_frames: Long,
+      frame_bytes: Long,
+      frame_checksum: Long)
+
+  /** Frame sampling over video-typed payloads — the mapInPandas-shaped
+    * batch operator of a real pipeline, expressed as batched
+    * mapPartitions (this container ships no codec, same contract as
+    * decodeBatchStub): the payload is treated as `n_frames` fixed-size
+    * frames (frame size from the record's width×height, 1 byte/pixel
+    * stand-in), and `k` frames are sampled at the deterministic uniform
+    * stride floor(i·n/k), i = 0..k−1 — the ffmpeg `select` idiom. Only
+    * the sampled frames' features leave the operator: at 100 TB the
+    * payload bytes never shuffle, each record fans out to exactly k
+    * fixed-width rows map-side, and skew is bounded by k, not by video
+    * length. */
+  def sampleFrames(records: Dataset[MediaRecord], k: Int): Dataset[FrameSample] = {
+    import records.sparkSession.implicits._
+    require(k >= 1)
+    records.filter(_.media_type == "video").mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.flatMap { r =>
+        val frameSize = math.max(1, r.width * r.height / 64) // stand-in px/64
+        val n = math.max(1L, r.payload.length.toLong / frameSize)
+        (0 until k).map { i =>
+          val idx = i.toLong * n / k
+          val lo = (idx * frameSize).toInt.min(r.payload.length)
+          val hi = ((idx + 1) * frameSize).toInt.min(r.payload.length)
+          var cs = 0L
+          var p = lo
+          while (p < hi) { cs = cs * 131 + (r.payload(p) & 0xff); p += 1 }
+          FrameSample(r.doc_id, idx, n, (hi - lo).toLong, cs)
+        }.distinctBy(_.frame_idx) // short payloads: stride may repeat a frame
+      })
+    }
+  }
+
   /** Synthesize a deterministic media table from `documents` (the
     * container has no real media files): payload = the document's bytes,
     * media_type/width/height derived from doc_id. Exercises binary-column

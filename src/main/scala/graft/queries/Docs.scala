@@ -2330,6 +2330,26 @@ object Docs {
           expr("(present + nsn * (ncn - cc_present)) * 10000 div (2 * nsn * ncn)")
             .cast("long").as("tv_bp"))
         .orderBy($"source")
+    },
+
+    // ---- d59: video frame sampling (the remaining multimodal batch
+    // shape next to d12's decode/feature-extract): each video-typed
+    // payload is treated as n fixed-size frames and k=4 frames are
+    // sampled at the deterministic uniform stride floor(i·n/k) — the
+    // mapInPandas-shaped batched per-partition operator with the codec
+    // stubbed (operators.Multimodal.sampleFrames; this container ships
+    // none), emitting only fixed-width per-frame feature rows. Scale
+    // shape: payload bytes never shuffle, fanout is exactly ≤ k rows
+    // per record map-side, skew bounded by k rather than video length.
+    // Probabilistic-free but byte-level (no SQL binary algebra in the
+    // oracle) → rows; MultimodalSpec re-derives every sampled frame
+    // driver-side.
+    GraftQuery.rowsOnly("d59_frame_sample") { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+      graft.operators.Multimodal.sampleFrames(media, k = 4)
+        .toDF()
+        .orderBy($"doc_id", $"frame_idx")
     }
   )
 }

@@ -46,4 +46,31 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(1) === expect)
     }
   }
+
+  test("d59 frame sampling equals a driver-side stride re-derivation (sf0.001)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d59_frame_sample")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val media = graft.operators.Multimodal
+      .mediaFromDocuments(spark, Tables.load(spark, Sf0001, "documents"))
+      .collect().filter(_.media_type == "video")
+    assert(media.nonEmpty)
+    val expected = media.flatMap { r =>
+      val frameSize = math.max(1, r.width * r.height / 64)
+      val n = math.max(1L, r.payload.length.toLong / frameSize)
+      (0 until 4).map { i =>
+        val idx = i.toLong * n / 4
+        val lo = (idx * frameSize).toInt.min(r.payload.length)
+        val hi = ((idx + 1) * frameSize).toInt.min(r.payload.length)
+        val cs = (lo until hi).foldLeft(0L)((a, p) => a * 131 + (r.payload(p) & 0xff))
+        (r.doc_id, idx) -> ((n, (hi - lo).toLong, cs))
+      }.distinctBy(_._1)
+    }.toMap
+    assert(out === expected)
+    // every video contributes, fanout bounded by k
+    assert(out.keys.map(_._1).toSet === media.map(_.doc_id).toSet)
+    out.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= 4) }
+  }
 }
