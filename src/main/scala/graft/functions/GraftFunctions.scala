@@ -76,5 +76,12 @@ object GraftFunctions {
         registry.registerFunction(id, info, builder)
       }
     }
+    // the Misra-Gries summary is an Aggregator (not an Expression), so
+    // it registers through the UDF registry; capacity 31 matches d55
+    if (registry.lookupFunctionBuilder(FunctionIdentifier("mg_sketch")).isEmpty) {
+      spark.udf.register("mg_sketch",
+        org.apache.spark.sql.functions.udaf(
+          new graft.operators.HeavyHitters.MisraGries(31)))
+    }
   }
 }

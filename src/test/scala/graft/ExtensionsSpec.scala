@@ -42,4 +42,13 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(old)
     }
   }
+
+  test("mg_sketch is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = spark.sql(
+      "SELECT mg_sketch(t) AS mg FROM VALUES ('a'),('a'),('b'),('a') AS v(t)")
+      .collect()(0).getMap[String, Long](0)
+    assert(m("a") === 3L)
+    assert(m("b") === 1L)
+  }
 }
