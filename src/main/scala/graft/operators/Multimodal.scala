@@ -131,6 +131,48 @@ object Multimodal {
     }
   }
 
+  /** An image resized to a fixed side×side grid (flattened row-major);
+    * values are average-pooled bytes, 0..255. */
+  final case class Thumb(doc_id: Long, width: Int, height: Int, grid: Seq[Long])
+
+  /** Resize over image-typed payloads — the third multimodal batch
+    * shape (decode → d12, frame-sample → d59, resize → here): the
+    * payload is treated as height×width single-byte pixels (row-major,
+    * short payloads zero-padded — the codec stand-in, same contract as
+    * decodeBatchStub) and average-pooled onto a fixed side×side grid
+    * with integer-exact cell boundaries floor(i·h/side) — the
+    * area-interpolation idiom. Output is 64 longs per image however
+    * large the input: downstream of this operator nothing scales with
+    * source resolution, and the pooling is a map-side batched pass —
+    * payload bytes never shuffle. */
+  def resizeToGrid(records: Dataset[MediaRecord], side: Int): Dataset[Thumb] = {
+    import records.sparkSession.implicits._
+    require(side >= 1)
+    records.filter(_.media_type == "image").mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val w = math.max(1, r.width)
+        val h = math.max(1, r.height)
+        def px(row: Int, col: Int): Long = {
+          val p = row * w + col
+          if (p < r.payload.length) (r.payload(p) & 0xff).toLong else 0L
+        }
+        val grid = for (i <- 0 until side; j <- 0 until side) yield {
+          val (r0, r1) = (i * h / side, math.max(i * h / side + 1, (i + 1) * h / side))
+          val (c0, c1) = (j * w / side, math.max(j * w / side + 1, (j + 1) * w / side))
+          var sum = 0L
+          var rr = r0
+          while (rr < r1) {
+            var cc = c0
+            while (cc < c1) { sum += px(rr, cc); cc += 1 }
+            rr += 1
+          }
+          sum / ((r1 - r0).toLong * (c1 - c0))
+        }
+        Thumb(r.doc_id, w, h, grid)
+      })
+    }
+  }
+
   /** Synthesize a deterministic media table from `documents` (the
     * container has no real media files): payload = the document's bytes,
     * media_type/width/height derived from doc_id. Exercises binary-column

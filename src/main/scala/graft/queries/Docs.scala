@@ -2350,6 +2350,24 @@ object Docs {
       graft.operators.Multimodal.sampleFrames(media, k = 4)
         .toDF()
         .orderBy($"doc_id", $"frame_idx")
+    },
+
+    // ---- d60: image resize onto a fixed 8×8 grid (the third
+    // multimodal batch shape: d12 decode/features, d59 frame-sample,
+    // HERE area-interpolation resize): payload as height×width pixels,
+    // average-pooled with integer-exact floor(i·h/side) cell
+    // boundaries (operators.Multimodal.resizeToGrid, codec stubbed).
+    // Whatever the source resolution, 64 longs per image leave the
+    // operator — nothing downstream scales with pixel count, pooling
+    // is map-side batched, payload bytes never shuffle. Byte-level
+    // (no SQL binary algebra) → rows; MultimodalSpec re-derives grids
+    // driver-side and pins the value range.
+    GraftQuery.rowsOnly("d60_thumbnail_grid") { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+      graft.operators.Multimodal.resizeToGrid(media, side = 8)
+        .toDF()
+        .orderBy($"doc_id")
     }
   )
 }

@@ -73,4 +73,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out.keys.map(_._1).toSet === media.map(_.doc_id).toSet)
     out.keys.groupBy(_._1).foreach { case (_, ks) => assert(ks.size <= 4) }
   }
+
+  test("d60 thumbnail grids equal a driver-side average-pool re-derivation (sf0.001)") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d60_thumbnail_grid")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+    val media = graft.operators.Multimodal
+      .mediaFromDocuments(spark, Tables.load(spark, Sf0001, "documents"))
+      .collect().filter(_.media_type == "image")
+    assert(media.nonEmpty)
+    media.foreach { r =>
+      val (w, h) = (math.max(1, r.width), math.max(1, r.height))
+      def px(row: Int, col: Int): Long = {
+        val p = row * w + col
+        if (p < r.payload.length) (r.payload(p) & 0xff).toLong else 0L
+      }
+      val expect = for (i <- 0 until 8; j <- 0 until 8) yield {
+        val (r0, r1) = (i * h / 8, math.max(i * h / 8 + 1, (i + 1) * h / 8))
+        val (c0, c1) = (j * w / 8, math.max(j * w / 8 + 1, (j + 1) * w / 8))
+        val cells = for (rr <- r0 until r1; cc <- c0 until c1) yield px(rr, cc)
+        cells.sum / cells.size
+      }
+      assert(out(r.doc_id) === expect, s"doc ${r.doc_id}")
+      assert(out(r.doc_id).length === 64)
+      assert(out(r.doc_id).forall(v => v >= 0 && v <= 255))
+    }
+    assert(out.keySet === media.map(_.doc_id).toSet)
+  }
 }
