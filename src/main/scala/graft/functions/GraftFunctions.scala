@@ -48,7 +48,17 @@ object GraftFunctions {
     // pq_codes(latticeVec, flatCodebook, m, k) — codebook/m/k literals.
     "pq_codes" -> { args =>
       PqAssignCodes(args(0), litLongArray(args(1), "flatCb"),
-        litInt(args(2), "m"), litInt(args(3), "k")) }
+        litInt(args(2), "m"), litInt(args(3), "k")) },
+    // mg_sketch(token) — the Misra-Gries Aggregator as a SQL aggregate
+    // (d55's capacity); an AggregateFunction from a registry builder is
+    // wrapped into its AggregateExpression by the analyzer, so the same
+    // triple serves sessions (register) and clusters (GraftExtensions).
+    "mg_sketch" -> { args =>
+      org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+        args, new graft.operators.HeavyHitters.MisraGries(31),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String](),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]](),
+        aggregatorName = Some("mg_sketch")) }
   )
 
   private val exprClass: Map[String, String] = Map(
@@ -59,7 +69,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> classOf[SortedIntersectCount].getName,
     "shingle_hashes" -> classOf[ShingleHashes].getName,
     "shingle_hashes_all" -> classOf[ShingleHashes].getName,
-    "pq_codes" -> classOf[PqAssignCodes].getName)
+    "pq_codes" -> classOf[PqAssignCodes].getName,
+    "mg_sketch" -> classOf[org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]].getName)
 
   /** (identifier, info, builder) triples — the shape both the session
     * FunctionRegistry and SparkSessionExtensions.injectFunction take. */
@@ -75,13 +86,6 @@ object GraftFunctions {
       if (registry.lookupFunctionBuilder(id).isEmpty) {
         registry.registerFunction(id, info, builder)
       }
-    }
-    // the Misra-Gries summary is an Aggregator (not an Expression), so
-    // it registers through the UDF registry; capacity 31 matches d55
-    if (registry.lookupFunctionBuilder(FunctionIdentifier("mg_sketch")).isEmpty) {
-      spark.udf.register("mg_sketch",
-        org.apache.spark.sql.functions.udaf(
-          new graft.operators.HeavyHitters.MisraGries(31)))
     }
   }
 }

@@ -37,6 +37,11 @@ class ExtensionsSpec extends SparkSpec {
           "shingle_hashes('a b c e', 2)) AS c")
         .collect()(0).getLong(0)
       assert(sic === 2L) // shared 2-shingles: "a b", "b c"
+      // the aggregate rides the same injection list as the expressions
+      val mg = injected.sql(
+        "SELECT mg_sketch(t) AS mg FROM VALUES ('x'),('x'),('y') AS v(t)")
+        .collect()(0).getMap[String, Long](0)
+      assert(mg("x") === 2L && mg("y") === 1L)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)

@@ -63,9 +63,17 @@ class Wave8Spec extends SparkSpec {
         val segs = if (toks.isEmpty) Seq(Nil)
           else toks.grouped(math.max(1, toks.size / nSeg)).toSeq
         val partials = segs.map(_.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)))
-        // merge in a rotated order so tree shapes vary across samples
+        // balanced BINARY tree over a rotated operand order: both merge
+        // arguments can themselves be merged (already-subtracted)
+        // summaries — the case a left-deep reduce never produces
+        def treeMerge(ps: Seq[Map[String, Long]]): Map[String, Long] = ps match {
+          case Seq(one) => one
+          case _ =>
+            val (a, b) = ps.splitAt(ps.size / 2)
+            agg.merge(treeMerge(a), treeMerge(b))
+        }
         val rot = (math.abs(shuf) % math.max(1, partials.size)).toInt
-        val merged = (partials.drop(rot) ++ partials.take(rot)).reduce(agg.merge)
+        val merged = treeMerge(partials.drop(rot) ++ partials.take(rot))
         val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
         assert(merged.size <= 5)
         merged.foreach { case (k, est) =>
