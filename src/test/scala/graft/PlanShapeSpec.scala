@@ -177,4 +177,34 @@ class PlanShapeSpec extends SparkSpec {
     val badExchange = "Exchange[^\\n]*\\bg#".r.findFirstIn(p)
     assert(badExchange.isEmpty, s"raw gram text entered a shuffle: $badExchange")
   }
+
+  test("d55: the recount filters to sketch candidates before any exchange") {
+    // pass 2's whole point: the full token-frequency table never
+    // materializes — tokens are filtered against the ≤31 candidate
+    // literals at the scan side, then partial-aggregate map-side
+    val p = plan("d55_heavy_hitters")
+    assert(p.contains(" IN ") || p.contains("INSET"),
+      s"candidate IN-filter missing before the recount aggregate:\n$p")
+    assert(p.contains("partial_count"),
+      s"recount must partial-aggregate map-side:\n$p")
+  }
+
+  test("d56: thresholds broadcast back; the corpus is never window-sorted") {
+    val p = plan("d56_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source thresholds must broadcast, not shuffle-join:\n$p")
+    // the only Window runs over the (source, n_chars) histogram — its
+    // input must be an aggregate, never the raw scan
+    assert(!p.contains("SortMergeJoin"),
+      s"threshold join fell back to sort-merge:\n$p")
+  }
+
+  test("e22: all eight EWMA taps ride one user-keyed exchange") {
+    val p = plan("e22_ewma_smooth")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected exactly 1 hash exchange (user_id) for the lag window, got $shuffles:\n$p")
+    val windows = "Window".r.findAllIn(p).length
+    assert(windows <= 2, s"the lag chain must share one window frame:\n$p")
+  }
 }
