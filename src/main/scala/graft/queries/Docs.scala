@@ -2368,6 +2368,80 @@ object Docs {
       graft.operators.Multimodal.resizeToGrid(media, side = 8)
         .toDF()
         .orderBy($"doc_id")
+    },
+
+    // ---- d61: data selection under a token budget (the "keep the
+    // best 40% of tokens" pass a DataComp-style curation run ends
+    // with), EXACT and sort-free: per-doc quality in integer basis
+    // points (length + punctuation + stopword components, all integer
+    // division), then the admission cutoff comes from the QUALITY-BIN
+    // HISTOGRAM — bins strictly above the cutoff admit wholesale
+    // (map-side flag against the broadcast histogram), and ONLY the
+    // single straddling bin is prefix-windowed (doc_id order, s19's
+    // truncation semantics) to fill the remainder deterministically.
+    // The textbook plan — global quality sort + running token sum —
+    // is one total order over the corpus; this one windows just the
+    // cutoff bin, bounded by a bin's mass, not the corpus.
+    GraftQuery.sql("d61_quality_budget",
+      s"""$normCte,
+         |t AS (SELECT doc_id, source,
+         |    len(string_split(norm, ' ')) AS n_tok,
+         |    length(norm) AS chars,
+         |    length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+         |    len(list_filter(string_split(norm, ' '), x -> x IN ('the', 'a'))) AS stop
+         |  FROM nd WHERE length(norm) > 0),
+         |q AS (SELECT doc_id, source, n_tok,
+         |    30 * LEAST(n_tok, 100) + (chars - punct) * 3000 // chars
+         |      + stop * 4000 // n_tok AS q_bp FROM t),
+         |tot AS (SELECT SUM(n_tok) * 2 // 5 AS b FROM q),
+         |bins AS (SELECT q_bp, SUM(n_tok) AS btok FROM q GROUP BY 1),
+         |cb AS (SELECT q_bp, btok, COALESCE(SUM(btok) OVER (ORDER BY q_bp DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above FROM bins),
+         |d AS (SELECT q.doc_id, q.source, q.n_tok, cb.above,
+         |    SUM(q.n_tok) OVER (PARTITION BY q.q_bp ORDER BY q.doc_id) AS runq
+         |  FROM q JOIN cb USING (q_bp)),
+         |sel AS (SELECT * FROM d, tot WHERE above + runq <= b)
+         |SELECT source, COUNT(*) AS n_sel,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_sel,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val norm = Text.normalize($"text")
+      val t = docs(s, dir)
+        .select($"doc_id", $"source", norm.as("norm"))
+        .filter(length($"norm") > 0)
+        .select($"doc_id", $"source",
+          size(split($"norm", " ")).cast("long").as("n_tok"),
+          length($"norm").cast("long").as("chars"),
+          length(regexp_replace($"norm", "[a-z0-9 ]", "")).cast("long").as("punct"),
+          size(filter(split($"norm", " "),
+            x => x.isin(stopwords.map(lit(_)): _*))).cast("long").as("stop"))
+      val q = t.select($"doc_id", $"source", $"n_tok",
+        (lit(30L) * least($"n_tok", lit(100L)) +
+          expr("(chars - punct) * 3000 div chars") +
+          expr("stop * 4000 div n_tok")).as("q_bp"))
+      val budget = q.agg(expr("sum(n_tok) * 2 div 5")).head().getLong(0)
+      val bins = q.groupBy($"q_bp").agg(sum($"n_tok").as("btok"))
+      // cumulative mass of strictly-better bins: window over the TINY
+      // histogram only (distinct q_bp values), then broadcast back
+      val wAbove = Window.orderBy($"q_bp".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = bins.withColumn("above",
+        coalesce(sum($"btok").over(wAbove), lit(0L)))
+      val joined = q.join(broadcast(cb), "q_bp")
+      val full = joined.filter($"above" + $"btok" <= budget)
+      // only the single straddling bin pays a prefix window
+      val cut = joined
+        .filter($"above" <= budget && $"above" + $"btok" > budget)
+        .withColumn("runq", sum($"n_tok")
+          .over(Window.partitionBy($"q_bp").orderBy($"doc_id")))
+        .filter($"above" + $"runq" <= budget)
+      val cols = Seq($"doc_id", $"source", $"n_tok")
+      full.select(cols: _*).union(cut.select(cols: _*))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_sel"), sum($"n_tok").as("tok_sel"),
+          sum($"doc_id").as("id_sum"))
+        .orderBy($"source")
     }
   )
 }

@@ -188,6 +188,37 @@ class Wave8Spec extends SparkSpec {
     assert(out.keySet === toks.map(_._1).toSet)
   }
 
+  test("d61 budget selection equals a sorted greedy re-derivation (sf0.001)") {
+    // the histogram cutoff + straddling-bin prefix must pick EXACTLY
+    // the same docs as the textbook plan: sort by (quality desc,
+    // doc_id), admit while the running token sum fits the budget
+    val out = SparkEntry.queries("d61_quality_budget")(spark, Sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+      .flatMap { case (id, src, text) =>
+        val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+        if (norm.isEmpty) None else {
+          val toks = norm.split(" ")
+          val punct = norm.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z')))
+          val stop = toks.count(t => t == "the" || t == "a")
+          val qBp = 30L * math.min(toks.length, 100) +
+            (norm.length - punct).toLong * 3000 / norm.length +
+            stop.toLong * 4000 / toks.length
+          Some((id, src, toks.length.toLong, qBp))
+        }
+      }
+    val budget = docs.map(_._3).sum * 2 / 5
+    var run = 0L
+    val admitted = docs.sortBy { case (id, _, _, q) => (-q, id) }
+      .takeWhile { case (_, _, n, _) => run += n; run <= budget }
+    val expected = admitted.groupBy(_._2).view.mapValues(ds =>
+      (ds.length.toLong, ds.map(_._3).sum, ds.map(_._1).sum)).toMap
+    assert(admitted.nonEmpty && admitted.length < docs.length)
+    assert(out === expected)
+  }
+
   test("e22 EWMA equals a per-user kernel fold (sf0.001)") {
     val out = SparkEntry.queries("e22_ewma_smooth")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
