@@ -880,6 +880,55 @@ object Streaming {
         .orderBy($"source", $"cnt".desc, $"token")
     },
 
+    // ---- s22: SEMANTIC decontamination on the ingest stream — the
+    // embedding analog of s10's lexical 8-gram gate: arriving vectors
+    // are cosine-checked against a static reference set (eval set /
+    // blocklist — broadcast into every micro-batch, the realistic
+    // plan when the reference is benchmark-sized) with the native
+    // codegen'd cosine; the join is stateless stream-static, so no
+    // watermark and no state growth, and per-arrival fanout is
+    // bounded by that vector's reference matches. A corpus-sized
+    // reference swaps the broadcast for d44's IVF bucket join — same
+    // verify expression, candidate generation changes. Exact (no ANN
+    // on the gate path), so the brute-force SQL cosine is the oracle.
+    GraftQuery.sql("s22_stream_semantic_gate",
+      """WITH nv AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(len(embedding)),
+        |      i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |r AS (SELECT * FROM nv WHERE vec_id % 5 = 0),
+        |c AS (SELECT * FROM nv WHERE vec_id % 5 <> 0)
+        |SELECT c.vec_id, COUNT(*) AS n_ref_matches,
+        |  ROUND(MAX(list_sum(list_transform(range(len(c.embedding)),
+        |    i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE)))
+        |    / (c.nrm * r.nrm)), 6) AS max_cos
+        |FROM c JOIN r ON list_sum(list_transform(range(len(c.embedding)),
+        |    i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE)))
+        |    / (c.nrm * r.nrm) >= 0.4
+        |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.Vectors
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      graft.functions.GraftFunctions.register(s)
+      val nv = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val ref = nv.filter($"vec_id" % 5 === 0)
+        .select($"vec_id".as("r_id"), $"embedding".as("r_emb"), $"nrm".as("r_nrm"))
+      val streamRows = nv.filter($"vec_id" % 5 =!= 0)
+        .as[(Long, Seq[Float], Double)].collect().toSeq.sortBy(_._1)
+      val in = MemoryStream[(Long, Seq[Float], Double)](s)
+      val flagged = in.toDF().toDF("vec_id", "emb", "nrm")
+        .join(broadcast(ref),
+          Vectors.cosineWithNorms($"emb", $"r_emb", $"nrm", $"r_nrm") >= 0.4)
+        .select($"vec_id", $"r_id",
+          Vectors.cosineWithNorms($"emb", $"r_emb", $"nrm", $"r_nrm").as("cos"))
+      drainChunksToTable(s, flagged, "append", in,
+        streamRows.grouped(math.max(1, streamRows.size / 4)).toSeq)
+        .groupBy($"vec_id")
+        .agg(count(lit(1)).as("n_ref_matches"), round(max($"cos"), 6).as("max_cos"))
+        .orderBy($"vec_id")
+    },
+
     // ---- s7: stream-stream join — clicks joined to purchases of the
     // same user within the following hour, both sides watermarked so
     // join state is bounded by the time-range condition. Inner joins

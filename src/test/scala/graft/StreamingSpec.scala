@@ -98,6 +98,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("s22 streamed semantic gate equals the identically-parameterized batch join (sf0.001)") {
+    import graft.functions.Vectors
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val streamed = SparkEntry.queries("s22_stream_semantic_gate")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nv = Tables.load(spark, Sf0001, "embeddings")
+      .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+    val ref = nv.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("r_id"), $"embedding".as("r_emb"), $"nrm".as("r_nrm"))
+    val batch = nv.filter($"vec_id" % 5 =!= 0)
+      .join(broadcast(ref),
+        Vectors.cosineWithNorms($"embedding", $"r_emb", $"nrm", $"r_nrm") >= 0.4)
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n"),
+        round(max(Vectors.cosineWithNorms($"embedding", $"r_emb", $"nrm", $"r_nrm")), 6))
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty, "sf0.001 should contain cross-half semantic matches")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("s11 streamed near-dup gate equals the identically-parameterized batch plan (sf0.001)") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
