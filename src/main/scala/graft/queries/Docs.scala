@@ -2442,6 +2442,39 @@ object Docs {
         .agg(count(lit(1)).as("n_sel"), sum($"n_tok").as("tok_sel"),
           sum($"doc_id").as("id_sum"))
         .orderBy($"source")
+    },
+
+    // ---- d62: decontamination via a BLOOM FILTER over the eval set's
+    // 8-gram hashes — the membership-probe form that replaces d20's
+    // broadcast JOIN at 100 TB: the filter is bits (here 1% target FP
+    // over the eval grams — KBs where the gram table is GBs), rides to
+    // every task as a literal byte array probed by the codegen-friendly
+    // mightContain, and the corpus side never joins anything — a pure
+    // map-side scan that cannot skew. The Bloom guarantee (NO false
+    // negatives) makes the flag a strict superset of d20's exact
+    // contamination set; Wave8Spec asserts superset + bounded false
+    // positives against d20 run on the same corpus. Probabilistic
+    // bit-pattern (murmur-seeded, deterministic per build but not
+    // SQL-expressible) → rows.
+    GraftQuery.rowsOnly("d62_bloom_decontaminate") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.util.sketch.BloomFilter
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sh8 = docs(s, dir).repartition(p)
+        .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
+      // build once over the (tiny) eval side; ships as a task literal
+      val bf: BloomFilter = sh8.filter($"doc_id" < 25)
+        .select(explode($"sh").as("g"))
+        .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
+      val hit = udf((g: Long) => bf.mightContainLong(g))
+      sh8.filter($"doc_id" >= 25)
+        .select($"doc_id", explode($"sh").as("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(hit($"g").cast("long")).as("n_hits"))
+        .filter($"n_hits" > 0)
+        .select($"doc_id", $"n_grams", $"n_hits")
+        .orderBy($"doc_id")
     }
   )
 }

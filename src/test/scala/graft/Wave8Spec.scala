@@ -219,6 +219,31 @@ class Wave8Spec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("d62 Bloom gate: superset of the exact d20 contamination set, bounded FPs (sf0.001)") {
+    // no-false-negative guarantee: every doc d20 finds contaminated
+    // must carry Bloom hits; the FP overhead (docs flagged only by the
+    // filter) must stay within a loose multiple of the 1% gram-level
+    // target (a doc-level flag fires if ANY of its grams collides)
+    val bloom = SparkEntry.queries("d62_bloom_decontaminate")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = SparkEntry.queries("d20_decontaminate")(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(bloom.keySet),
+      s"Bloom lost contaminated docs: ${exact -- bloom.keySet}")
+    val corpusDocs = Tables.load(spark, Sf0001, "documents")
+      .filter($"doc_id" >= 25).count()
+    val fps = bloom.keySet -- exact
+    // each doc probes ~n_grams times at fpp=0.01 → doc-level FP rate
+    // ≲ n_grams/100; with ~40-gram docs allow up to half the corpus
+    // flagged before calling the filter broken
+    assert(fps.size * 2 <= corpusDocs,
+      s"false-positive flags exceed half the corpus: ${fps.size} of $corpusDocs")
+    bloom.foreach { case (id, (n, h)) =>
+      assert(h >= 1 && h <= n, s"doc $id: hits $h outside [1, $n]")
+    }
+  }
+
   test("e22 EWMA equals a per-user kernel fold (sf0.001)") {
     val out = SparkEntry.queries("e22_ewma_smooth")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
