@@ -1,11 +1,11 @@
 package graft.functions
 
-import graft.functions.expressions.{FloatVecDot, MinHashSig, PqAssignCodes, ShingleHashes, SimHash64, SortedIntersectCount, WinnowFingerprints}
+import graft.functions.expressions.{BloomContainsLong, FloatVecDot, MinHashSig, PqAssignCodes, ShingleHashes, SimHash64, SortedIntersectCount, WinnowFingerprints}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType}
 
 /** Registration of graft's native Catalyst expressions in the session
   * `FunctionRegistry`, making them usable both from the Column API
@@ -24,6 +24,11 @@ object GraftFunctions {
     case Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$arg must be a long literal, got $other")
+  }
+  private def litBinary(e: Expression, arg: String): Array[Byte] = e match {
+    case Literal(v: Array[Byte], BinaryType) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be a binary literal, got $other")
   }
   private def litLongArray(e: Expression, arg: String): Seq[Long] = e match {
     case Literal(v: ArrayData, ArrayType(LongType, _)) => v.toLongArray().toSeq
@@ -45,6 +50,10 @@ object GraftFunctions {
     "shingle_hashes" -> { args => ShingleHashes(args(0), litInt(args(1), "k")) },
     "shingle_hashes_all" -> { args =>
       ShingleHashes(args(0), litInt(args(1), "k"), distinct = false) },
+    // bloom_contains_long(value, serializedFilter) — filter a literal;
+    // the bytes ride the plan once, deserialized lazily per JVM.
+    "bloom_contains_long" -> { args =>
+      BloomContainsLong(args(0), litBinary(args(1), "filter")) },
     // pq_codes(latticeVec, flatCodebook, m, k) — codebook/m/k literals.
     "pq_codes" -> { args =>
       PqAssignCodes(args(0), litLongArray(args(1), "flatCb"),
@@ -69,6 +78,7 @@ object GraftFunctions {
     "sorted_intersect_count" -> classOf[SortedIntersectCount].getName,
     "shingle_hashes" -> classOf[ShingleHashes].getName,
     "shingle_hashes_all" -> classOf[ShingleHashes].getName,
+    "bloom_contains_long" -> classOf[BloomContainsLong].getName,
     "pq_codes" -> classOf[PqAssignCodes].getName,
     "mg_sketch" -> classOf[org.apache.spark.sql.execution.aggregate.ScalaAggregator[_, _, _]].getName)
 

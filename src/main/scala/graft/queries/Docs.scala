@@ -2359,15 +2359,51 @@ object Docs {
     // boundaries (operators.Multimodal.resizeToGrid, codec stubbed).
     // Whatever the source resolution, 64 longs per image leave the
     // operator — nothing downstream scales with pixel count, pooling
-    // is map-side batched, payload bytes never shuffle. Byte-level
-    // (no SQL binary algebra) → rows; MultimodalSpec re-derives grids
-    // driver-side and pins the value range.
-    GraftQuery.rowsOnly("d60_thumbnail_grid") { (s, dir) =>
+    // is map-side batched, payload bytes never shuffle. The pooling is
+    // integer-exact and the test corpus is pure ASCII, so the stub
+    // codec's byte algebra IS SQL-expressible: the oracle rebuilds the
+    // pixel plane from ord() over the text bytes and re-pools with the
+    // same floor boundaries. Grid emitted LONG-FORM (doc_id, cell,
+    // value) — one scalar row per cell — so every column is sortable
+    // and hashable by the driver (r6's array column was not).
+    GraftQuery.sql("d60_thumbnail_grid",
+      """WITH img AS (
+        |  SELECT doc_id, text,
+        |         (doc_id % 64)*16+64 AS w, (doc_id % 48)*16+64 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v,
+        |         p // w AS prow, p % w AS pcol
+        |  FROM img, UNNEST(generate_series(0, length(text)-1)) AS t(p)),
+        |ri AS (SELECT doc_id, i, i*h//8 AS r0, (i+1)*h//8 AS r1
+        |       FROM img, UNNEST(generate_series(0,7)) AS gi(i)),
+        |ci AS (SELECT doc_id, j, j*w//8 AS c0, (j+1)*w//8 AS c1
+        |       FROM img, UNNEST(generate_series(0,7)) AS gj(j)),
+        |cellsum AS (
+        |  SELECT px.doc_id, ri.i, ci.j, SUM(px.v) AS s
+        |  FROM px
+        |  JOIN ri ON px.doc_id=ri.doc_id AND px.prow>=ri.r0 AND px.prow<ri.r1
+        |  JOIN ci ON px.doc_id=ci.doc_id AND px.pcol>=ci.c0 AND px.pcol<ci.c1
+        |  GROUP BY 1,2,3)
+        |SELECT img.doc_id, CAST(img.w AS BIGINT) AS width,
+        |  CAST(img.h AS BIGINT) AS height,
+        |  CAST(ri.i*8+ci.j AS BIGINT) AS cell,
+        |  CAST(COALESCE(cs.s, 0) // ((ri.r1-ri.r0)*(ci.c1-ci.c0)) AS BIGINT)
+        |    AS value
+        |FROM img JOIN ri USING(doc_id) JOIN ci USING(doc_id)
+        |LEFT JOIN cellsum cs
+        |  ON cs.doc_id=img.doc_id AND cs.i=ri.i AND cs.j=ci.j
+        |ORDER BY doc_id, cell""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
       graft.operators.Multimodal.resizeToGrid(media, side = 8)
         .toDF()
-        .orderBy($"doc_id")
+        .select($"doc_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          posexplode($"grid").as(Seq("cell", "value")))
+        .select($"doc_id", $"width", $"height",
+          $"cell".cast("long").as("cell"), $"value")
+        .orderBy($"doc_id", $"cell")
     },
 
     // ---- d61: data selection under a token budget (the "keep the
@@ -2466,12 +2502,17 @@ object Docs {
       val bf: BloomFilter = sh8.filter($"doc_id" < 25)
         .select(explode($"sh").as("g"))
         .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
-      val hit = udf((g: Long) => bf.mightContainLong(g))
+      // probe via the codegen expression — the filter's serialized bytes
+      // ride the plan as one literal, and the per-gram test fuses into
+      // the whole-stage-codegen scan loop (no boxed-UDF row boundary)
+      val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray }
+      val hit = call_function("bloom_contains_long", $"g", lit(bfBytes))
       sh8.filter($"doc_id" >= 25)
         .select($"doc_id", explode($"sh").as("g"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"),
-          sum(hit($"g").cast("long")).as("n_hits"))
+          sum(hit.cast("long")).as("n_hits"))
         .filter($"n_hits" > 0)
         .select($"doc_id", $"n_grams", $"n_hits")
         .orderBy($"doc_id")

@@ -76,8 +76,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("d60 thumbnail grids equal a driver-side average-pool re-derivation (sf0.001)") {
     import spark.implicits._
+    // long-form output (doc_id, width, height, cell, value): regroup to
+    // one 64-vector per doc for the re-derivation compare
     val out = SparkEntry.queries("d60_thumbnail_grid")(spark, Sf0001)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](3)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (id, cs) => id -> cs.sortBy(_._2).map(_._3).toSeq }
     val media = graft.operators.Multimodal
       .mediaFromDocuments(spark, Tables.load(spark, Sf0001, "documents"))
       .collect().filter(_.media_type == "image")

@@ -199,6 +199,17 @@ class PlanShapeSpec extends SparkSpec {
       s"threshold join fell back to sort-merge:\n$p")
   }
 
+  test("d62: the Bloom probe is codegen, not a boxed Scala UDF") {
+    val p = plan("d62_bloom_decontaminate")
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"the membership probe must be the bloom_contains_long expression:\n$p")
+    assert(p.contains("bloom_contains_long"),
+      s"expected the codegen probe in the plan:\n$p")
+    // the gate's whole cost model is ONE scan of the corpus side — the
+    // probe must not introduce a join
+    assert(!p.contains("Join"), s"the Bloom gate must stay join-free:\n$p")
+  }
+
   test("e22: all eight EWMA taps ride one user-keyed exchange") {
     val p = plan("e22_ewma_smooth")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
