@@ -74,13 +74,20 @@ class BatchingSink[A](
   /** Drain `records`, emitting the success/failure channel in completion
     * order. Lazily pulls from upstream only when the buffer has room —
     * the iterator-pull analog of the reference's demand-driven `pull(in)`
-    * (KinesisGraphStage.scala:70-74). */
+    * (KinesisGraphStage.scala:70-74) — and emits INCREMENTALLY, flush by
+    * flush: each downstream pull advances upstream just far enough to
+    * justify one flush and yields that flush's channel, matching the
+    * reference's per-flush `emitMultiple` (KinesisGraphStage.scala:
+    * 110-125). Peak state is therefore one buffer (≤ maxBufferSize) plus
+    * one flush's results — O(batch), not O(partition); the previous form
+    * accumulated the whole partition's Either channel before returning,
+    * which at a fat 100 TB partition is an O(partition) heap hold. */
   def run(records: Iterator[A]): Iterator[Either[PutError[A], A]] = {
     val buffer = mutable.Queue.empty[A]
-    val out = mutable.ArrayBuffer.empty[Either[PutError[A], A]]
 
-    def flush(): Unit = {
-      if (buffer.nonEmpty) {
+    def flush(): Seq[Either[PutError[A], A]] = {
+      if (buffer.isEmpty) Seq.empty
+      else {
         val batch = buffer.dequeueAll(_ => true).toSeq
         val results = Retry.withRetries(
           tries = config.maxTries,
@@ -92,6 +99,7 @@ class BatchingSink[A](
         }
         require(results.length == batch.length,
           s"transport returned ${results.length} results for ${batch.length} records")
+        val out = mutable.ArrayBuffer.empty[Either[PutError[A], A]]
         var throttled = 0
         results.lazyZip(batch).foreach { (r, a) =>
           r.errorCode match {
@@ -101,18 +109,21 @@ class BatchingSink[A](
           }
         }
         if (throttled > 0) sleeper(config.throttleBackoffMs)
+        out.toSeq
       }
     }
 
-    while (records.hasNext) {
-      while (records.hasNext && buffer.length < config.maxBufferSize) {
-        buffer.enqueue(records.next())
-        if (buffer.length >= config.sendingThreshold) flush()
+    val flushes = new Iterator[Seq[Either[PutError[A], A]]] {
+      override def hasNext: Boolean = records.hasNext || buffer.nonEmpty
+      override def next(): Seq[Either[PutError[A], A]] = {
+        // fill until the flush point (threshold, or upstream close);
+        // requeued throttles left >= threshold flush before new pulls,
+        // so the buffer never outgrows maxBufferSize
+        while (records.hasNext && buffer.length < config.sendingThreshold)
+          buffer.enqueue(records.next())
+        flush()
       }
-      if (buffer.nonEmpty) flush()
     }
-    // upstream closed: clear whatever remains (including requeues)
-    while (buffer.nonEmpty) flush()
-    out.iterator
+    flushes.flatten
   }
 }

@@ -26,6 +26,20 @@ class BatchingSinkSpec extends AnyFunSuite {
     assert(ok.size === 600 && ok.forall(_.isRight))
   }
 
+  test("emission is incremental: first flush's results arrive before upstream exhausts") {
+    var pulled = 0
+    val upstream = (1 to 600).iterator.map { i => pulled += 1; i }
+    val it = sink({ b => b.map(_ => PutResult(None)) },
+      Config(sendingThreshold = 250, maxBufferSize = 500)).run(upstream)
+    val first = it.next()
+    assert(first === Right(1))
+    // one flush's worth pulled, not the whole partition — the O(batch)
+    // heap claim (a buffered implementation would have pulled all 600)
+    assert(pulled === 250, s"first result must cost one flush, pulled $pulled")
+    assert(it.size === 599, "remaining channel drains completely")
+    assert(pulled === 600)
+  }
+
   test("throttled records are requeued and eventually succeed; flush backs off 800ms") {
     val sleeps = mutable.Buffer.empty[Long]
     val throttledOnce = mutable.Set.empty[Int]
