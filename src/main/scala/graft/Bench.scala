@@ -34,6 +34,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every entrypoint pins UTC: Tables' TIMESTAMP_NTZ→Timestamp cast
+      // is session-timezone-dependent, so an unpinned bench session
+      // would read shifted instants on a non-UTC host
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -807,9 +807,15 @@ object Events {
     // no float division anywhere. Terms are cast to DECIMAL(38,0)
     // before squaring: at 100 TB scale n·sd can reach ~2^40 and the
     // summed squares ~10^25, far past BIGINT but comfortable in 38
-    // digits. Both engines stay exact there: DECIMAL(38,0) arithmetic
-    // is int128-backed in DuckDB as in Spark, and past-38-digit
-    // overflow raises rather than degrading to float. Scale shape: the daily rollup is one (user, day)
+    // digits. Both engines stay exact there (int128-backed DECIMAL in
+    // DuckDB as in Spark), and neither silently degrades to float past
+    // 38 digits — but their FAILURE modes differ: DuckDB raises, while
+    // Spark under the default spark.sql.ansi.enabled=false returns
+    // NULL on decimal overflow, which would silently drop the
+    // overflowed term from the sums. The driver's hash compare makes
+    // that divergence loud (a Spark-side NULL can't match DuckDB's
+    // exact value), and running with ANSI mode on upgrades it to a
+    // hard error. Scale shape: the daily rollup is one (user, day)
     // partial-agg exchange; the lag + per-user stats ride ONE
     // user-keyed window; the final rollup is tiny.
     GraftQuery.sql("e23_autocorr_flag",
