@@ -1,0 +1,418 @@
+package graft.streaming
+
+import graft.util.Retry
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Kinesis adapter sample on the [[Transport]] seam — the mapping the
+  * reference implements natively (KinesisSource.scala, KinesisGraphStage
+  * .scala), expressed against graft's injectable client surface:
+  *
+  *   - describeStream → [[ShardReader.describeShards]] (shard topology
+  *     with parentShardId + adjacentParentShardId, reference
+  *     KinesisSource.scala:115-141 — one parent = split child, two =
+  *     merge child; the reshard gate in ShardedLogMicroBatchStream then
+  *     orders parents before children exactly as the reference's
+  *     ancestor walk does);
+  *   - getShardIterator/getRecords → [[ShardReader.read]] (the
+  *     AFTER_SEQUENCE_NUMBER + GetRecords loop, reference
+  *     KinesisSource.scala:55-65, 255-258, with the reference's error
+  *     taxonomy at :290-302: expired iterators reissued, throttling and
+  *     service errors retried with backoff, client errors thrown — they
+  *     are bugs in the caller);
+  *   - putRecords → [[RecordWriter.putRecords]] (per-record error codes
+  *     pass straight into [[BatchingSink]]'s requeue/dead-letter
+  *     routing, reference KinesisGraphStage.scala:110-125).
+  *
+  * The AWS SDK is NOT a dependency: [[KinesisPort]] states the client
+  * surface in plain data, and [[ReflectiveKinesisPort]] binds it to an
+  * SDK-v1-shaped client instance by reflection at runtime — a user with
+  * `aws-java-sdk-kinesis` on the classpath passes
+  * `() => AmazonKinesisClientBuilder.defaultClient()` and nothing here
+  * recompiles; the offline suite binds the identical plumbing to stub
+  * classes with the SDK's method surface, so the mapping itself is
+  * tested without network or SDK jars.
+  *
+  * Sequence-number bridge: Kinesis sequence numbers are opaque ~56-digit
+  * decimal strings, while the seam's replayable offsets are dense Longs.
+  * [[KinesisShardReader]] maintains a per-shard LEDGER mapping dense
+  * position → (sequence string, arrival µs): the driver's per-trigger
+  * frontier poll appends to it (sequence metadata only — payloads are
+  * not retained driver-side), executor tasks use it to anchor their
+  * AFTER_SEQUENCE_NUMBER fetch, and [[ShardReader.prune]] (called on
+  * micro-batch commit) releases everything below the committed frontier,
+  * so the ledger is bounded by the unconsumed backlog, not the stream's
+  * history. On a fresh driver the ledger rebuilds from TRIM_HORIZON
+  * (positions are reproducible because per-shard order is stable);
+  * records aged out of the retention window shift the dense positions —
+  * the same trim caveat as any replayable source, which a production
+  * deployment closes by persisting the ledger base next to the
+  * checkpoint.
+  */
+object KinesisPort {
+  /** Shard topology row — the reference's Shard fields
+    * (KinesisSource.scala:135-141). */
+  final case class ShardDesc(
+      shardId: String,
+      parentShardId: Option[String],
+      adjacentParentShardId: Option[String])
+
+  /** One delivered record: opaque sequence string, partition key,
+    * payload, server arrival time (ApproximateArrivalTimestamp). */
+  final case class KRec(
+      sequenceNumber: String,
+      partitionKey: String,
+      payload: Array[Byte],
+      arrivalUs: Long)
+
+  /** One GetRecords page. `nextIterator` None = shard closed (a
+    * resharded-away parent); `millisBehindLatest` 0 = caught up. */
+  final case class RecordsPage(
+      records: Seq[KRec],
+      nextIterator: Option[String],
+      millisBehindLatest: Long)
+
+  /** Reference error taxonomy (KinesisSource.scala:290-302). Client
+    * errors use [[BatchingSink.ClientException]] — the shared fail-fast
+    * arm. */
+  final class ExpiredIteratorException(message: String)
+    extends RuntimeException(message)
+  final class ThrottledException(message: String)
+    extends RuntimeException(message)
+  final class ServiceException(message: String)
+    extends RuntimeException(message)
+}
+
+/** The Kinesis client surface in plain data — implement directly (tests,
+  * alternative SDKs) or bind reflectively ([[ReflectiveKinesisPort]]).
+  * Implementations must be Serializable: the port rides inside
+  * [[KinesisShardReader]] into executor tasks; hold any real client
+  * `@transient lazy` and rebuild per JVM. */
+trait KinesisPort extends Serializable {
+  def describeStream(stream: String): Seq[KinesisPort.ShardDesc]
+
+  /** iteratorType: TRIM_HORIZON | LATEST | AFTER_SEQUENCE_NUMBER (with
+    * `startSeq`) | AT_TIMESTAMP (with `timestampUs`). */
+  def getShardIterator(
+      stream: String, shard: String, iteratorType: String,
+      startSeq: Option[String], timestampUs: Option[Long]): String
+
+  def getRecords(iterator: String, limit: Int): KinesisPort.RecordsPage
+
+  /** One error-code per record, in order (None = success), exactly as
+    * PutRecords responds. */
+  def putRecords(
+      stream: String, records: Seq[(String, Array[Byte])]): Seq[Option[String]]
+}
+
+/** Sink-side adapter: PutRecords behind the [[RecordWriter]] seam.
+  * Per-record error codes (including
+  * `ProvisionedThroughputExceededException`) flow untouched into
+  * [[BatchingSink]]'s requeue/Left-channel routing; a wholesale
+  * throttle/service throw is retried by the sink's bounded backoff
+  * (its `retryable` excludes only ClientException — the taxonomy). */
+final class KinesisRecordWriter(stream: String, port: KinesisPort)
+    extends RecordWriter {
+  override def putRecords(
+      records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult] =
+    port.putRecords(stream, records).map(BatchingSink.PutResult)
+}
+
+/** Source-side adapter: the reference's describeStream /
+  * getShardIterator / getRecords client loop behind the [[ShardReader]]
+  * seam, with the dense-position sequence ledger (see [[KinesisPort]]
+  * object docs for the design and its bounds). */
+final class KinesisShardReader(
+    stream: String,
+    port: KinesisPort,
+    pollLimit: Int = 10000,
+    maxTries: Int = 7,
+    sleeper: Long => Unit = Thread.sleep) extends ShardReader {
+  import KinesisPort._
+
+  /** entries(i) = (sequence string, arrival µs) of dense position
+    * base+i+1. Driver-appended, executor-read (a serialized snapshot
+    * rides in each input partition), commit-pruned. */
+  private final case class ShardLedger(base: Long, entries: Vector[(String, Long)]) {
+    def end: Long = base + entries.length
+    def at(pos: Long): (String, Long) = entries((pos - base - 1).toInt)
+  }
+  private val ledger = TrieMap.empty[String, ShardLedger]
+
+  /** Driver-side tail cursors (iterator strings are connection state,
+    * not position state — never checkpointed, never serialized). */
+  @transient private lazy val tailIters = TrieMap.empty[String, String]
+
+  private def getPage(it: String): RecordsPage =
+    Retry.withRetries(
+      tries = maxTries,
+      onError = Retry.expBackoff(sleeper),
+      // throttle/service retry with backoff; expired is HANDLED (reissue,
+      // reference KinesisSource.scala:293-294), client errors are bugs
+      retryable = t => !t.isInstanceOf[BatchingSink.ClientException] &&
+        !t.isInstanceOf[ExpiredIteratorException]) {
+      port.getRecords(it, pollLimit)
+    }
+
+  private def iteratorAfter(shard: String, lastSeq: Option[String]): String =
+    lastSeq match {
+      case Some(seq) =>
+        port.getShardIterator(stream, shard, "AFTER_SEQUENCE_NUMBER", Some(seq), None)
+      case None =>
+        port.getShardIterator(stream, shard, "TRIM_HORIZON", None, None)
+    }
+
+  /** Poll the shard's tail into the ledger (sequence metadata only) and
+    * return the dense frontier. One getRecords loop per trigger per
+    * shard, resumed from the cached cursor — the reference's continuous
+    * getRecords pump (KinesisSource.scala:255-258) in pull form. */
+  private def advance(shard: String): Long = synchronized {
+    var led = ledger.getOrElse(shard, ShardLedger(0L, Vector.empty))
+    var it = tailIters.getOrElse(shard,
+      iteratorAfter(shard, led.entries.lastOption.map(_._1)))
+    var open = true
+    var caughtUp = false
+    while (!caughtUp) {
+      val page =
+        try getPage(it)
+        catch { case _: ExpiredIteratorException =>
+          it = iteratorAfter(shard, led.entries.lastOption.map(_._1))
+          getPage(it)
+        }
+      led = led.copy(entries = led.entries ++
+        page.records.map(r => (r.sequenceNumber, r.arrivalUs)))
+      page.nextIterator match {
+        case Some(n) =>
+          it = n
+          caughtUp = page.records.isEmpty && page.millisBehindLatest <= 0L
+        case None => open = false; caughtUp = true // shard closed
+      }
+    }
+    if (open) tailIters.put(shard, it) else tailIters.remove(shard)
+    ledger.put(shard, led)
+    led.end
+  }
+
+  override def describeShards(): Seq[Transport.ShardInfo] =
+    port.describeStream(stream).map { d =>
+      Transport.ShardInfo(d.shardId,
+        (d.parentShardId.toSeq ++ d.adjacentParentShardId).distinct,
+        maxSeq = Some(advance(d.shardId)))
+    }
+
+  override def maxSequence(shard: String): Long = advance(shard)
+
+  override def sequenceAtTimestamp(shard: String, tsUs: Long): Long = {
+    // only called at query start (initialOffset), before any prune —
+    // the ledger then holds the shard's full retained history
+    advance(shard)
+    val led = ledger.getOrElse(shard, ShardLedger(0L, Vector.empty))
+    require(led.base == 0L,
+      "at_timestamp start requires an unpruned ledger (fresh query)")
+    led.entries.takeWhile(_._2 < tsUs).length.toLong
+  }
+
+  /** Executor-side: anchor at `afterSeq`'s sequence string, then pull
+    * exactly `toSeq - afterSeq` records (per-shard order is stable, so
+    * the count IS the range). Expired iterators reissue from the last
+    * delivered record — no record is skipped or re-emitted. */
+  override def read(
+      shard: String, afterSeq: Long, toSeq: Long): Iterator[Transport.Rec] = {
+    if (toSeq <= afterSeq) return Iterator.empty
+    val led = ledger.getOrElse(shard, ShardLedger(0L, Vector.empty))
+    val anchor: Option[String] =
+      if (afterSeq == 0L) None
+      else {
+        require(afterSeq > led.base && afterSeq <= led.end,
+          s"position $afterSeq of $shard outside ledger (${led.base}, ${led.end}]")
+        Some(led.at(afterSeq)._1)
+      }
+    // capture outside the anonymous class: inside it, `toSeq` would
+    // resolve to Iterator.toSeq
+    val endPos = toSeq
+    new Iterator[Transport.Rec] {
+      private var remaining = endPos - afterSeq
+      private var pos = afterSeq
+      private var lastSeq = anchor
+      private var cursor: Option[String] = Some(iteratorAfter(shard, anchor))
+      private val buf = scala.collection.mutable.Queue.empty[KRec]
+
+      private def fill(): Unit =
+        while (buf.isEmpty && remaining > 0 && cursor.isDefined) {
+          val page =
+            try getPage(cursor.get)
+            catch { case _: ExpiredIteratorException =>
+              cursor = Some(iteratorAfter(shard, lastSeq))
+              getPage(cursor.get)
+            }
+          buf ++= page.records
+          cursor = page.nextIterator
+          if (page.records.isEmpty && page.millisBehindLatest <= 0L &&
+              remaining > 0 && cursor.isDefined) {
+            // admitted range must already exist; an empty caught-up page
+            // here means the stream trimmed beneath the checkpoint
+            throw new IllegalStateException(
+              s"$shard drained at position $pos before reaching $endPos " +
+                "(records trimmed beneath the committed offset?)")
+          }
+        }
+
+      override def hasNext: Boolean = { fill(); buf.nonEmpty && remaining > 0 }
+      override def next(): Transport.Rec = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = buf.dequeue()
+        pos += 1; remaining -= 1; lastSeq = Some(r.sequenceNumber)
+        Transport.Rec(shard, pos,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8),
+          r.arrivalUs)
+      }
+    }
+  }
+
+  override def prune(shard: String, upTo: Long): Unit = synchronized {
+    ledger.get(shard).foreach { led =>
+      if (upTo > led.base + 1) {
+        val keepFrom = math.min(upTo, led.end) // keep `upTo` as the anchor
+        ledger.put(shard, ShardLedger(keepFrom - 1L,
+          led.entries.drop((keepFrom - 1L - led.base).toInt)))
+      }
+    }
+  }
+}
+
+/** [[KinesisPort]] over an AWS-SDK-v1-shaped client, bound by
+  * reflection: request/response model classes are resolved by simple
+  * name under `modelPackage` in the client's own classloader, methods by
+  * name + compatible arity. SDK exceptions are translated into the
+  * taxonomy by class-name shape (`ExpiredIterator*`,
+  * `ProvisionedThroughput*`) and, for the rest, the SDK's own
+  * `getErrorType` discriminator — Client → fail-fast ClientException,
+  * Service → retryable ServiceException (reference
+  * KinesisSource.scala:296-302).
+  *
+  * `clientFactory` must be a serializable closure (capture credentials
+  * config, not the client); the client itself is `@transient lazy`,
+  * rebuilt once per JVM — the standard DSv2 discipline. */
+final class ReflectiveKinesisPort(
+    clientFactory: () => AnyRef,
+    modelPackage: String = "com.amazonaws.services.kinesis.model")
+    extends KinesisPort {
+  import KinesisPort._
+
+  @transient private lazy val client: AnyRef = clientFactory()
+
+  private def modelClass(name: String): Class[_] =
+    Class.forName(s"$modelPackage.$name", true, client.getClass.getClassLoader)
+  private def newModel(name: String): AnyRef =
+    modelClass(name).getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+
+  private def compatible(param: Class[_], arg: AnyRef): Boolean =
+    arg == null || param.isInstance(arg) ||
+      (param.isPrimitive && (param.getName match {
+        case "int" => arg.isInstanceOf[java.lang.Integer]
+        case "long" => arg.isInstanceOf[java.lang.Long]
+        case "boolean" => arg.isInstanceOf[java.lang.Boolean]
+        case "double" => arg.isInstanceOf[java.lang.Double]
+        case _ => false
+      }))
+
+  private def invoke(target: AnyRef, name: String, args: AnyRef*): AnyRef = {
+    val m = target.getClass.getMethods
+      .filter(m => m.getName == name && m.getParameterCount == args.length)
+      .find(m => m.getParameterTypes.lazyZip(args).forall(compatible))
+      .getOrElse(throw new NoSuchMethodException(
+        s"${target.getClass.getName}.$name/${args.length} (compatible overload)"))
+    try m.invoke(target, args: _*)
+    catch {
+      case e: java.lang.reflect.InvocationTargetException =>
+        throw translate(e.getCause)
+    }
+  }
+
+  private def translate(t: Throwable): Throwable = {
+    val n = t.getClass.getSimpleName
+    if (n.contains("ExpiredIterator"))
+      new ExpiredIteratorException(t.getMessage)
+    else if (n.contains("ProvisionedThroughput"))
+      new ThrottledException(t.getMessage)
+    else {
+      val errorType =
+        try Option(t.getClass.getMethod("getErrorType").invoke(t)).map(_.toString)
+        catch { case _: NoSuchMethodException => None }
+      errorType match {
+        case Some(et) if et.equalsIgnoreCase("Client") =>
+          new BatchingSink.ClientException(s"$n: ${t.getMessage}")
+        case Some(_) => new ServiceException(s"$n: ${t.getMessage}")
+        case None => t
+      }
+    }
+  }
+
+  override def describeStream(stream: String): Seq[ShardDesc] = {
+    val req = newModel("DescribeStreamRequest")
+    invoke(req, "setStreamName", stream)
+    val res = invoke(client, "describeStream", req)
+    val desc = invoke(res, "getStreamDescription")
+    invoke(desc, "getShards").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+      .map { s =>
+        ShardDesc(
+          invoke(s, "getShardId").asInstanceOf[String],
+          Option(invoke(s, "getParentShardId").asInstanceOf[String]),
+          Option(invoke(s, "getAdjacentParentShardId").asInstanceOf[String]))
+      }
+  }
+
+  override def getShardIterator(
+      stream: String, shard: String, iteratorType: String,
+      startSeq: Option[String], timestampUs: Option[Long]): String = {
+    val req = newModel("GetShardIteratorRequest")
+    invoke(req, "setStreamName", stream)
+    invoke(req, "setShardId", shard)
+    invoke(req, "setShardIteratorType", iteratorType)
+    startSeq.foreach(s => invoke(req, "setStartingSequenceNumber", s))
+    timestampUs.foreach(t =>
+      invoke(req, "setTimestamp", new java.util.Date(t / 1000L)))
+    val res = invoke(client, "getShardIterator", req)
+    invoke(res, "getShardIterator").asInstanceOf[String]
+  }
+
+  override def getRecords(iterator: String, limit: Int): RecordsPage = {
+    val req = newModel("GetRecordsRequest")
+    invoke(req, "setShardIterator", iterator)
+    invoke(req, "setLimit", Integer.valueOf(limit))
+    val res = invoke(client, "getRecords", req)
+    val recs = invoke(res, "getRecords")
+      .asInstanceOf[java.util.List[AnyRef]].asScala.toSeq.map { r =>
+        val bb = invoke(r, "getData").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+        KRec(
+          invoke(r, "getSequenceNumber").asInstanceOf[String],
+          invoke(r, "getPartitionKey").asInstanceOf[String],
+          bytes,
+          Option(invoke(r, "getApproximateArrivalTimestamp")
+            .asInstanceOf[java.util.Date]).map(_.getTime * 1000L).getOrElse(0L))
+      }
+    RecordsPage(
+      recs,
+      Option(invoke(res, "getNextShardIterator").asInstanceOf[String]),
+      Option(invoke(res, "getMillisBehindLatest").asInstanceOf[java.lang.Long])
+        .map(_.longValue).getOrElse(0L))
+  }
+
+  override def putRecords(
+      stream: String, records: Seq[(String, Array[Byte])]): Seq[Option[String]] = {
+    val entries = new java.util.ArrayList[AnyRef](records.length)
+    records.foreach { case (key, payload) =>
+      val e = newModel("PutRecordsRequestEntry")
+      invoke(e, "setPartitionKey", key)
+      invoke(e, "setData", java.nio.ByteBuffer.wrap(payload))
+      entries.add(e)
+    }
+    val req = newModel("PutRecordsRequest")
+    invoke(req, "setStreamName", stream)
+    invoke(req, "setRecords", entries)
+    val res = invoke(client, "putRecords", req)
+    invoke(res, "getRecords").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+      .map(r => Option(invoke(r, "getErrorCode").asInstanceOf[String]))
+  }
+}

@@ -310,7 +310,12 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
   override def deserializeOffset(json: String): Offset =
     ShardedLogOffset.fromJson(json)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    // release per-position reader state below the committed frontier
+    // (bounds the Kinesis adapter's ledger to the unconsumed backlog)
+    end.asInstanceOf[ShardedLogOffset].consumed.foreach { case (shard, seq) =>
+      reader.prune(shard, seq)
+    }
   override def stop(): Unit = ()
 }
 

@@ -91,6 +91,13 @@ trait ShardReader extends Serializable {
     * order — the per-shard ordering guarantee. The AFTER_SEQUENCE_NUMBER
     * + GetRecords loop (reference KinesisSource.scala:55-65, 255-258). */
   def read(shard: String, afterSeq: Long, toSeq: Long): Iterator[Transport.Rec]
+
+  /** Everything at or below `upTo` is committed — a reader holding
+    * per-position state (the Kinesis adapter's sequence ledger) may
+    * release it, KEEPING position `upTo` itself as the resume anchor.
+    * Called from the stream's `commit(end)`; default no-op for readers
+    * whose positions are self-describing (files, in-memory log). */
+  def prune(shard: String, upTo: Long): Unit = ()
 }
 
 /** Sink-side client surface — the reference's injectable
@@ -154,6 +161,30 @@ final class FileShardReader(rootStr: String) extends ShardReader {
       .flatMap { case (seq, p, mtUs) =>
         ShardedLog.readRecLines(p).map(line => Transport.Rec(shard, seq, line, mtUs))
       }
+}
+
+/** Sink-side [[RecordWriter]] over the sharded-log file layout — the
+  * durable local counterpart of [[FileShardReader]]: hash-routes each
+  * partition key to one of `numShards` shard directories (the same
+  * key→shard affinity contract as Kinesis partition keys) and appends
+  * one record file per flush per shard through ShardedLog.append
+  * (write-temp + atomic move, so a concurrently tailing reader never
+  * observes a torn file). With [[BatchingSink.over]] on top this is the
+  * full reference sink semantics against local durable storage. */
+final class FileRecordWriter(rootStr: String, numShards: Int = 4) extends RecordWriter {
+  override def putRecords(records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult] = {
+    val root = Paths.get(rootStr)
+    records.groupBy { case (k, _) => "shard-" + math.floorMod(k.hashCode, numShards) }
+      .foreach { case (shard, recs) =>
+        val dir = root.resolve(shard)
+        val next = (if (Files.isDirectory(dir))
+          ShardedLog.listFiles(dir).lastOption.map(_._1).getOrElse(0L)
+        else 0L) + 1L
+        ShardedLog.append(root, shard, next,
+          recs.map { case (_, p) => new String(p, StandardCharsets.UTF_8) })
+      }
+    records.map(_ => BatchingSink.PutResult(None))
+  }
 }
 
 /** Both transport sides over a JVM-local in-memory log — the test fake

@@ -1,0 +1,154 @@
+package graft
+
+import graft.streaming._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Kinesis-adapter internals beyond the shared conformance kit: the
+  * reference's error taxonomy (KinesisSource.scala:290-302) on both
+  * call paths, the dense-position ledger's bounds, and the reflective
+  * SDK binding exercised against stub classes with the SDK's exact
+  * method surface. */
+class KinesisAdapterSpec extends AnyFunSuite {
+
+  private var n = 0
+  private def freshCore(): (String, FakeKinesis) = {
+    n += 1
+    val id = s"kin-adapter-$n"
+    (id, FakeKinesis.create(id, numShards = 2))
+  }
+
+  private def reader(id: String, sleeps: mutable.Buffer[Long] = mutable.Buffer.empty,
+      pollLimit: Int = 3): KinesisShardReader =
+    new KinesisShardReader("stream", new FakeKinesisPort(id),
+      pollLimit = pollLimit, sleeper = sleeps += _)
+
+  test("expired iterators are reissued, not retried blindly (taxonomy: reissue arm)") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id)
+      (1 to 5).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      assert(r.maxSequence(core.shardName(0)) === 5)
+      // expire all outstanding iterators, then append more: the next
+      // poll's cached cursor is dead and must be reissued from the
+      // last ledgered sequence — no loss, no duplicates
+      core.expireIterators()
+      (6 to 8).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      assert(r.maxSequence(core.shardName(0)) === 8)
+      val recs = r.read(core.shardName(0), 0L, 8L).toSeq
+      assert(recs.map(_.value) === (1 to 8).map(i => s"v$i"))
+      assert(recs.map(_.seq) === (1L to 8L))
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("expiry mid-read reissues from the last delivered record") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id, pollLimit = 2)
+      (1 to 6).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      r.maxSequence(core.shardName(0))
+      val it = r.read(core.shardName(0), 0L, 6L)
+      val first = it.next()
+      assert(first.value === "v1")
+      core.expireIterators() // kills the read's cursor between pages
+      val rest = it.toSeq
+      assert((first +: rest).map(_.value) === (1 to 6).map(i => s"v$i"),
+        "reissue must resume exactly after the last delivered record")
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("throttled getRecords retries with exponential backoff (taxonomy: retry arm)") {
+    val (id, core) = freshCore()
+    try {
+      val sleeps = mutable.Buffer.empty[Long]
+      val r = reader(id, sleeps)
+      core.append(core.shardName(0), "k", "v".getBytes)
+      core.throttleNextGets = 2
+      assert(r.maxSequence(core.shardName(0)) === 1)
+      assert(sleeps.size >= 2, "each throttle costs one backoff sleep")
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("client errors fail fast through reader and writer (taxonomy: bug arm)") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id)
+      // unknown sequence anchor = caller bug = ClientException, no retry
+      val before = core.getCalls
+      intercept[IllegalArgumentException] {
+        // position outside the (empty) ledger
+        r.read(core.shardName(0), 3L, 5L).toSeq
+      }
+      assert(core.getCalls === before, "no transport call for a bad position")
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("commit-time prune bounds the ledger to the unconsumed backlog, keeping the anchor") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id)
+      (1 to 10).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      assert(r.maxSequence(core.shardName(0)) === 10)
+      r.prune(core.shardName(0), 7L)
+      // positions <= 6 are gone; 7 is the anchor; (7, 10] still readable
+      intercept[IllegalArgumentException] { r.read(core.shardName(0), 5L, 10L).toSeq }
+      val recs = r.read(core.shardName(0), 7L, 10L).toSeq
+      assert(recs.map(_.value) === Seq("v8", "v9", "v10"))
+      // re-polling after prune keeps appending at the dense tail
+      core.append(core.shardName(0), "k11", "v11".getBytes)
+      assert(r.maxSequence(core.shardName(0)) === 11)
+      assert(r.read(core.shardName(0), 10L, 11L).toSeq.map(_.value) === Seq("v11"))
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("reflective binding drives the SDK-shaped stub client end-to-end") {
+    val (id, core) = freshCore()
+    try {
+      val port = new ReflectiveKinesisPort(
+        () => new graft.fakesdk.StubKinesisClient(id),
+        modelPackage = "graft.fakesdk")
+      // sink side: ByteBuffer marshalling + Collection-typed setRecords
+      val w = new KinesisRecordWriter("stream", port)
+      val results = w.putRecords(Seq(("a", "pay-a".getBytes), ("b", "pay-b".getBytes)))
+      assert(results.forall(_.errorCode.isEmpty))
+      // source side: topology, iterators, Date round-trip, paging
+      core.declareChild("child", Some(core.shardName(0)), Some(core.shardName(1)))
+      val r = new KinesisShardReader("stream", port, pollLimit = 1, sleeper = _ => ())
+      val infos = r.describeShards()
+      assert(infos.map(_.shardId).contains("child"))
+      assert(infos.find(_.shardId == "child").get.parents.toSet ===
+        Set(core.shardName(0), core.shardName(1)))
+      val shardOfA = core.shardOfKey("a")
+      val seqs = r.maxSequence(shardOfA)
+      val recs = r.read(shardOfA, 0L, seqs).toSeq
+      assert(recs.map(_.value).contains("pay-a"))
+      assert(recs.forall(_.tsUs === core.nowUs / 1000L * 1000L),
+        "arrival timestamps survive the Date round-trip (ms precision)")
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("reflective binding translates SDK-shaped exceptions into the taxonomy") {
+    val (id, core) = freshCore()
+    try {
+      val port = new ReflectiveKinesisPort(
+        () => new graft.fakesdk.StubKinesisClient(id),
+        modelPackage = "graft.fakesdk")
+      core.append(core.shardName(0), "k", "v".getBytes)
+      val it = port.getShardIterator("stream", core.shardName(0),
+        "TRIM_HORIZON", None, None)
+      core.throttleNextGets = 1
+      intercept[KinesisPort.ThrottledException] { port.getRecords(it, 10) }
+      core.expireIterators()
+      intercept[KinesisPort.ExpiredIteratorException] { port.getRecords(it, 10) }
+      // a ClientException surfacing directly passes through untranslated
+      intercept[BatchingSink.ClientException] {
+        port.getShardIterator("stream", core.shardName(0),
+          "AFTER_SEQUENCE_NUMBER", Some("no-such-seq"), None)
+      }
+      // the SDK's own getErrorType=Client discriminator → fail-fast arm
+      intercept[BatchingSink.ClientException] {
+        port.getRecords("force-client-error", 10)
+      }
+    } finally FakeKinesis.drop(id)
+  }
+}
