@@ -790,14 +790,33 @@ object Docs {
 
     // ---- d15: stratified sampling — per-class fractions for corpus
     // rebalancing (the training-data op for over/under-represented
-    // languages). sampleBy is a per-row Bernoulli draw keyed on the
-    // stratum: one scan, no shuffle before the count aggregate.
-    // Proportions are asserted in DedupSpec (binomial tolerance).
-    GraftQuery.rowsOnly("d15_stratified_sample") { (s, dir) =>
+    // languages), as a DETERMINISTIC hash-threshold Bernoulli (d35's
+    // idiom): each doc's salted md5 prefix against its stratum's
+    // threshold, fractions at 8-bit resolution (en 128/256, de/fr/es
+    // 77/256, zh 26/256). Same plan shape as the old sampleBy form —
+    // one scan, a map-side per-row test, no shuffle before the count
+    // aggregate — but reproducible across engines and re-runs, which
+    // is what a corpus-curation sample needs anyway (the kept set must
+    // be stable under retries). Proportions still binomial-checked in
+    // DedupSpec; the exact kept set hash-checks against DuckDB.
+    GraftQuery.sql("d15_stratified_sample",
+      """WITH thr AS (SELECT * FROM (VALUES ('en','80'), ('de','4d'),
+        |    ('fr','4d'), ('es','4d'), ('zh','1a')) AS t(lang, thr)),
+        |s AS (SELECT doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |  WHERE substr(md5('d15|' || CAST(doc_id AS VARCHAR)), 1, 2) < thr)
+        |SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val fractions = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.3, "zh" -> 0.1)
-      docs(s, dir).stat.sampleBy("lang", fractions, seed = 42L)
-        .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      val thresholds = Map("en" -> "80", "de" -> "4d", "fr" -> "4d",
+        "es" -> "4d", "zh" -> "1a")
+      docs(s, dir)
+        .select($"doc_id", $"lang",
+          substring(md5(concat(lit("d15|"), $"doc_id".cast("string"))
+            .cast("binary")), 1, 2).as("hb"))
+        .withColumn("thr", element_at(typedLit(thresholds), $"lang"))
+        .filter($"thr".isNotNull && $"hb" < $"thr")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("id_sum"))
         .orderBy($"lang")
     },
 

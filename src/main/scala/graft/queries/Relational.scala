@@ -541,17 +541,35 @@ object Relational {
 
     // ---- q26: sketch aggregates — the 100 TB answer to COUNT(DISTINCT)
     // and exact percentiles. Fixed-size state per group (HLL registers /
-    // quantile sketch), map-side combinable, one narrow shuffle; error
-    // bounds vs the exact answers are asserted in SketchSpec. rows-only
-    // (approximate results have no cross-engine oracle).
-    GraftQuery.rowsOnly("q26_sketches") { (s, dir) =>
+    // quantile sketch), map-side combinable, one narrow shuffle. The
+    // sketch VALUES have no cross-engine oracle, but their CONTRACTS do:
+    // the output carries the exact twins (hash-checked against DuckDB)
+    // plus per-group bound flags — HLL within 10% of the exact distinct
+    // count (5σ at rsd=0.02), approx-p50 inside the exact p45–p55 rank
+    // window (accuracy=2500 ⇒ rank error orders of magnitude tighter) —
+    // which the oracle asserts MUST be 1, so a sketch drifting out of
+    // its guarantee fails the driver compare loudly. Tight error curves
+    // stay property-checked in SketchSpec.
+    GraftQuery.sql("q26_sketches",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
           count_distinct($"l_orderkey").as("exact_orders"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("approx_p50"))
+          round(percentile($"l_extendedprice", lit(0.5)), 4).as("p50_exact"),
+          approx_count_distinct($"l_orderkey", rsd = 0.02).as("hll"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("ap50"),
+          percentile($"l_extendedprice", lit(0.45)).as("p45"),
+          percentile($"l_extendedprice", lit(0.55)).as("p55"))
+        .select($"l_returnflag", $"exact_orders", $"p50_exact",
+          (abs($"hll" - $"exact_orders") <= $"exact_orders" * 0.1)
+            .cast("long").as("hll_ok"),
+          ($"ap50" >= $"p45" && $"ap50" <= $"p55").cast("long").as("p50_ok"))
         .orderBy($"l_returnflag")
     },
 

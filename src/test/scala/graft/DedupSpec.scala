@@ -240,7 +240,10 @@ class DedupSpec extends SparkSpec {
     val totals = Tables.load(spark, Sf0001, "documents")
       .groupBy($"lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val targets = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.3, "zh" -> 0.1)
+    // the deterministic hash-threshold fractions at 8-bit resolution:
+    // en 128/256, de/fr/es 77/256, zh 26/256
+    val targets = Map("en" -> 128.0 / 256, "de" -> 77.0 / 256,
+      "fr" -> 77.0 / 256, "es" -> 77.0 / 256, "zh" -> 26.0 / 256)
     val sampled = SparkEntry.queries("d15_stratified_sample")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     targets.foreach { case (lang, f) =>

