@@ -33,7 +33,8 @@ object Streaming {
     // few state partitions (a real deployment sizes this to key
     // cardinality / executor count instead).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("graft.stream.parts", "8"))
     try {
       val q = df.writeStream
         .format("memory")
@@ -61,7 +62,8 @@ object Streaming {
                                     chunks: Seq[Seq[A]]): DataFrame = {
     val name = "g_" + UUID.randomUUID().toString.replace("-", "")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("graft.stream.parts", "8"))
     try {
       val q = df.writeStream
         .format("memory")
@@ -77,6 +79,19 @@ object Streaming {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
+  }
+
+  /** Bench-tunable micro-batch chunking: split `rows` into
+    * `graft.stream.chunks` successive feeds (default 4, floor 2 so the
+    * cross-batch merge path ALWAYS executes). Every entry's final table
+    * is chunk-count-invariant — that is exactly the streaming/batch
+    * parity the oracles and StreamingSpec pin — so the knob trades only
+    * drain cost (state-store commits × batches, the harness floor)
+    * against how many merge steps run; Bench sets 2, Verify and the
+    * specs keep the default 4. */
+  private def mbChunks[A](s: SparkSession, rows: Seq[A]): Seq[Seq[A]] = {
+    val n = s.conf.get("graft.stream.chunks", "4").toInt.max(2)
+    rows.grouped(math.max(1, rows.size / n)).toSeq
   }
 
   /** Materialize events as a 4-shard append-only log (shard = user_id
@@ -136,11 +151,14 @@ object Streaming {
          |  CAST(SUM(event_id) AS BIGINT) AS id_sum
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // chunk sized so the drain is always ~8 rate-limited batches,
-      // independent of SF (a fixed chunk would mean O(rows) micro-batches
-      // at larger scale factors — harness time, not operator work)
+      // chunk sized so the drain is always a fixed number of rate-limited
+      // batches (default ~8; Bench halves it — same nothing-lost/doubled
+      // contract, less harness floor), independent of SF (a fixed chunk
+      // would mean O(rows) micro-batches at larger scale factors —
+      // harness time, not operator work)
+      val batches = s.conf.get("graft.stream.batches", "8").toInt.max(2)
       val total = Tables.events(s, dir).count()
-      val chunk = math.max(500L, total / 4 / 8 + 1).toInt
+      val chunk = math.max(500L, total / 4 / batches + 1).toInt
       val root = materializeLog(s, dir, chunk)
       val stream = s.readStream.format(ShardedLog.Format)
         .option("path", root.toString)
@@ -230,7 +248,7 @@ object Streaming {
         in.toDF().toDF("ts", "value"),
         tsCol = "ts", width = "1 day", horizon = "1 hour")
       drainChunksToTable(s, agg, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"wday")
+        mbChunks(s, rows)).orderBy($"wday")
     },
 
     // ---- s8: the document quality gate run ON THE STREAM — the batch
@@ -264,7 +282,7 @@ object Streaming {
         .agg(count(lit(1)).as("n_docs"),
           sum($"is_long").as("n_long"), sum($"is_clean").as("n_clean"))
       drainChunksToTable(s, gated, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq).orderBy($"lang")
+        mbChunks(s, rows)).orderBy($"lang")
     },
 
     // ---- s9: streaming content dedup — the ingest-side twin of d1:
@@ -340,7 +358,7 @@ object Streaming {
         .groupBy($"doc_id", $"eval_id")
         .agg(count(lit(1)).as("n_hits"))
       drainChunksToTable(s, pairs, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_eval_docs"))
         .orderBy($"doc_id")
@@ -394,7 +412,7 @@ object Streaming {
         .groupBy($"doc_id", $"ref_id")
         .agg(count(lit(1)).as("n_bands"))
       drainChunksToTable(s, pairs, "complete", in,
-        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+        mbChunks(s, docRows))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_ref_candidates"))
         .orderBy($"doc_id")
@@ -426,7 +444,7 @@ object Streaming {
       // 4 real micro-batches in doc_id order: the per-source running
       // count must carry across the batch boundaries in GroupState
       drainChunksToTable(s, gated.toDF(), "append", in,
-        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+        mbChunks(s, docRows))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_seen"),
           sum($"admitted".cast("long")).as("n_admitted"),
@@ -471,7 +489,7 @@ object Streaming {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy($"day")
       drainChunksToTable(s, binned, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .withColumn("cum", sum($"c").over(wCum))
         .withColumn("n", sum($"c").over(wAll))
         .groupBy($"day")
@@ -520,7 +538,7 @@ object Streaming {
       // 4 real time-split micro-batches: each user's (n, Σv, Σv²) must
       // fold across the batch boundaries in GroupState
       drainChunksToTable(s, flagged.toDF(), "append", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .select($"user_id", $"event_id", $"value", $"n_prior")
         .orderBy($"user_id", $"event_id")
     },
@@ -559,7 +577,7 @@ object Streaming {
           max_by($"value", struct($"ts", $"event_id")).as("close"),
           count(lit(1)).as("n"))
       drainChunksToTable(s, bars, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .orderBy($"user_id", $"day")
     },
 
@@ -598,7 +616,7 @@ object Streaming {
           sum(($"value".cast("decimal(18,2)") * 100).cast("long")).as("s"))
       val w = Window.partitionBy($"user_id").orderBy($"week")
       drainChunksToTable(s, wk, "complete", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .withColumn("pn", lag($"n", 1).over(w))
         .withColumn("ps", lag($"s", 1).over(w))
         .select($"user_id", $"week", $"n".as("n_events"), $"s".as("sum_cents"),
@@ -740,7 +758,7 @@ object Streaming {
           sum(($"n_pii" > 0).cast("long")).as("n_flagged"),
           sum(when($"n_pii" > 0, $"doc_id").otherwise(0L)).as("flagged_id_sum"))
       drainChunksToTable(s, gated, "complete", in,
-        piiRows.grouped(math.max(1, piiRows.size / 4)).toSeq).orderBy($"lang")
+        mbChunks(s, piiRows)).orderBy($"lang")
     },
 
     // ---- s19: per-source TOKEN budget on the doc stream — s12's quota
@@ -774,7 +792,7 @@ object Streaming {
       val in = MemoryStream[StreamOps.TokDoc](s)
       val gated = StreamOps.tokenQuotaGate(in.toDS(), budget = 800L)
       drainChunksToTable(s, gated.toDF(), "append", in,
-        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+        mbChunks(s, docRows))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_seen"),
           sum($"admitted".cast("long")).as("n_admitted"),
@@ -823,7 +841,7 @@ object Streaming {
       // 4 time-split micro-batches: each user's 7-tap ring must fold
       // across the batch boundaries in GroupState
       drainChunksToTable(s, smoothed.toDF(), "append", in,
-        rows.grouped(math.max(1, rows.size / 4)).toSeq)
+        mbChunks(s, rows))
         .select($"user_id", $"event_id", $"ewma_x256")
         .orderBy($"user_id", $"event_id")
     },
@@ -860,7 +878,7 @@ object Streaming {
       val in = MemoryStream[HHDoc](s)
       val sketched = StreamOps.heavyHitterGate(in.toDS(), capacity = 31)
       val snaps = drainChunksToTable(s, sketched.toDF(), "append", in,
-        docRows.grouped(math.max(1, docRows.size / 4)).toSeq)
+        mbChunks(s, docRows))
       // last snapshot per source = the full-stream sketch
       val wLast = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"n".desc)
@@ -923,7 +941,7 @@ object Streaming {
         .select($"vec_id", $"r_id",
           Vectors.cosineWithNorms($"emb", $"r_emb", $"nrm", $"r_nrm").as("cos"))
       drainChunksToTable(s, flagged, "append", in,
-        streamRows.grouped(math.max(1, streamRows.size / 4)).toSeq)
+        mbChunks(s, streamRows))
         .groupBy($"vec_id")
         .agg(count(lit(1)).as("n_ref_matches"), round(max($"cos"), 6).as("max_cos"))
         .orderBy($"vec_id")

@@ -404,4 +404,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids.count(_ == 1L) === 2, "dup within horizon dropped; post-eviction kept")
     assert(ids.toSet === Set(1L, 2L, 3L))
   }
+
+  test("entries are micro-batch-chunk-count invariant (bench knob safety)") {
+    // Bench drains with graft.stream.chunks=2 / parts=4 to cut the
+    // state-store harness floor; the knob is only sound if the final
+    // table is identical under any chunking — assert it on entries
+    // covering the three state shapes (mergeable summary, GroupState
+    // fold, complete-mode re-agg)
+    val names = Seq("s13_stream_histogram_quantiles",
+      "s16_stream_weekly_drift", "s9_stream_content_dedup")
+    names.foreach { n =>
+      val four = SparkEntry.queries(n)(spark, Sf0001).collect().toSeq
+      spark.conf.set("graft.stream.chunks", "2")
+      spark.conf.set("graft.stream.parts", "4")
+      try {
+        val two = SparkEntry.queries(n)(spark, Sf0001).collect().toSeq
+        assert(two === four, s"$n diverged under 2-chunk drain")
+      } finally {
+        spark.conf.unset("graft.stream.chunks")
+        spark.conf.unset("graft.stream.parts")
+      }
+    }
+  }
 }
