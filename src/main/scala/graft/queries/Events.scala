@@ -858,6 +858,51 @@ object Events {
         .select($"user_id", $"n_days".cast("long").as("n_days"),
           ($"num" > 0).as("pos_corr"), (abs($"num") * 4 > $"den").as("strong"))
         .orderBy($"user_id")
+    },
+
+    // ---- e24: the as-of join AT PLAN LEVEL — e4's semantics through
+    // graft's custom Catalyst operator (plans.AsOfJoinPlan: LogicalPlan
+    // + SparkStrategy + streaming-merge SparkPlan) instead of the
+    // composed union+window. Each side shuffles ONLY itself
+    // (co-partitioned exchanges, a sort-merge join's shape) and the
+    // per-partition resolve is a two-pointer merge with one buffered
+    // row of state — no union materialization, no window buffer. Ties
+    // at the instant are INCLUDED (at-or-before, vs e4's
+    // strict-before), greatest click_id wins same-instant ties, so the
+    // oracle is the windowed argmax over c.ts <= p.ts. AsOfPlanSpec
+    // pins row parity with operators.AsOfJoin and the physical shape.
+    GraftQuery.sql("e24_asof_exec",
+      s"""$evCte,
+         |clicks AS (SELECT user_id, ts, event_id FROM ev
+         |           WHERE event_type = 'click'),
+         |purch AS (SELECT event_id, user_id, ts FROM ev
+         |          WHERE event_type = 'purchase'),
+         |m AS (SELECT p.event_id AS purchase_id, c.ts AS cts,
+         |        c.event_id AS cid,
+         |        ROW_NUMBER() OVER (PARTITION BY p.event_id
+         |          ORDER BY c.ts DESC, c.event_id DESC) AS rk
+         |      FROM purch p JOIN clicks c
+         |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+         |SELECT p.event_id AS purchase_id, p.user_id,
+         |  epoch_us(p.ts) AS purchase_us,
+         |  epoch_us(m.cts) AS click_us, m.cid AS click_id
+         |FROM purch p LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+         |  ON m.purchase_id = p.event_id
+         |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir).filter($"event_type".isin("click", "purchase"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      graft.plans.AsOfJoinPlan.latestAtOrBefore(purchases, clicks,
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+          valueCols = Seq("click_ts", "click_id"),
+          tiebreaker = Some("click_id"))
+        .select($"event_id".as("purchase_id"), $"user_id",
+          unix_micros($"ts").as("purchase_us"),
+          unix_micros($"click_ts").as("click_us"), $"click_id")
+        .orderBy($"purchase_id")
     }
   )
 }

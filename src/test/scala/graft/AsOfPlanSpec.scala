@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinExec, AsOfJoinPlan}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The plan-level as-of join (custom LogicalPlan + SparkStrategy +
+  * physical streaming-merge exec): row-for-row parity with the composed
+  * union+window operator on real data, the null-match contract, and the
+  * physical shape that justifies its existence (two co-partitioned
+  * exchanges, a streaming merge, NO window operator and no union). */
+class AsOfPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events() = Tables.events(spark, Sf0001)
+    .filter($"event_type".isin("click", "purchase"))
+    .select($"event_id", $"user_id", $"ts", $"event_type")
+
+  private def purchases() = events().filter($"event_type" === "purchase")
+    .select($"event_id", $"user_id", $"ts")
+  private def clicks() = events().filter($"event_type" === "click")
+    .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+      $"event_id".as("click_id"))
+    .withColumnRenamed("c_user", "user_id")
+
+  /** Name-ordered columns (the two forms emit the same columns in
+    * different positions), then row-sorted. */
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.map(col).toSeq
+    df.select(cols: _*).collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+  }
+
+  test("backward: parity with the composed operator, including same-instant tiebreaks") {
+    val exec = AsOfJoinPlan.latestAtOrBefore(purchases(), clicks(),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_ts", "click_id"), tiebreaker = Some("click_id"))
+    val composed = AsOfJoin.latestAtOrBefore(purchases(), clicks(),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_ts", "click_id"), tiebreaker = Some("click_id"))
+    assert(canon(exec) === canon(composed))
+    assert(exec.count() === purchases().count(), "every left row emitted once")
+  }
+
+  test("forward: parity with the composed operator") {
+    val exec = AsOfJoinPlan.earliestAtOrAfter(purchases(), clicks(),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_ts", "click_id"), tiebreaker = Some("click_id"))
+    val composed = AsOfJoin.earliestAtOrAfter(purchases(), clicks(),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_ts", "click_id"), tiebreaker = Some("click_id"))
+    assert(canon(exec) === canon(composed))
+  }
+
+  test("unmatched left rows carry nulls; keys absent from the right never match") {
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L))
+      .toDF("k", "t", "payload")
+    val r = Seq((1L, 15L, "a"), (3L, 1L, "b")).toDF("k", "t2", "v")
+    val out = AsOfJoinPlan.latestAtOrBefore(l, r, Seq("k"), "t", "t2", Seq("v"))
+      .orderBy($"t").collect()
+    assert(out.map(x => (x.getLong(0), x.getLong(1), Option(x.getString(3)))).toSeq ===
+      Seq((2L, 5L, None), (1L, 10L, None), (1L, 20L, Some("a"))))
+  }
+
+  test("physical shape: merge exec + two exchanges, no window, no union") {
+    val exec = AsOfJoinPlan.latestAtOrBefore(purchases(), clicks(),
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",
+      valueCols = Seq("click_ts", "click_id"), tiebreaker = Some("click_id"))
+    val p = exec.queryExecution.executedPlan.toString
+    // string match: AQE wraps the tree, so exists() can't see inside
+    assert(p.contains("AsOfJoin "), s"no AsOfJoinExec in:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected the two co-partition exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Window"), s"the plan-level form must not window:\n$p")
+    assert(!p.contains("Union"), s"the plan-level form must not union:\n$p")
+  }
+
+  test("adversarial merge: duplicate instants, repeated left timestamps, single partition stream") {
+    // hand-built case hitting every merge branch: same-instant right
+    // duplicates (tiebreak), left rows sharing a timestamp, right rows
+    // under stale keys, a right-only key, and a left key past all rights
+    val l = Seq((1L, 10L), (1L, 10L), (1L, 30L), (2L, 1L), (4L, 50L))
+      .toDF("k", "t").withColumn("lid", monotonically_increasing_id())
+    val r = Seq((0L, 99L, "stale"), (1L, 10L, "x"), (1L, 10L, "y"),
+      (1L, 20L, "z"), (3L, 1L, "only"))
+      .toDF("k", "t2", "v")
+    val out = AsOfJoinPlan.latestAtOrBefore(l, r, Seq("k"), "t", "t2",
+        Seq("v"), tiebreaker = Some("v"))
+      .select($"k", $"t", $"v").collect().map(x =>
+        (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSeq.sorted
+    assert(out === Seq((1L, 10L, Some("y")), (1L, 10L, Some("y")),
+      (1L, 30L, Some("z")), (2L, 1L, None), (4L, 50L, None)).sorted)
+    // forward twin on the same data: earliest at-or-after, smallest tiebreak
+    val fwd = AsOfJoinPlan.earliestAtOrAfter(l, r, Seq("k"), "t", "t2",
+        Seq("v"), tiebreaker = Some("v"))
+      .select($"k", $"t", $"v").collect().map(x =>
+        (x.getLong(0), x.getLong(1), Option(x.getString(2)))).toSeq.sorted
+    assert(fwd === Seq((1L, 10L, Some("x")), (1L, 10L, Some("x")),
+      (1L, 30L, None), (2L, 1L, None), (4L, 50L, None)).sorted)
+  }
+}
