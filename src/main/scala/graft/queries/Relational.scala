@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -543,13 +543,22 @@ object Relational {
     // and exact percentiles. Fixed-size state per group (HLL registers /
     // quantile sketch), map-side combinable, one narrow shuffle. The
     // sketch VALUES have no cross-engine oracle, but their CONTRACTS do:
-    // the output carries the exact twins (hash-checked against DuckDB)
-    // plus per-group bound flags — HLL within 10% of the exact distinct
+    // the output carries exact twins (hash-checked against DuckDB) plus
+    // per-group bound flags — HLL within 10% of the exact distinct
     // count (5σ at rsd=0.02), approx-p50 inside the exact p45–p55 rank
     // window (accuracy=2500 ⇒ rank error orders of magnitude tighter) —
     // which the oracle asserts MUST be 1, so a sketch drifting out of
-    // its guarantee fails the driver compare loudly. Tight error curves
-    // stay property-checked in SketchSpec.
+    // its guarantee fails the driver compare loudly. The exact twins
+    // themselves use 100 TB-safe shapes: distinct count shuffles on the
+    // value, and the exact quantiles use the STRADDLING-BUCKET two-pass
+    // (d61's discipline): a coarse whole-dollar histogram — bounded by
+    // the price DOMAIN, not the row count — locates the bucket holding
+    // each needed rank, and only those ≤4 buckets per group are ranked
+    // exactly. Neither a buffer-all `percentile` (OOMed at sf1) nor a
+    // full-value histogram (extendedprice is near-unique, so that
+    // "histogram" is the dataset) survives scale; this does. p50 then
+    // follows quantile_cont's own (n−1)·q interpolation over the two
+    // straddling order statistics. Error curves stay in SketchSpec.
     GraftQuery.sql("q26_sketches",
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
@@ -557,16 +566,71 @@ object Relational {
         |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          count_distinct($"l_orderkey").as("exact_orders"),
-          round(percentile($"l_extendedprice", lit(0.5)), 4).as("p50_exact"),
-          approx_count_distinct($"l_orderkey", rsd = 0.02).as("hll"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("ap50"),
-          percentile($"l_extendedprice", lit(0.45)).as("p45"),
-          percentile($"l_extendedprice", lit(0.55)).as("p55"))
-        .select($"l_returnflag", $"exact_orders", $"p50_exact",
+      val li = t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey", $"l_extendedprice")
+      // sketches and the exact distinct count in SEPARATE aggregations:
+      // mixing count(DISTINCT) with TypedImperativeAggregates re-keys
+      // the partial aggregate by (flag, orderkey), which hands every
+      // orderkey group its own quantile-summary state — an O(distinct
+      // keys × sketch size) heap blowup that OOMed at sf1. Split, each
+      // aggregation keeps its proper shape (fixed-size sketch state /
+      // value-keyed distinct), and the 3-row results broadcast-join.
+      val skSketch = li.groupBy($"l_returnflag").agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("hll"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(2500)).as("ap50"))
+      val skExact = li.groupBy($"l_returnflag")
+        .agg(count_distinct($"l_orderkey").as("exact_orders"))
+      val sk = skSketch.join(broadcast(skExact), "l_returnflag")
+      // the four 0-based ranks whose exact order statistics we need
+      val nPerFlag = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val ranks = nPerFlag.select($"l_returnflag",
+          explode(array(
+            struct(lit("m_lo").as("which"),
+              floor(($"n" - 1) * 0.5).cast("long").as("k")),
+            struct(lit("m_hi").as("which"),
+              ceil(($"n" - 1) * 0.5).cast("long").as("k")),
+            struct(lit("p45").as("which"),
+              floor(($"n" - 1) * 0.45).cast("long").as("k")),
+            struct(lit("p55").as("which"),
+              ceil(($"n" - 1) * 0.55).cast("long").as("k")))).as("r"))
+        .select($"l_returnflag".as("r_flag"), $"r.which", $"r.k")
+      // coarse whole-dollar histogram: group count bounded by the price
+      // DOMAIN; cumulative counts over the tiny bucket table only
+      val coarse = li
+        .groupBy($"l_returnflag".as("c_flag"),
+          floor($"l_extendedprice").cast("long").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(
+          Window.partitionBy($"c_flag").orderBy($"b")))
+        .withColumn("before", $"cum" - $"cnt")
+      // the bucket straddling each rank
+      val strad = ranks.join(coarse, $"r_flag" === $"c_flag")
+        .filter($"before" <= $"k" && $"k" < $"cum")
+        .select($"r_flag", $"which", $"k", $"b", $"before")
+      // second pass: rank ONLY inside the ≤4 straddling buckets per
+      // group (bucket mass, not corpus mass, bounds the sort)
+      val probe = li
+        .withColumn("b", floor($"l_extendedprice").cast("long"))
+        .join(broadcast(strad.select($"r_flag".as("l_returnflag"), $"b").distinct()),
+          Seq("l_returnflag", "b"))
+        .withColumn("idx", row_number().over(
+          Window.partitionBy($"l_returnflag", $"b")
+            .orderBy($"l_extendedprice")).cast("long") - 1)
+      val stats = probe.join(broadcast(strad),
+          probe("l_returnflag") === strad("r_flag") &&
+            probe("b") === strad("b") &&
+            probe("idx") === strad("k") - strad("before"))
+        .groupBy($"l_returnflag").agg(
+          min(when($"which" === "m_lo", $"l_extendedprice")).as("m_lo"),
+          min(when($"which" === "m_hi", $"l_extendedprice")).as("m_hi"),
+          min(when($"which" === "p45", $"l_extendedprice")).as("p45"),
+          min(when($"which" === "p55", $"l_extendedprice")).as("p55"))
+      val qs = stats.join(nPerFlag, "l_returnflag")
+        .withColumn("frac", ($"n" - 1) * 0.5 - floor(($"n" - 1) * 0.5))
+      sk.join(broadcast(qs), "l_returnflag")
+        .select($"l_returnflag", $"exact_orders",
+          round($"m_lo".cast("double") +
+            $"frac" * ($"m_hi" - $"m_lo").cast("double"), 4).as("p50_exact"),
           (abs($"hll" - $"exact_orders") <= $"exact_orders" * 0.1)
             .cast("long").as("hll_ok"),
           ($"ap50" >= $"p45" && $"ap50" <= $"p55").cast("long").as("p50_ok"))
