@@ -2535,6 +2535,83 @@ object Docs {
         .filter($"n_hits" > 0)
         .select($"doc_id", $"n_grams", $"n_hits")
         .orderBy($"doc_id")
+    },
+
+    // ---- d63: LEAKAGE-FREE train/val split — the eval-hygiene twin of
+    // decontamination: a random doc-level split leaks when two near-
+    // duplicates land on opposite sides (the val doc is then "seen" in
+    // training). Split by CLUSTER instead: d13's near-dup components
+    // (unchanged star-contraction machinery) each land wholesale on one
+    // side via the deterministic salted-hash threshold ('14' = 20/256 ≈
+    // 7.8% val), so no edge can straddle by construction — DedupSpec
+    // asserts it over every similarity edge. Scale shape: cluster
+    // assignment is d13's O(log² n) contraction; the split itself is a
+    // map-side hash of the label; only the (split, lang) rollup
+    // shuffles.
+    GraftQuery.sql("d63_leakfree_split",
+      s"""$simCte,
+         |$ccCte,
+         |sp AS (SELECT l.doc_id, nd.lang, l.cluster_id,
+         |    CASE WHEN substr(md5('d63|' || CAST(l.cluster_id AS VARCHAR)), 1, 2)
+         |           < '14' THEN 'val' ELSE 'train' END AS split
+         |  FROM lab l JOIN nd ON nd.doc_id = l.doc_id)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val lab = graft.operators.DedupClusters.assign(
+        docs(s, dir).select($"doc_id"),
+        jaccardEdges(s, dir).select($"a_id", $"b_id"))
+      lab.join(docs(s, dir).select($"doc_id", $"lang"), "doc_id")
+        .withColumn("split",
+          when(substring(md5(concat(lit("d63|"), $"cluster_id".cast("string"))
+            .cast("binary")), 1, 2) < "14", "val").otherwise("train"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"cluster_id").as("n_clusters"),
+          sum($"doc_id").as("id_sum"))
+        .orderBy($"split", $"lang")
+    },
+
+    // ---- d64: duplication-aware loss weighting — the alternative to
+    // dropping near-duplicates: keep ONE representative per cluster
+    // (d13's min-id label) and weight it by its cluster size, so the
+    // training distribution preserves each document's natural mass
+    // without re-reading duplicate bytes. Output proves the invariant
+    // that makes the trick sound: summed over languages, the kept
+    // docs' weight total equals the original corpus size (nothing
+    // gained, nothing lost — per-language totals can shift because a
+    // near-dup cluster may span languages and its whole mass follows
+    // the representative). Scale shape: one count per label, the
+    // weight join rides the same label partitioning, token counting is
+    // a map-side projection on the representatives only.
+    GraftQuery.sql("d64_dup_weighting",
+      s"""$simCte,
+         |$ccCte,
+         |sz AS (SELECT cluster_id, COUNT(*) AS w FROM lab GROUP BY 1),
+         |rep AS (SELECT l.cluster_id, nd.lang, sz.w,
+         |    len(string_split(nd.norm, ' ')) AS n_tok
+         |  FROM lab l JOIN sz USING (cluster_id) JOIN nd ON nd.doc_id = l.doc_id
+         |  WHERE l.doc_id = l.cluster_id)
+         |SELECT lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(w) AS BIGINT) AS w_sum,
+         |  CAST(SUM(w * n_tok) AS BIGINT) AS wtok_sum
+         |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val lab = graft.operators.DedupClusters.assign(
+        docs(s, dir).select($"doc_id"),
+        jaccardEdges(s, dir).select($"a_id", $"b_id"))
+      val sizes = lab.groupBy($"cluster_id").agg(count(lit(1)).as("w"))
+      val d = docs(s, dir).select($"doc_id", $"lang",
+        size(split(Text.normalize($"text"), " ")).cast("long").as("n_tok"))
+      lab.filter($"doc_id" === $"cluster_id")
+        .join(sizes, "cluster_id")
+        .join(d, "doc_id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"w").as("w_sum"),
+          sum($"w" * $"n_tok").as("wtok_sum"))
+        .orderBy($"lang")
     }
   )
 }

@@ -256,6 +256,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d63 leak-free split: no similarity edge straddles train/val; masses partition the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // recompute each doc's split exactly as d63 assigns it
+    val lab = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
+      .withColumn("split",
+        when(substring(md5(concat(lit("d63|"), $"cluster_id".cast("string"))
+          .cast("binary")), 1, 2) < "14", "val").otherwise("train"))
+    val splitOf = lab.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    // every near-dup edge must connect same-split docs (the leak check)
+    val edges = SparkEntry.queries("d8_ngram_jaccard")(spark, Sf0001)
+      .filter($"jaccard" >= 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"edge ($a,$b) straddles the split")
+    }
+    // the reported masses partition the corpus
+    val out = SparkEntry.queries("d63_leakfree_split")(spark, Sf0001).collect()
+    val total = Tables.load(spark, Sf0001, "documents").count()
+    assert(out.map(_.getLong(2)).sum === total)
+    assert(out.map(_.getString(0)).toSet === Set("train", "val"))
+  }
+
+  test("d64 duplication weights preserve corpus mass: weights sum to the corpus size") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d64_dup_weighting")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = Tables.load(spark, Sf0001, "documents").count()
+    // global mass conservation (per-lang totals can shift: a cluster may
+    // span languages and its whole mass follows the representative)
+    assert(out.values.map(_._2).sum === total)
+    // every kept doc carries weight >= 1, so kept <= weight per lang
+    out.foreach { case (lang, (kept, wSum)) =>
+      assert(kept <= wSum, s"$lang kept $kept > weight $wSum")
+    }
+    // representatives are a subset: kept count == number of clusters
+    val clusters = SparkEntry.queries("d13_dedup_clusters")(spark, Sf0001)
+      .select($"cluster_id").distinct().count()
+    assert(out.values.map(_._1).sum === clusters)
+  }
+
   test("e6/d1-style invariant: exact dedup groups cover all documents") {
     import spark.implicits._
     val d1 = SparkEntry.queries("d1_dedup_exact")(spark, Sf0001)
