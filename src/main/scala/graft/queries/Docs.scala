@@ -2360,10 +2360,41 @@ object Docs {
     // none), emitting only fixed-width per-frame feature rows. Scale
     // shape: payload bytes never shuffle, fanout is exactly ≤ k rows
     // per record map-side, skew bounded by k rather than video length.
-    // Probabilistic-free but byte-level (no SQL binary algebra in the
-    // oracle) → rows; MultimodalSpec re-derives every sampled frame
-    // driver-side.
-    GraftQuery.rowsOnly("d59_frame_sample") { (s, dir) =>
+    // The stub codec's byte algebra is integer-exact over ASCII
+    // payloads, so (like d60) it IS SQL-expressible: the oracle
+    // rebuilds each sampled frame's slice from ord() over the text
+    // bytes and folds the same base-131 rolling checksum in HUGEINT
+    // arithmetic mod 2^64 — bit-identical to Scala's wrapping Long.
+    // MultimodalSpec still re-derives every frame driver-side.
+    GraftQuery.sql("d59_frame_sample",
+      """WITH vid AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         (doc_id % 64)*16+64 AS w, (doc_id % 48)*16+64 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |par AS (SELECT doc_id, text, len,
+        |    GREATEST(1, (w*h) // 64) AS fs FROM vid),
+        |par2 AS (SELECT *, GREATEST(1, len // fs) AS n FROM par),
+        |fr AS (SELECT doc_id, text, len, fs, n, (i * n) // 4 AS idx
+        |  FROM par2, UNNEST(generate_series(0, 3)) AS t(i)),
+        |frd AS (SELECT DISTINCT doc_id, text, fs, n, idx,
+        |    LEAST(CAST(idx * fs AS BIGINT), len) AS lo,
+        |    LEAST(CAST((idx + 1) * fs AS BIGINT), len) AS hi
+        |  FROM fr),
+        |cs AS (SELECT doc_id, idx, n, hi - lo AS frame_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(CAST(lo AS BIGINT), CAST(hi AS BIGINT)),
+        |          p -> CAST(ord(substr(text, CAST(p+1 AS INT), 1)) AS HUGEINT))),
+        |      (acc, x) -> (acc * 131 + x) %
+        |        CAST('18446744073709551616' AS HUGEINT)) AS cs_u
+        |  FROM frd)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(frame_bytes AS BIGINT) AS frame_bytes,
+        |  CAST(CASE WHEN cs_u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN cs_u - CAST('18446744073709551616' AS HUGEINT)
+        |       ELSE cs_u END AS BIGINT) AS frame_checksum
+        |FROM cs ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
       graft.operators.Multimodal.sampleFrames(media, k = 4)
