@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       extensions.injectFunction((id, info, builder))
     }
     extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }

@@ -62,6 +62,53 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsOfJoinPlan]] — the optimizer-`Rule`
+  * face of the custom operator. The node declares `references` = both
+  * children's full outputs (it emits the whole left row), which
+  * correctly STOPS Catalyst's generic ColumnPruning from reaching
+  * through it — but then a query projecting two columns would still
+  * scan every column of both sides. This rule restores the pruning the
+  * node's semantics actually allow:
+  *
+  *   - right child: only keys + timestamp + tiebreaker + the emitted
+  *     value columns are ever read — prune unconditionally;
+  *   - left child: under a `Project` that uses a subset of the left
+  *     row, shrink the node's left input (and therefore its output) to
+  *     that subset plus the join keys and timestamp.
+  *
+  * The inserted `Project`s reach the parquet scans through
+  * PhysicalOperation exactly like built-in pruning (ReadSchema
+  * shrinks — asserted in AsOfPlanSpec). Idempotent: projections are
+  * only inserted when they strictly narrow a child. */
+object PruneAsOfJoinColumns
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  private def narrow(child: LogicalPlan, keep: AttributeSet): LogicalPlan = {
+    val kept = child.output.filter(keep.contains)
+    if (kept.length < child.output.length) Project(kept, child) else child
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, j: AsOfJoinPlan) =>
+      val rightNeeded = AttributeSet(
+        j.rightKeys.flatMap(_.references) ++ j.rightTs.references ++
+          j.rightValues ++ j.tiebreaker.toSeq.flatMap(_.references))
+      val leftNeeded = AttributeSet(projectList.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys.flatMap(_.references)) ++ j.leftTs.references
+      val newLeft = narrow(j.left, leftNeeded)
+      val newRight = narrow(j.right, rightNeeded)
+      if ((newLeft eq j.left) && (newRight eq j.right)) p
+      else p.copy(child = j.copy(left = newLeft, right = newRight))
+    case j: AsOfJoinPlan =>
+      val rightNeeded = AttributeSet(
+        j.rightKeys.flatMap(_.references) ++ j.rightTs.references ++
+          j.rightValues ++ j.tiebreaker.toSeq.flatMap(_.references))
+      val newRight = narrow(j.right, rightNeeded)
+      if (newRight eq j.right) j else j.copy(right = newRight)
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; injected via
   * `spark.experimental.extraStrategies` (idempotently, by the builder)
   * or cluster-wide through [[graft.GraftExtensions]]. */
@@ -186,12 +233,17 @@ case class AsOfJoinExec(
 /** DataFrame-facing builder (same surface as `operators.AsOfJoin`). */
 object AsOfJoinPlan {
 
-  /** Idempotently register the strategy on the session. */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Idempotently register the strategy + pruning rule on the session. */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    }
+  }
 
   /** Latest right row at or before the left row's time (per key). */
   def latestAtOrBefore(left: DataFrame, right: DataFrame, keys: Seq[String],

@@ -75,6 +75,39 @@ class AsOfPlanSpec extends SparkSpec {
     assert(!p.contains("Union"), s"the plan-level form must not union:\n$p")
   }
 
+  test("pruning rule: a narrow projection shrinks both scans' ReadSchema through the node") {
+    // left = full events table (5 columns); query uses only event_id +
+    // the join key/ts; right carries an extra column never emitted.
+    // Without PruneAsOfJoinColumns the node's references block ALL
+    // pruning and both scans read every column.
+    val l = Tables.events(spark, Sf0001) // event_id, ts, user_id, event_type, value
+    val r = Tables.events(spark, Sf0001)
+      .select($"user_id".as("u2"), $"ts".as("ts2"), $"event_id".as("click_id"),
+        $"value".as("unused_value"))
+      .withColumnRenamed("u2", "user_id")
+    val out = AsOfJoinPlan.latestAtOrBefore(l, r,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts2",
+        valueCols = Seq("click_id"))
+      .select($"event_id", $"click_id")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"operator missing:\n$p")
+    // left scan: event_id/ts/user_id only; value + event_type pruned
+    assert(!p.contains("value#") || !p.split("ReadSchema").exists(s =>
+      s.contains("value") && s.contains("event_id")),
+      s"left scan reads pruned columns:\n$p")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach { sc =>
+      assert(!sc.contains("event_type"), s"event_type not pruned: $sc\n$p")
+    }
+    // parity: pruning must not change results
+    val expect = AsOfJoinPlan.latestAtOrBefore(l, r,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts2",
+        valueCols = Seq("click_id", "unused_value"))
+      .select($"event_id", $"click_id")
+    assert(canon(out) === canon(expect))
+  }
+
   test("adversarial merge: duplicate instants, repeated left timestamps, single partition stream") {
     // hand-built case hitting every merge branch: same-instant right
     // duplicates (tiebreak), left rows sharing a timestamp, right rows
