@@ -1003,6 +1003,45 @@ object Streaming {
       StreamOps.sessionizeBatch(ev, gapMinutes = 30)
         .toDF()
         .orderBy($"user_id", $"session_start_us")
+    },
+
+    // ---- s23: the Bloom decontamination gate ON THE STREAM — d62's
+    // join-free membership probe as a purely STATELESS streaming
+    // projection: the filter's serialized bits ride the plan as one
+    // literal into every micro-batch, and each arriving document is
+    // flagged map-side by folding the codegen probe over its own
+    // shingle-hash array (`size(filter(sh, bloom_contains_long))`) —
+    // no explode, no aggregate, NO STREAMING STATE AT ALL. This is the
+    // strongest form of the 100 TB claim: ingest-time decontamination
+    // whose cost is exactly the projection, in append mode, immune to
+    // skew and to state-store growth alike. Bloom insertion is
+    // commutative, so the filter built here is bit-identical to d62's
+    // and StreamingSpec pins exact stream/batch parity; probabilistic
+    // bit-pattern → rows (d62's reasoning).
+    GraftQuery.rowsOnly("s23_stream_bloom_gate") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.functions.Text
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      val bf = docs.filter($"doc_id" < 25)
+        .select(explode(Text.shingleHashes($"text", 8)).as("g"))
+        .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
+      val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray }
+      val rows = docs.filter($"doc_id" >= 25)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val in = MemoryStream[(Long, String)](s)
+      val gate = in.toDF().toDF("doc_id", "text")
+        .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
+        .select($"doc_id", size($"sh").cast("long").as("n_grams"),
+          size(filter($"sh",
+            g => call_function("bloom_contains_long", g, lit(bfBytes))))
+            .cast("long").as("n_hits"))
+        .filter($"n_hits" > 0)
+      drainChunksToTable(s, gate, "append", in, mbChunks(s, rows))
+        .orderBy($"doc_id")
     }
   )
 }

@@ -426,4 +426,16 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("s23 stream Bloom gate: bit-identical to the d62 batch gate, zero streaming state") {
+    // Bloom insertion is commutative, so the stream-built filter equals
+    // d62's batch-built one and the flags must match EXACTLY, false
+    // positives included
+    val stream = SparkEntry.queries("s23_stream_bloom_gate")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = SparkEntry.queries("d62_bloom_decontaminate")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq)
+  }
 }
