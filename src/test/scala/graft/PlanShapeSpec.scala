@@ -210,6 +210,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the Bloom gate must stay join-free:\n$p")
   }
 
+  test("q26: no buffer-all exact percentile; distinct count isolated from object aggregates") {
+    val p = plan("q26_sketches")
+    // the r7 sf1 OOMs, pinned: (a) exact `percentile` buffers every
+    // group row; (b) count(DISTINCT) in the same aggregate as
+    // percentile_approx/HLL re-keys partials by (flag, orderkey) and
+    // gives every orderkey group its own sketch state
+    assert(!p.matches("(?s).*\\bpercentile\\(.*"),
+      s"buffer-all exact percentile crept back into q26:\n$p")
+    val mixed = "(?s)count\\(distinct[^\\n]*percentile_approx|percentile_approx[^\\n]*count\\(distinct".r
+    assert(mixed.findFirstIn(p).isEmpty,
+      s"distinct count must not share an aggregate with the sketches:\n$p")
+  }
+
   test("e22: all eight EWMA taps ride one user-keyed exchange") {
     val p = plan("e22_ewma_smooth")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
