@@ -903,6 +903,53 @@ object Events {
           unix_micros($"ts").as("purchase_us"),
           unix_micros($"click_ts").as("click_us"), $"click_id")
         .orderBy($"purchase_id")
+    },
+
+    // ---- e25: time-weighted average (TWAP) of each user's value —
+    // the step-function integral ÷ observation span, the event-time
+    // mean that ISN'T row-weighted (a value that held for an hour
+    // counts 3600× one that held a second). EXACT in fixed point:
+    // values as integer cents, durations as integer micros, the
+    // integral summed in DECIMAL(38,0) (cents·µs ≈ 1e17 per term — far
+    // past BIGINT at scale, comfortable in 38 digits), the final
+    // micro-cents quotient one integer division — values are positive
+    // so floor and truncate agree across engines. Scale shape: the
+    // lead() and the per-user rollup ride ONE user-keyed exchange; no
+    // self-join, no correlated subquery.
+    GraftQuery.sql("e25_twap",
+      s"""$evCte,
+         |v AS (SELECT user_id, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM ev),
+         |l AS (SELECT user_id, cents, epoch_us(ts) AS t_us,
+         |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_us
+         |  FROM v),
+         |a AS (SELECT user_id, COUNT(*) AS n_events,
+         |    SUM(CASE WHEN next_us IS NOT NULL THEN
+         |      CAST(cents AS DECIMAL(38,0)) * (next_us - t_us) END) AS num,
+         |    MAX(t_us) - MIN(t_us) AS span_us
+         |  FROM l GROUP BY 1)
+         |SELECT user_id, n_events, CAST(span_us AS BIGINT) AS span_us,
+         |  CAST(CAST(num AS HUGEINT) * 1000000 // CAST(span_us AS HUGEINT)
+         |       AS BIGINT) AS twap_ucents
+         |FROM a WHERE span_us > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val dec = DecimalType(38, 0)
+      ev(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          ($"value".cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        .withColumn("t_us", unix_micros($"ts"))
+        .withColumn("next_us", lead($"t_us", 1).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"next_us".isNotNull,
+            $"cents".cast(dec) * ($"next_us" - $"t_us"))).as("num"),
+          (max($"t_us") - min($"t_us")).as("span_us"))
+        .filter($"span_us" > 0)
+        .select($"user_id", $"n_events", $"span_us",
+          expr("(num * 1000000) div span_us").as("twap_ucents"))
+        .orderBy($"user_id")
     }
   )
 }
