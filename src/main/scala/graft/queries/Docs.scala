@@ -2059,7 +2059,12 @@ object Docs {
         .groupBy($"doc_id", $"n").agg(collect_list($"pos").as("ss"))
       val tok = tk.select($"doc_id", posexplode($"toks")).toDF("doc_id", "q0", "tok")
         .select($"doc_id", ($"q0" + 1).as("q"), length($"tok").cast("long").as("w"))
-      val cov = tok.join(startArrs, Seq("doc_id"))
+      // merge hint: the start-position side carries per-doc position
+      // ARRAYS whose real size Catalyst underestimates — left to the
+      // planner it broadcast this side, which at sf1 overran the
+      // driver's broadcast build. Both sides are doc_id-keyed, so the
+      // co-partitioned sort-merge join is the shape that scales.
+      val cov = tok.join(startArrs.hint("merge"), Seq("doc_id"))
         .withColumn("covered",
           exists($"ss", x => x <= $"q" && x >= $"q" - ($"n" - 1)))
         .groupBy($"doc_id", $"n")

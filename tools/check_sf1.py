@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""sf1 oracle sweep: run every DuckDB oracle that is tractable at sf1
+against the Spark dumps, with a per-query time budget.
+
+Some oracles are deliberately quadratic (the recursive-CTE similarity
+family compares all document pairs — fine at sf0.01's 500 docs, 2.5e9
+pairs at sf1's 50k): those are skipped with a reason, not silently.
+
+Usage: python3 tools/check_sf1.py <sfDir> <verifyOutDir> [perQuerySeconds]
+"""
+import glob
+import json
+import multiprocessing as mp
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+# quadratic-oracle family: the DuckDB side joins all document pairs
+# (simCte) or all embedding pairs — intractable at sf1 BY THE ORACLE'S
+# design, while the Spark side is the scalable path being proven
+QUADRATIC = {
+    "d13_dedup_clusters": "simCte all-pairs + recursive closure",
+    "d17_dedup_corpus": "simCte all-pairs + recursive closure",
+    "d23_corpus_write": "simCte all-pairs + recursive closure",
+    "d63_leakfree_split": "simCte all-pairs + recursive closure",
+    "d64_dup_weighting": "simCte all-pairs + recursive closure",
+    "d18_jaccard_join": "all-pairs jaccard oracle",
+    "d34_containment_join": "all-pairs containment oracle",
+    "d37_incremental_dedup": "all-pairs vs-corpus oracle",
+    "d38_semdedup": "all-pairs cosine oracle",
+    "d40_source_overlap": "all-pairs cross-source oracle",
+    "d43_survivorship": "simCte all-pairs + recursive closure",
+    "d44_semdedup_ann": "all-pairs cosine oracle",
+    "d9_embedding_neardup": "all-pairs cosine oracle",
+    "d28_knn_label": "all-pairs knn oracle",
+    "s9_stream_content_dedup": "simCte-family oracle",
+    "s10_stream_decontaminate": "gram-join oracle over 50k docs",
+    "s11_stream_neardup_gate": "rows-only anyway",
+}
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def check_one(sf_dir, qdir, sql, out):
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{qdir}/*.parquet")],
+                        ignore_index=True)
+        exp = con.sql(sql).df()
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            out.put(f"FAIL columns {list(g.columns)} != {list(e.columns)}"); return
+        if len(g) != len(e):
+            out.put(f"FAIL rows {len(g)} != {len(e)}"); return
+        for c in g.columns:
+            a, b = g[c].values, e[c].values
+            if pd.api.types.is_float_dtype(g[c]) and pd.api.types.is_float_dtype(e[c]):
+                af, bf = a.astype("float64"), b.astype("float64")
+                ok = (af == bf) | (np.isnan(af) & np.isnan(bf)) | \
+                    np.isclose(af, bf, rtol=1e-12, atol=1e-12)
+                if not ok.all():
+                    out.put(f"FAIL float mismatch in {c}"); return
+            elif not (pd.Series(a).astype(str).values ==
+                      pd.Series(b).astype(str).values).all():
+                out.put(f"FAIL value mismatch in {c}"); return
+        out.put(f"PASS {len(g)} rows")
+    except Exception as ex:  # noqa: BLE001
+        out.put(f"ERR {type(ex).__name__}: {str(ex)[:120]}")
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    budget = int(sys.argv[3]) if len(sys.argv) > 3 else 120
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = n_timeout = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        if name not in oracles:
+            continue
+        if name in QUADRATIC:
+            print(f"SKIP  {name}: {QUADRATIC[name]}")
+            n_skip += 1
+            continue
+        if not glob.glob(f"{qdir}/*.parquet"):
+            print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
+        out = mp.Queue()
+        p = mp.Process(target=check_one, args=(sf_dir, qdir, oracles[name], out))
+        p.start(); p.join(budget)
+        if p.is_alive():
+            p.terminate(); p.join()
+            print(f"TIMEOUT {name}: oracle exceeded {budget}s")
+            n_timeout += 1
+            continue
+        msg = out.get() if not out.empty() else "ERR no result"
+        print(f"{msg.split()[0]:7s} {name}: {' '.join(msg.split()[1:])}")
+        if msg.startswith("PASS"):
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n== sf1 sweep: {n_pass} pass, {n_fail} fail, "
+          f"{n_skip} skipped (quadratic oracle), {n_timeout} timeout ==")
+
+
+if __name__ == "__main__":
+    main()
