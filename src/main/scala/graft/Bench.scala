@@ -95,6 +95,13 @@ object Bench {
     val repsBatch = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val repsStream = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt.max(1)
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // lower median over SUCCESSFUL reps only: timeOnce's -1 failure
+    // sentinel sorts first and must not shadow a real measurement when
+    // the rep count is even
+    def med(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok((ok.length - 1) / 2)
+    }
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
 
@@ -105,19 +112,19 @@ object Bench {
       // Short ids ("d13" for "d13_dedup_clusters", per the contract's own
       // example) keep the final line under the driver's 2000-char tail
       // window even at 114 queries; full names live in BENCH_LOCAL.json.
-      val med = results.map { case (k, ts) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(ts((ts.length - 1) / 2))
+      val medJson = results.map { case (k, ts) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(med(ts))
       }.mkString("{", ",", "}")
-      val total = results.values.map(ts => ts((ts.length - 1) / 2)).filter(_ >= 0).sum
+      val total = results.values.map(med).filter(_ >= 0).sum
       val gcSec = (gcMillis - gc0) / 1e3
       val skip = skipped.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$med,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$medJson,""" +
         s""""complete":$complete,"skipped":$skip,"gc_sec":${fmt(gcSec)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     }
     // Full-detail artifact (median + min/max noise band), rewritten after
     // every query so a timeout-killed run still leaves the data on disk.
     def writeLocal(complete: Boolean): Unit = {
-      val body = s"""{"metric":"total","queries":${queriesJson(ts => ts((ts.length - 1) / 2))},""" +
+      val body = s"""{"metric":"total","queries":${queriesJson(med)},""" +
         s""""queries_min":${queriesJson(_.head)},"queries_max":${queriesJson(_.last)},""" +
         s""""reps_batch":$repsBatch,"reps_stream":$repsStream,"complete":$complete,""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -140,7 +147,7 @@ object Bench {
     def record(name: String, dt: Double): Unit = {
       val times = (results.getOrElse(name, Seq.empty) :+ dt).sorted
       results(name) = times
-      println(s"""{"bench_progress":{"q":"$name","med":${fmt(times(times.length / 2))},"reps":${times.length},"elapsed":${fmt(elapsed)}}}""")
+      println(s"""{"bench_progress":{"q":"$name","med":${fmt(med(times))},"reps":${times.length},"elapsed":${fmt(elapsed)}}}""")
       writeLocal(complete = false)
     }
     // Pass 1 — coverage: every selected query exactly once. The suite

@@ -184,24 +184,29 @@ case class AsOfJoinExec(
       if (!fwd) {
         // backward: consume right rows up to (key, ts<=); the LAST
         // consumed same-key row is the match (right sorted by
-        // ts[, tiebreaker] ascending → latest instant, greatest tiebreak)
-        var matchKey: InternalRow = null
+        // ts[, tiebreaker] ascending → latest instant, greatest
+        // tiebreak). Rows consumed during a probe share the probe's
+        // key by construction, so the key is copied at most ONCE per
+        // left row (when it matched), not per consumed right row.
+        var matchKey: InternalRow = null // key of the buffered match
         var matchValues: InternalRow = null
         lIter.map { l =>
           val lk = lKeyProj(l)
           val lt = lTsProj(l).copy()
+          var matchedThisProbe = false
           var advancing = true
           while (advancing && rIter.hasNext) {
             val r = rIter.head
             val c = keyOrd.compare(rKeyProj(r), lk)
             if (c < 0) rIter.next() // stale key: no later left can match it
             else if (c == 0 && tsOrd.compare(rTsProj(r), lt) <= 0) {
-              val consumed = rIter.next()
-              matchKey = rKeyProj(consumed).copy()
-              matchValues = valueProj(consumed).copy()
+              matchValues = valueProj(rIter.next()).copy()
+              matchedThisProbe = true
             } else advancing = false
           }
-          val hit = matchKey != null && keyOrd.compare(matchKey, lk) == 0
+          val hit = matchedThisProbe ||
+            (matchKey != null && keyOrd.compare(matchKey, lk) == 0)
+          if (matchedThisProbe) matchKey = lk.copy()
           outProj(joined(l, if (hit) matchValues else nullValues))
         }
       } else {

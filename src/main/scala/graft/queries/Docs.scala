@@ -2549,19 +2549,14 @@ object Docs {
     // SQL-expressible) → rows.
     GraftQuery.rowsOnly("d62_bloom_decontaminate") { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.util.sketch.BloomFilter
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sh8 = docs(s, dir).repartition(p)
         .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
-      // build once over the (tiny) eval side; ships as a task literal
-      val bf: BloomFilter = sh8.filter($"doc_id" < 25)
-        .select(explode($"sh").as("g"))
-        .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
+      // build once over the (tiny) eval side; ships as a task literal.
       // probe via the codegen expression — the filter's serialized bytes
       // ride the plan as one literal, and the per-gram test fuses into
       // the whole-stage-codegen scan loop (no boxed-UDF row boundary)
-      val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos); bos.toByteArray }
+      val bfBytes = DecontaminationFilter.bytes(docs(s, dir))
       val hit = call_function("bloom_contains_long", $"g", lit(bfBytes))
       sh8.filter($"doc_id" >= 25)
         .select($"doc_id", explode($"sh").as("g"))

@@ -24,6 +24,27 @@ object GraftQuery {
     GraftQuery(name, build, None)
 }
 
+/** Shared Bloom build for the decontamination gates (d62 batch, s23
+  * stream): the eval slice's distinct 8-gram hashes folded into a 1%
+  * FP filter, serialized once. Bloom insertion is commutative, so the
+  * value is partitioning- and order-independent — both gates MUST
+  * build through this one helper: the s23↔d62 bit-parity contract
+  * (StreamingSpec) holds exactly as long as they cannot drift. */
+private[queries] object DecontaminationFilter {
+  val EvalMaxDocId = 25L
+  val ShingleK = 8
+  def bytes(docs: DataFrame): Array[Byte] = {
+    import org.apache.spark.sql.functions._
+    val bf = docs.filter(col("doc_id") < EvalMaxDocId)
+      .select(explode(
+        graft.functions.Text.shingleHashes(col("text"), ShingleK)).as("g"))
+      .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+}
+
 /** Aggregation helpers shared by the query suite. */
 object Agg {
   /** Order-insensitive sum of a double expression: exact decimal

@@ -1024,11 +1024,7 @@ object Streaming {
       import graft.functions.Text
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.load(s, dir, "documents")
-      val bf = docs.filter($"doc_id" < 25)
-        .select(explode(Text.shingleHashes($"text", 8)).as("g"))
-        .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
-      val bfBytes = { val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos); bos.toByteArray }
+      val bfBytes = DecontaminationFilter.bytes(docs)
       val rows = docs.filter($"doc_id" >= 25)
         .select($"doc_id", $"text").as[(Long, String)]
         .collect().toSeq.sortBy(_._1)

@@ -121,7 +121,14 @@ final class KinesisRecordWriter(stream: String, port: KinesisPort)
 /** Source-side adapter: the reference's describeStream /
   * getShardIterator / getRecords client loop behind the [[ShardReader]]
   * seam, with the dense-position sequence ledger (see [[KinesisPort]]
-  * object docs for the design and its bounds). */
+  * object docs for the design and its bounds).
+  *
+  * One reader instance serves ONE streaming query: the ledger is
+  * pruned by that query's commits, so a second concurrent query
+  * sharing the instance could see positions below its own frontier
+  * pruned away — it fails loudly on read()'s position check, never
+  * silently. Register a fresh instance per query (they share the
+  * port/client). */
 final class KinesisShardReader(
     stream: String,
     port: KinesisPort,
@@ -203,13 +210,33 @@ final class KinesisShardReader(
   override def maxSequence(shard: String): Long = advance(shard)
 
   override def sequenceAtTimestamp(shard: String, tsUs: Long): Long = {
-    // only called at query start (initialOffset), before any prune —
-    // the ledger then holds the shard's full retained history
-    advance(shard)
-    val led = ledger.getOrElse(shard, ShardLedger(0L, Vector.empty))
-    require(led.base == 0L,
-      "at_timestamp start requires an unpruned ledger (fresh query)")
-    led.entries.takeWhile(_._2 < tsUs).length.toLong
+    // independent sequence-metadata scan from the trim horizon, so the
+    // answer is correct whatever the ledger's prune state (a reader
+    // that has already served commits keeps only the unconsumed
+    // suffix). Dense positions count from TRIM_HORIZON and per-shard
+    // arrival is monotone, so the leading run of arrivals < tsUs IS
+    // the position (the same takeWhile semantics as FileShardReader).
+    var it: Option[String] =
+      Some(port.getShardIterator(stream, shard, "TRIM_HORIZON", None, None))
+    var lastSeq: Option[String] = None
+    var count = 0L
+    var done = false
+    while (!done && it.isDefined) {
+      val page =
+        try getPage(it.get)
+        catch { case _: ExpiredIteratorException =>
+          it = Some(iteratorAfter(shard, lastSeq)); getPage(it.get)
+        }
+      page.records.foreach { r =>
+        if (!done) {
+          if (r.arrivalUs < tsUs) count += 1 else done = true
+        }
+        lastSeq = Some(r.sequenceNumber)
+      }
+      if (page.records.isEmpty && page.millisBehindLatest <= 0L) done = true
+      if (page.nextIterator.isEmpty) done = true else it = page.nextIterator
+    }
+    count
   }
 
   /** Executor-side: anchor at `afterSeq`'s sequence string, then pull
@@ -257,7 +284,19 @@ final class KinesisShardReader(
           }
         }
 
-      override def hasNext: Boolean = { fill(); buf.nonEmpty && remaining > 0 }
+      override def hasNext: Boolean = {
+        if (remaining <= 0) return false // never emit past the admitted range
+        fill()
+        // an admitted range that cannot be served must fail LOUDLY —
+        // this arm catches the closed-shard case (nextIterator ran out
+        // mid-range), which the in-loop guard cannot see
+        if (buf.isEmpty) {
+          throw new IllegalStateException(
+            s"$shard ended at position $pos before reaching $endPos " +
+              "(shard closed or records trimmed beneath the committed offset)")
+        }
+        true
+      }
       override def next(): Transport.Rec = {
         if (!hasNext) throw new NoSuchElementException
         val r = buf.dequeue()

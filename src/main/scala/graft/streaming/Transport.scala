@@ -170,21 +170,51 @@ final class FileShardReader(rootStr: String) extends ShardReader {
   * one record file per flush per shard through ShardedLog.append
   * (write-temp + atomic move, so a concurrently tailing reader never
   * observes a torn file). With [[BatchingSink.over]] on top this is the
-  * full reference sink semantics against local durable storage. */
+  * full reference sink semantics against local durable storage.
+  *
+  * Concurrency: sequence allocation is serialized per (root, shard)
+  * through a JVM-global lock, so the many per-partition sink instances
+  * of a local[n] job cannot allocate the same file sequence and
+  * replace each other's flushes (multi-JVM writers to one root would
+  * still race — that deployment belongs on a real shared-log
+  * transport, not local files). Payload contract: the sharded log is
+  * LINE-oriented text; a payload that does not survive the UTF-8
+  * line round-trip (embedded newlines, non-UTF-8 bytes) would be
+  * silently split or mangled into a different record count, so it is
+  * rejected as a [[BatchingSink.ClientException]] — the caller-bug arm
+  * of the taxonomy. */
 final class FileRecordWriter(rootStr: String, numShards: Int = 4) extends RecordWriter {
+  import FileRecordWriter.lockFor
   override def putRecords(records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult] = {
     val root = Paths.get(rootStr)
     records.groupBy { case (k, _) => "shard-" + math.floorMod(k.hashCode, numShards) }
       .foreach { case (shard, recs) =>
-        val dir = root.resolve(shard)
-        val next = (if (Files.isDirectory(dir))
-          ShardedLog.listFiles(dir).lastOption.map(_._1).getOrElse(0L)
-        else 0L) + 1L
-        ShardedLog.append(root, shard, next,
-          recs.map { case (_, p) => new String(p, StandardCharsets.UTF_8) })
+        val lines = recs.map { case (_, p) =>
+          val line = new String(p, StandardCharsets.UTF_8)
+          if (line.exists(c => c == '\n' || c == '\r') ||
+              !java.util.Arrays.equals(line.getBytes(StandardCharsets.UTF_8), p)) {
+            throw new BatchingSink.ClientException(
+              "file transport payloads must be newline-free UTF-8 text " +
+                "(the sharded log is line-oriented)")
+          }
+          line
+        }
+        lockFor(rootStr, shard).synchronized {
+          val dir = root.resolve(shard)
+          val next = (if (Files.isDirectory(dir))
+            ShardedLog.listFiles(dir).lastOption.map(_._1).getOrElse(0L)
+          else 0L) + 1L
+          ShardedLog.append(root, shard, next, lines)
+        }
       }
     records.map(_ => BatchingSink.PutResult(None))
   }
+}
+
+object FileRecordWriter {
+  private val locks = TrieMap.empty[(String, String), Object]
+  private def lockFor(root: String, shard: String): Object =
+    locks.getOrElseUpdate((root, shard), new Object)
 }
 
 /** Both transport sides over a JVM-local in-memory log — the test fake

@@ -66,6 +66,17 @@ final class FakeKinesis(numShards: Int) {
     * expiry, compressed to an injection hook). */
   def expireIterators(): Unit = synchronized { iterEpoch += 1 }
 
+  private val closed = mutable.Set.empty[String]
+
+  /** Close a shard (resharded away): reads past its content return
+    * nextIterator = null, as the service does. */
+  def closeShard(shard: String): Unit = synchronized { closed += shard }
+
+  /** Drop all but the last `keep` records (retention trim). */
+  def truncateShard(shard: String, keep: Int): Unit = synchronized {
+    shards(shard) = shards.getOrElse(shard, Vector.empty).takeRight(keep)
+  }
+
   // ---- the client call surface (what StubKinesisClient / the port wrap)
 
   def describe(): Seq[ShardDesc] = synchronized {
@@ -108,9 +119,11 @@ final class FakeKinesis(numShards: Int) {
     val recs = shards.getOrElse(shard, Vector.empty)
     val idx = idxS.toInt
     val page = recs.slice(idx, math.min(idx + limit, recs.length))
+    val exhausted = idx + page.length >= recs.length
     RecordsPage(page,
-      Some(s"it|$iterEpoch|$shard|${idx + page.length}"),
-      if (idx + page.length >= recs.length) 0L else 1000L)
+      if (exhausted && closed.contains(shard)) None
+      else Some(s"it|$iterEpoch|$shard|${idx + page.length}"),
+      if (exhausted) 0L else 1000L)
   }
 
   def put(records: Seq[(String, Array[Byte])]): Seq[Option[String]] =

@@ -101,6 +101,36 @@ class KinesisAdapterSpec extends AnyFunSuite {
     } finally FakeKinesis.drop(id)
   }
 
+  test("an admitted range that cannot be served fails loudly, open or closed shard") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id)
+      (1 to 5).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      assert(r.maxSequence(core.shardName(0)) === 5)
+      // shard closes AND loses records beneath the admitted range
+      core.truncateShard(core.shardName(0), keep = 1)
+      core.closeShard(core.shardName(0))
+      core.expireIterators() // force re-anchor from the ledger
+      intercept[IllegalStateException] {
+        r.read(core.shardName(0), 0L, 5L).toSeq
+      }
+      // and a served prefix must never silently double or truncate:
+      // the failure mode is an exception, not a wrong row count
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("read never emits past the admitted range even when a page overshoots") {
+    val (id, core) = freshCore()
+    try {
+      val r = reader(id, pollLimit = 100) // one page far wider than the range
+      (1 to 9).foreach(i => core.append(core.shardName(0), s"k$i", s"v$i".getBytes))
+      r.maxSequence(core.shardName(0))
+      val out = r.read(core.shardName(0), 2L, 5L).toSeq
+      assert(out.map(_.value) === Seq("v3", "v4", "v5"))
+      assert(out.map(_.seq) === (3L to 5L))
+    } finally FakeKinesis.drop(id)
+  }
+
   test("reflective binding drives the SDK-shaped stub client end-to-end") {
     val (id, core) = freshCore()
     try {

@@ -62,6 +62,39 @@ class TransportSpec extends SparkSpec {
     } finally { TransportRegistry.unregister(id); InMemoryTransport.drop(id) }
   }
 
+  test("FileRecordWriter: concurrent writers never replace each other's flushes") {
+    import graft.streaming.{FileRecordWriter, FileShardReader}
+    val root = Files.createTempDirectory("fw-conc")
+    val w = new FileRecordWriter(root.toString, numShards = 1)
+    // 4 sink instances (one per partition in a real job) hammer one
+    // shard: sequence allocation must serialize, or flushes replace
+    // each other silently (same seq + REPLACE_EXISTING move)
+    val threads = (1 to 4).map { t =>
+      new Thread(() => (1 to 50).foreach(i =>
+        w.putRecords(Seq(("k", s"t$t-$i".getBytes("UTF-8"))))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val id = freshId()
+    TransportRegistry.register(id, new FileShardReader(root.toString))
+    try {
+      val rows = drain(id).collect()
+      assert(rows.length === 200, "every concurrent flush must survive")
+      assert(rows.map(_.getString(2)).toSet.size === 200)
+    } finally TransportRegistry.unregister(id)
+  }
+
+  test("FileRecordWriter rejects payloads that break the line contract (taxonomy: caller bug)") {
+    import graft.streaming.FileRecordWriter
+    val w = new FileRecordWriter(
+      Files.createTempDirectory("fw-rej").toString, numShards = 1)
+    intercept[BatchingSink.ClientException] {
+      w.putRecords(Seq(("k", "a\nb".getBytes("UTF-8"))))
+    }
+    intercept[BatchingSink.ClientException] {
+      w.putRecords(Seq(("k", Array[Byte](-1, -2, -3)))) // not UTF-8
+    }
+  }
+
   test("unregistered transport name fails fast with a clear error") {
     val err = intercept[Exception] { drain("no-such-transport") }
     def chain(t: Throwable): Seq[Throwable] =
