@@ -950,6 +950,81 @@ object Events {
         .select($"user_id", $"n_events", $"span_us",
           expr("(num * 1000000) div span_us").as("twap_ucents"))
         .orderBy($"user_id")
+    },
+
+    // ---- e26: peak concurrent sessions — the capacity-planning number
+    // (how many users were mid-session at the busiest instants), exact
+    // over e3's 30-minute-gap sessions. A session [s,e] is active at
+    // instant t iff s ≤ t and e ≥ t, so per distinct boundary instant
+    // conc(t) = (#starts ≤ t) − (#ends < t) — deterministic even with
+    // boundary ties. The GLOBAL running sum is the classic scale trap
+    // (one total order over all boundaries); here it is the PARALLEL
+    // prefix sum in pure DataFrame ops: range-partition the distinct
+    // instants (range partitioning is monotone, so partition id order
+    // IS time order), run the within-partition window per pid, compute
+    // the tiny per-partition totals table, window THAT for each
+    // partition's offset, and broadcast it back — two passes, no
+    // single-partition sort anywhere. Top-10 busiest instants leave as
+    // a TakeOrdered.
+    GraftQuery.sql("e26_peak_concurrency",
+      s"""$evCte,
+         |m AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (SELECT user_id,
+         |    SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts
+         |  FROM m),
+         |iv AS (SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+         |       FROM sess GROUP BY user_id, sid),
+         |b AS (SELECT t_us, SUM(s_n) AS s_n, SUM(e_n) AS e_n FROM (
+         |    SELECT s_us AS t_us, 1 AS s_n, 0 AS e_n FROM iv
+         |    UNION ALL SELECT e_us, 0, 1 FROM iv) GROUP BY 1),
+         |c AS (SELECT t_us,
+         |    SUM(s_n) OVER o - SUM(e_n) OVER o + e_n AS conc
+         |  FROM b WINDOW o AS (ORDER BY t_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t_us, CAST(conc AS BIGINT) AS conc FROM c
+         |ORDER BY conc DESC, t_us LIMIT 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wUser = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+      val sess = ev(s, dir)
+        .withColumn("t_us", unix_micros($"ts")) // µs-exact gap arithmetic
+        .withColumn("news", when(lag($"t_us", 1).over(wUser).isNull ||
+          $"t_us" - lag($"t_us", 1).over(wUser) >= 1800L * 1000000L,
+          1L).otherwise(0L))
+        .withColumn("sid", sum($"news").over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"t_us").as("s_us"), max($"t_us").as("e_us"))
+      val bounds = sess.select($"s_us".as("t_us"), lit(1L).as("s_n"), lit(0L).as("e_n"))
+        .unionByName(sess.select($"e_us".as("t_us"), lit(0L).as("s_n"), lit(1L).as("e_n")))
+        .groupBy($"t_us")
+        .agg(sum($"s_n").as("s_n"), sum($"e_n").as("e_n"))
+      // parallel prefix: range-partition (monotone pids), window per
+      // pid, then offset each partition by the cumulative totals of
+      // the partitions before it (a tiny broadcast table)
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val parted = bounds.repartitionByRange(p, $"t_us")
+        .withColumn("pid", spark_partition_id())
+      val wIn = Window.partitionBy($"pid").orderBy($"t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = parted
+        .withColumn("s_run", sum($"s_n").over(wIn))
+        .withColumn("e_run", sum($"e_n").over(wIn))
+      val offsets = parted.groupBy($"pid")
+        .agg(sum($"s_n").as("s_tot"), sum($"e_n").as("e_tot"))
+        .withColumn("s_off", coalesce(sum($"s_tot").over(
+          Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("e_off", coalesce(sum($"e_tot").over(
+          Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"s_off", $"e_off")
+      within.join(broadcast(offsets), "pid")
+        .select($"t_us",
+          ($"s_run" + $"s_off" - ($"e_run" + $"e_off") + $"e_n").as("conc"))
+        .orderBy($"conc".desc, $"t_us")
+        .limit(10)
     }
   )
 }

@@ -223,6 +223,17 @@ class PlanShapeSpec extends SparkSpec {
       s"distinct count must not share an aggregate with the sketches:\n$p")
   }
 
+  test("e26: the global prefix sum is range-partitioned; only the totals table single-partitions") {
+    val p = plan("e26_peak_concurrency")
+    assert(p.contains("rangepartitioning"),
+      s"boundary instants must be range-partitioned (monotone pids):\n$p")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    // exactly the per-partition-totals window (≤ shuffle-partition-count
+    // rows); the boundary stream itself must never collapse to one task
+    assert(singles == 1,
+      s"expected exactly 1 SinglePartition exchange (the tiny offsets table), got $singles:\n$p")
+  }
+
   test("e22: all eight EWMA taps ride one user-keyed exchange") {
     val p = plan("e22_ewma_smooth")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
