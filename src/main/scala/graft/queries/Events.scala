@@ -1010,11 +1010,19 @@ object Events {
         .withColumn("pid", spark_partition_id())
       val wIn = Window.partitionBy($"pid").orderBy($"t_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // persisted: spark_partition_id is nondeterministic, which (a)
+      // blocks ReuseExchange from serving both consumers off one
+      // shuffle and (b) would otherwise rely on the range partitioner
+      // re-sampling identically on a recompute — the cache makes the
+      // pid↔offset pairing airtight and the boundary stream single-scan
+      // (Verify/Bench clear caches between queries)
       val within = parted
         .withColumn("s_run", sum($"s_n").over(wIn))
         .withColumn("e_run", sum($"e_n").over(wIn))
-      val offsets = parted.groupBy($"pid")
-        .agg(sum($"s_n").as("s_tot"), sum($"e_n").as("e_tot"))
+        .persist()
+      // per-partition totals = the last running value per pid
+      val offsets = within.groupBy($"pid")
+        .agg(max($"s_run").as("s_tot"), max($"e_run").as("e_tot"))
         .withColumn("s_off", coalesce(sum($"s_tot").over(
           Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("e_off", coalesce(sum($"e_tot").over(
