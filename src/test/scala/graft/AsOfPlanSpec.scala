@@ -108,6 +108,48 @@ class AsOfPlanSpec extends SparkSpec {
     assert(canon(out) === canon(expect))
   }
 
+  test("property: random instances match an independent Scala model, both directions") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic seeded sampling (no scalatestplus bridge offline)
+    def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+      var seed = Seed(7L)
+      val params = Gen.Parameters.default.withSize(25)
+      (0 until n).foreach { _ =>
+        gen.apply(params, seed).foreach(f); seed = seed.next
+      }
+    }
+    val genLeft = Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 15L)))
+    val genRight = Gen.listOf(Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 15L),
+      Gen.choose(0, 9).map(i => s"v$i")))
+    forSamples(Gen.zip(genLeft, genRight), n = 12) { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val r = rs.toDF("k", "t2", "v")
+      // independent reference model (pure Scala, not the composed op)
+      def modelB(k: Long, t: Long): Option[String] =
+        rs.filter(x => x._1 == k && x._2 <= t)
+          .sortBy(x => (x._2, x._3)).lastOption.map(_._3)
+      def modelF(k: Long, t: Long): Option[String] =
+        rs.filter(x => x._1 == k && x._2 >= t)
+          .sortBy(x => (x._2, x._3)).headOption.map(_._3)
+      val back = AsOfJoinPlan.latestAtOrBefore(l, r, Seq("k"), "t", "t2",
+          Seq("v"), tiebreaker = Some("v"))
+        .select($"lid", $"v").collect()
+        .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      val fwd = AsOfJoinPlan.earliestAtOrAfter(l, r, Seq("k"), "t", "t2",
+          Seq("v"), tiebreaker = Some("v"))
+        .select($"lid", $"v").collect()
+        .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        assert(back(i.toLong) === modelB(k, t),
+          s"backward mismatch at left ($k,$t) with rights $rs")
+        assert(fwd(i.toLong) === modelF(k, t),
+          s"forward mismatch at left ($k,$t) with rights $rs")
+      }
+    }
+  }
+
   test("adversarial merge: duplicate instants, repeated left timestamps, single partition stream") {
     // hand-built case hitting every merge branch: same-instant right
     // duplicates (tiebreak), left rows sharing a timestamp, right rows
