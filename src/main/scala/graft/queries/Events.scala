@@ -1033,6 +1033,96 @@ object Events {
           ($"s_run" + $"s_off" - ($"e_run" + $"e_off") + $"e_n").as("conc"))
         .orderBy($"conc".desc, $"t_us")
         .limit(10)
+    },
+
+    // ---- e27: event-type transition matrix — the first-order Markov
+    // model of user behavior (what follows what), the batch twin of the
+    // s24 online transition counter. Each user's event stream in
+    // (ts, event_id) order yields (prev → next) pairs via ONE lag
+    // window over ONE user-keyed exchange (no self-join); the pair
+    // counts partial-aggregate map-side and the shuffle key cardinality
+    // is the event-type alphabet squared, not the corpus. Row
+    // probabilities are exact integer basis points — (n·10000) div
+    // rowtotal, both engines floor on positives — computed by a window
+    // over the ALPHABET²-sized count table, never the events.
+    GraftQuery.sql("e27_transition_matrix",
+      s"""$evCte,
+         |tr AS (SELECT lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         |    event_type AS next_type
+         |  FROM ev),
+         |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bps
+         |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val c = ev(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(wUser))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("p_bps",
+          expr("(n * 10000) div sum(n) over (partition by prev_type)"))
+        .orderBy($"prev_type", $"next_type")
+    },
+
+    // ---- e28: RFM segmentation — the classic recency/frequency/
+    // monetary customer scoring, exact across engines: metrics in
+    // integer units (µs-derived day recency, counts, cents), quartile
+    // assignment by explicit rank arithmetic q = (4·(rank−1)) div n + 1
+    // over a (metric, user_id) TOTAL order — no ntile, whose remainder
+    // placement would otherwise have to match engine-for-engine.
+    // Scale shape: events collapse map-side to one summary row per
+    // user before anything sorts (e19's windows-over-summaries rule);
+    // the corpus-max timestamp is a 1-row broadcast. The quartile
+    // ranks are global row_numbers over the USER summary — fine at
+    // user≪event cardinality; at 1000-executor user counts swap in
+    // d57's histogram-cut idiom for the same boundaries.
+    GraftQuery.sql("e28_rfm_segments",
+      s"""$evCte,
+         |u AS (SELECT user_id, COUNT(*) AS freq,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS mon_cents,
+         |    MAX(epoch_us(ts)) AS last_us
+         |  FROM ev GROUP BY user_id),
+         |g AS (SELECT MAX(last_us) AS glob_us FROM u),
+         |r AS (SELECT u.user_id, u.freq, u.mon_cents,
+         |    (g.glob_us - u.last_us) // 86400000000 AS rec_days
+         |  FROM u CROSS JOIN g),
+         |k AS (SELECT user_id, freq, mon_cents, rec_days,
+         |    ROW_NUMBER() OVER (ORDER BY rec_days, user_id) AS rr,
+         |    ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) AS fr,
+         |    ROW_NUMBER() OVER (ORDER BY mon_cents DESC, user_id) AS mr,
+         |    COUNT(*) OVER () AS nu
+         |  FROM r)
+         |SELECT user_id, CAST(rec_days AS BIGINT) AS rec_days, freq, mon_cents,
+         |  CAST((4 * (rr - 1)) // nu + 1 AS BIGINT) AS r_q,
+         |  CAST((4 * (fr - 1)) // nu + 1 AS BIGINT) AS f_q,
+         |  CAST((4 * (mr - 1)) // nu + 1 AS BIGINT) AS m_q
+         |FROM k ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = ev(s, dir).groupBy($"user_id").agg(
+        count(lit(1)).as("freq"),
+        sum(($"value".cast(DecimalType(18, 2)) * 100).cast("long")).cast("long")
+          .as("mon_cents"),
+        max(unix_micros($"ts")).as("last_us"))
+      val g = u.agg(max($"last_us").as("glob_us"))
+      val r = u.crossJoin(broadcast(g))
+        .select($"user_id", $"freq", $"mon_cents",
+          expr("(glob_us - last_us) div 86400000000").as("rec_days"))
+      val k = r
+        .withColumn("rr", row_number().over(Window.orderBy($"rec_days", $"user_id")))
+        .withColumn("fr", row_number().over(Window.orderBy($"freq".desc, $"user_id")))
+        .withColumn("mr", row_number().over(Window.orderBy($"mon_cents".desc, $"user_id")))
+        .withColumn("nu", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      k.select($"user_id", $"rec_days", $"freq", $"mon_cents",
+          expr("(4 * (rr - 1)) div nu + 1").as("r_q"),
+          expr("(4 * (fr - 1)) div nu + 1").as("f_q"),
+          expr("(4 * (mr - 1)) div nu + 1").as("m_q"))
+        .orderBy($"user_id")
     }
   )
 }
