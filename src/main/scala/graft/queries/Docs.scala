@@ -89,7 +89,10 @@ object Docs {
     * COALESCE), as in the operator. a/c CTEs MATERIALIZED (the d45
     * lesson: DuckDB's inlining heuristic re-expands chained CTE
     * consumers exponentially on small tables). */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** The shared Lloyd WITH-chain (qv, c0, a1..a{iters+1}, c1..c{iters});
+    * `a${iters+1}` (rn=1) is the final assignment — consumed by d46's
+    * oracle directly and by d68's cluster-balanced sampler. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
@@ -118,11 +121,13 @@ object Docs {
         |    FROM (SELECT k, u.i AS i, SUM(u.v) AS s, COUNT(*) AS n
         |      FROM x$r GROUP BY k, u.i) s$r GROUP BY k) n ON n.k = p.k)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT vec_id, CAST(k AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
-      |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin)
     sb.toString
   }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) + s"""
+      |SELECT vec_id, CAST(k AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
+      |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   /** Oracle prelude: embeddings with exact double norms. */
   private val nvCte =
@@ -2643,6 +2648,210 @@ object Docs {
         .agg(count(lit(1)).as("n_kept"), sum($"w").as("w_sum"),
           sum($"w" * $"n_tok").as("wtok_sum"))
         .orderBy($"lang")
+    },
+
+    // ---- d65: DSIR-style importance weights (Xie et al. 2023,
+    // "Data Selection for LMs via Importance Resampling"): score each
+    // raw document by how target-like its hashed-unigram bag is —
+    // r(b) = p_target(b)/p_raw(b) over 4096 md5-prefix buckets with
+    // add-1 smoothing, doc score = mean bucket ratio (token-weighted),
+    // all in EXACT integer ppm (DECIMAL(38,0)/HUGEINT cross products,
+    // floor division both engines). The target is the curated slice
+    // (doc_id < 50 — the d20/d62 eval-slice idiom). Scale shape: one
+    // corpus scan builds the (doc, bucket, k) partial aggregate (raw
+    // AND target counts come from the same pass via a conditional
+    // sum); the 4096-row ratio table broadcasts back; the per-doc
+    // rollup rides one doc_id exchange. kept=1 ⟺ mean ratio ≥ 1
+    // (more target-like than the raw pool — the self-normalizing cut).
+    GraftQuery.sql("d65_dsir_weights",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, substr(md5(tok), 1, 3) AS b
+         |  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM nd)
+         |  WHERE length(tok) > 0),
+         |db AS (SELECT doc_id, b, COUNT(*) AS k FROM tk GROUP BY 1, 2),
+         |bc AS (SELECT b, SUM(k) AS cr,
+         |    SUM(CASE WHEN doc_id < 50 THEN k ELSE 0 END) AS ct
+         |  FROM db GROUP BY b),
+         |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bc),
+         |ratio AS (SELECT b,
+         |    CAST((CAST(ct + 1 AS HUGEINT) * (tr + 4096) * 1000000)
+         |      // (CAST(cr + 1 AS HUGEINT) * (tt + 4096)) AS BIGINT) AS r_ppm
+         |  FROM bc CROSS JOIN tot),
+         |ds AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tok,
+         |    CAST(SUM(k * r_ppm) AS BIGINT) AS score_sum
+         |  FROM db JOIN ratio USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tok, score_sum, score_sum // n_tok AS avg_ppm,
+         |  CAST(CASE WHEN score_sum // n_tok >= 1000000 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM ds ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = docs(s, dir)
+        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select($"doc_id", substring(md5($"tok".cast("binary")), 1, 3).as("b"))
+      val db = tk.groupBy($"doc_id", $"b").agg(count(lit(1)).as("k")).persist()
+      val bc = db.groupBy($"b").agg(sum($"k").as("cr"),
+        sum(when($"doc_id" < 50, $"k").otherwise(0L)).as("ct"))
+      val tot = bc.agg(sum($"cr").as("tr"), sum($"ct").as("tt"))
+      val ratio = bc.crossJoin(broadcast(tot)).select($"b",
+        expr("""CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (tr + 4096) * 1000000)
+               | div (CAST(cr + 1 AS DECIMAL(38,0)) * (tt + 4096)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("r_ppm"))
+      // db persists across its two consumers (bc and the rollup);
+      // Verify/Bench clear caches between queries
+      db.join(broadcast(ratio), "b")
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_tok"), sum($"k" * $"r_ppm").as("score_sum"))
+        .select($"doc_id", $"n_tok", $"score_sum",
+          expr("score_sum div n_tok").as("avg_ppm"),
+          expr("CAST(CASE WHEN score_sum div n_tok >= 1000000 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("kept"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d66: CCNet-style rarity buckets — score each doc by mean
+    // token rarity (inverse relative corpus frequency in exact ppm —
+    // the division-free stand-in for LM perplexity, same ordering
+    // intent: common text scores low) and split each language into
+    // head/middle/tail TERCILES, CCNet's curation unit. Exactness:
+    // rarity = (corpus_tokens·10⁶) div count(token); doc score =
+    // token-weighted mean, floor-divided; the tercile cuts come from
+    // the per-lang SCORE-BIN histogram with cross-multiplied
+    // cumulative fractions (3·cum ≥ tot), the e15/d57 idiom — no
+    // per-lang sort of the corpus, the window runs over the tiny
+    // (lang, bin) table. Scale shape: ONE tokenization feeds both the
+    // vocabulary count (derived from the (doc, token) partial
+    // aggregate — d39's df-rides-tf trick) and the score rollup; the
+    // cuts broadcast back map-side.
+    GraftQuery.sql("d66_ccnet_buckets",
+      s"""$normCte,
+         |dt AS (SELECT doc_id, lang, tok, COUNT(*) AS k
+         |  FROM (SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS tok FROM nd)
+         |  WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+         |tc AS (SELECT tok, SUM(k) AS c FROM dt GROUP BY tok),
+         |tot AS (SELECT SUM(c) AS tt FROM tc),
+         |rar AS (SELECT tok, (tt * 1000000) // c AS rar_ppm FROM tc CROSS JOIN tot),
+         |ds AS (SELECT doc_id, lang,
+         |    CAST(SUM(k * rar_ppm) // SUM(k) AS BIGINT) AS score
+         |  FROM dt JOIN rar USING (tok) GROUP BY 1, 2),
+         |h AS (SELECT lang, score // 1000 AS sbin, COUNT(*) AS n FROM ds GROUP BY 1, 2),
+         |cum AS (SELECT lang, sbin,
+         |    SUM(n) OVER (PARTITION BY lang ORDER BY sbin) AS cumn,
+         |    SUM(n) OVER (PARTITION BY lang) AS totn
+         |  FROM h),
+         |cuts AS (SELECT lang,
+         |    MIN(CASE WHEN 3 * cumn >= totn THEN sbin END) AS cut1,
+         |    MIN(CASE WHEN 3 * cumn >= 2 * totn THEN sbin END) AS cut2
+         |  FROM cum GROUP BY lang)
+         |SELECT doc_id, d.lang AS lang, score,
+         |  CASE WHEN score // 1000 <= cut1 THEN 'head'
+         |       WHEN score // 1000 <= cut2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM ds d JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dt = docs(s, dir)
+        .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"doc_id", $"lang", $"tok").agg(count(lit(1)).as("k"))
+        .persist()
+      val tc = dt.groupBy($"tok").agg(sum($"k").as("c"))
+      val tot = tc.agg(sum($"c").as("tt"))
+      val rar = tc.crossJoin(broadcast(tot))
+        .select($"tok", expr("(tt * 1000000) div c").as("rar_ppm"))
+      val ds = dt.join(rar, "tok")
+        .groupBy($"doc_id", $"lang")
+        .agg(expr("CAST(sum(k * rar_ppm) div sum(k) AS BIGINT)").as("score"))
+      val h = ds.groupBy($"lang", expr("score div 1000").as("sbin"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy($"lang").orderBy($"sbin")
+      val wTot = Window.partitionBy($"lang")
+      val cuts = h
+        .withColumn("cumn", sum($"n").over(wCum))
+        .withColumn("totn", sum($"n").over(wTot))
+        .groupBy($"lang").agg(
+          min(when($"cumn" * 3 >= $"totn", $"sbin")).as("cut1"),
+          min(when($"cumn" * 3 >= $"totn" * 2, $"sbin")).as("cut2"))
+      // dt persists across its two consumers (tc and the score join)
+      ds.join(broadcast(cuts), "lang")
+        .select($"doc_id", $"lang", $"score",
+          when(expr("score div 1000") <= $"cut1", "head")
+            .when(expr("score div 1000") <= $"cut2", "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d67: T5-style span corruption — deterministic masking for
+    // denoising-objective training data: token i of doc d masks iff
+    // md5(d || ':' || i) prefix < 0x28 (≈15.6%, T5's rate), contiguous
+    // masked runs collapse to one sentinel. The whole operator is
+    // STACKED ARRAY PROJECTIONS over the scan — mask vector, span
+    // starts, and the corrupted-text fingerprint are per-row lambda
+    // folds, so there is NO exchange at any scale (the d46/d54
+    // map-side discipline); output is fixed-width stats + a 128-bit
+    // fingerprint, never the corrupted text itself.
+    GraftQuery.sql("d67_span_corruption",
+      s"""$normCte,
+         |d AS (SELECT doc_id, list_filter(string_split(norm, ' '), t -> t <> '') AS toks
+         |  FROM nd),
+         |m AS (SELECT doc_id, toks, list_transform(range(len(toks)),
+         |    i -> substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) < '28') AS msk
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(msk, b -> b)) AS BIGINT) AS n_masked,
+         |  CAST(len(list_filter(range(len(toks)),
+         |    i -> msk[i+1] AND (i = 0 OR NOT msk[i]))) AS BIGINT) AS n_spans,
+         |  md5(array_to_string(list_filter(list_transform(range(len(toks)),
+         |    i -> CASE WHEN NOT msk[i+1] THEN toks[i+1]
+         |              WHEN i = 0 OR NOT msk[i] THEN '<X>' END),
+         |    t -> t IS NOT NULL), ' ')) AS corrupt_fp
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      def maskAt(docId: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+        substring(md5(concat(docId.cast("string"), lit(":"), i.cast("string"))
+          .cast("binary")), 1, 2) < "28"
+      val base = docs(s, dir).select($"doc_id",
+        filter(Text.tokens($"text"), t => t =!= "").as("toks"))
+      val m = base.withColumn("msk",
+        transform($"toks", (_, i) => maskAt($"doc_id", i)))
+      m.select($"doc_id",
+          size($"toks").cast("long").as("n_tok"),
+          size(filter($"msk", b => b)).cast("long").as("n_masked"),
+          size(filter(transform($"msk", (b, i) =>
+            b && (i === 0 || !element_at($"msk", i))), x => x))
+            .cast("long").as("n_spans"),
+          md5(concat_ws(" ", filter(transform($"toks", (t, i) =>
+            when(!element_at($"msk", i + 1), t)
+              .when(i === 0 || !element_at($"msk", i), "<X>")),
+            t => t.isNotNull)).cast("binary")).as("corrupt_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d68: cluster-balanced sampling — the "semantic diversity"
+    // subset selection a DataComp-style run does after clustering:
+    // equal quota per k-means cluster (8 picks per cluster here),
+    // picked by a DETERMINISTIC salted-hash order (d35's idiom) so the
+    // sample is reproducible under any partitioning. Scale shape:
+    // assignment is d46's exchange-free centroid-literal projection;
+    // the per-cluster top-m is a rank-limit window over the CLUSTER
+    // partitioning (WindowGroupLimit truncates map-side), never a
+    // global sort; vectors themselves never shuffle — only
+    // (vec_id, cluster_id) pairs.
+    GraftQuery.sql("d68_cluster_sample",
+      kmeansCtes(8, 3) + s"""
+        |, asg AS (SELECT vec_id, k AS cluster_id FROM a4 WHERE rn = 1),
+        |r AS (SELECT vec_id, cluster_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
+        |  FROM asg)
+        |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(pick_rank AS BIGINT) AS pick_rank
+        |FROM r WHERE pick_rank <= 8 ORDER BY cluster_id, pick_rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val asg = graft.operators.KMeans.fit(s, embs(s, dir), k = 8, iters = 3)
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
+      asg.select($"vec_id", $"cluster_id")
+        .withColumn("pick_rank", row_number().over(w))
+        .filter($"pick_rank" <= 8)
+        .orderBy($"cluster_id", $"pick_rank")
     }
   )
 }
