@@ -2756,9 +2756,13 @@ object Docs {
       val tot = tc.agg(sum($"c").as("tt"))
       val rar = tc.crossJoin(broadcast(tot))
         .select($"tok", expr("(tt * 1000000) div c").as("rar_ppm"))
+      // ds feeds BOTH the histogram→cuts path and the output join —
+      // persisted so the score derivation (rarity join + doc rollup,
+      // the corpus-sized work) runs once, not once per consumer
       val ds = dt.join(rar, "tok")
         .groupBy($"doc_id", $"lang")
         .agg(expr("CAST(sum(k * rar_ppm) div sum(k) AS BIGINT)").as("score"))
+        .persist()
       val h = ds.groupBy($"lang", expr("score div 1000").as("sbin"))
         .agg(count(lit(1)).as("n"))
       val wCum = Window.partitionBy($"lang").orderBy($"sbin")
@@ -2849,7 +2853,7 @@ object Docs {
       val w = Window.partitionBy($"cluster_id")
         .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
       asg.select($"vec_id", $"cluster_id")
-        .withColumn("pick_rank", row_number().over(w))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
         .filter($"pick_rank" <= 8)
         .orderBy($"cluster_id", $"pick_rank")
     }

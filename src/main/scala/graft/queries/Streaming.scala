@@ -1038,6 +1038,44 @@ object Streaming {
         .filter($"n_hits" > 0)
       drainChunksToTable(s, gate, "append", in, mbChunks(s, rows))
         .orderBy($"doc_id")
+    },
+
+    // ---- s24: ONLINE transition counting — e27's Markov edge
+    // extraction as a stateful stream op: the per-user state is ONE
+    // string (the last event type seen), folded across micro-batches
+    // in GroupState; each arriving event emits its (prev → next) edge
+    // and the drained edge log aggregates to the identical transition
+    // matrix (counts + integer-bps row probabilities) e27 computes
+    // with a corpus-wide lag window. Same oracle, so a state mis-fold
+    // at any batch boundary breaks the hash; StreamingSpec pins the
+    // edge-level stream/batch parity besides.
+    GraftQuery.sql("s24_stream_transitions",
+      s"""$evCte,
+         |tr AS (SELECT lag(event_type) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         |    event_type AS next_type
+         |  FROM ev),
+         |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bps
+         |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import StreamOps.TypedEvent
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"),
+          $"event_type")
+        .as[TypedEvent]
+        .collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+      val in = MemoryStream[TypedEvent](s)
+      val edges = StreamOps.transitionGate(in.toDS())
+      drainChunksToTable(s, edges.toDF(), "append", in, mbChunks(s, rows))
+        .groupBy($"prev_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_bps",
+          expr("(n * 10000) div sum(n) over (partition by prev_type)"))
+        .orderBy($"prev_type", $"next_type")
     }
   )
 }

@@ -263,6 +263,39 @@ object StreamOps {
       }
   }
 
+  final case class TypedEvent(user_id: Long, event_id: Long, tsUs: Long,
+                              event_type: String)
+  final case class TransState(lastType: String)
+  final case class TransOut(user_id: Long, event_id: Long,
+                            prev_type: String, next_type: String)
+
+  /** s24: streaming first-order transition extraction — each user's
+    * LAST event type is the ENTIRE state (one short string per user,
+    * constant forever); every arriving event emits its (prev → next)
+    * edge against that state and replaces it. The batch twin (e27's
+    * lag window) re-sorts each user's history; the online form holds
+    * one value and never rescans — the Markov-model feature extractor
+    * that runs on an unbounded stream. Bit-parity with the batch lag
+    * holds whenever micro-batches respect per-user event-time order
+    * (the transport's per-shard resume guarantee; the parity spec
+    * feeds time-split batches). */
+  def transitionGate(events: Dataset[TypedEvent]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType).orNull
+          val out = Seq.newBuilder[TransOut]
+          it.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            if (last != null) out += TransOut(user, e.event_id, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(TransState(last))
+          out.result().iterator
+      }
+  }
+
   /** Streaming sessionization: open sessions live in GroupState and emit
     * when the event-time timeout fires (watermark passed start+gap) — the
     * incremental twin of sessionizeBatch. Events later than the open

@@ -242,4 +242,51 @@ class PlanShapeSpec extends SparkSpec {
     val windows = "Window".r.findAllIn(p).length
     assert(windows <= 2, s"the lag chain must share one window frame:\n$p")
   }
+
+  test("d67: span corruption is projection-only — no hash exchange anywhere") {
+    val p = plan("d67_span_corruption")
+    // the single rangepartitioning exchange is the output ORDER BY;
+    // the masking/span/fingerprint computation itself must stay
+    // map-side (stacked array lambdas over the scan)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"span corruption grew a data shuffle:\n$p")
+    assert(!p.contains("Join"), s"span corruption must not join:\n$p")
+  }
+
+  test("d65: the 4096-row ratio table broadcasts back over the bucket aggregate") {
+    val p = plan("d65_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ratio join must broadcast (4096 rows), not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a bounded-size side fell back to sort-merge:\n$p")
+  }
+
+  test("d66: tercile cuts broadcast; the corpus is never globally sorted") {
+    // a prior suite's cached score table would splice its executed AQE
+    // stage snapshot into the printed plan — assert against a cold plan
+    spark.catalog.clearCache()
+    val p = plan("d66_ccnet_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-lang cuts must broadcast back map-side:\n$p")
+    // the only single-partition stage is the 1-row corpus-total
+    // aggregate (partial-aggregated map-side); the doc-level rows must
+    // never collapse to one task. The persisted score table's subtree
+    // prints once per consumer, so count DISTINCT physical stages.
+    val singles = "Exchange SinglePartition[^\\n]*".r.findAllIn(p).toSet.size
+    assert(singles <= 1,
+      s"expected at most the scalar-total SinglePartition, got $singles:\n$p")
+  }
+
+  test("d68: the per-cluster quota compiles to rank-limit pushdown") {
+    val p = plan("d68_cluster_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 1,
+      s"pick_rank<=8 lost its WindowGroupLimit truncation:\n$p")
+  }
+
+  test("e27: the transition lag rides exactly one user-keyed exchange") {
+    val p = plan("e27_transition_matrix")
+    val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles == 1,
+      s"expected 1 user_id exchange for the lag window, got $userShuffles:\n$p")
+  }
 }

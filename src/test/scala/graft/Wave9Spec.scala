@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 wave-9 additions: event-type transition matrix (e27/s24),
+  * RFM segmentation (e28), DSIR importance weights (d65), CCNet rarity
+  * terciles (d66), T5 span corruption (d67), cluster-balanced sampling
+  * (d68). Each batch operator is re-derived driver-side in plain Scala
+  * (an implementation-independent model) and compared exactly; the
+  * streaming twin is pinned row-for-row against its batch matrix.
+  */
+class Wave9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def toksOf(text: String): Vector[String] =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+      .split(" ").toVector.filter(_.nonEmpty)
+
+  private lazy val docRows: Seq[(Long, String, Vector[String])] =
+    spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), toksOf(r.getString(2)))).toSeq
+
+  test("d65: DSIR importance weights match an independent BigInt model") {
+    val got = SparkEntry.queries("d65_dsir_weights")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val buckets = docRows.flatMap { case (id, _, ts) =>
+      ts.map(t => (id, md5hex(t).take(3)))
+    }
+    val cr = buckets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = buckets.filter(_._1 < 50).groupBy(_._2)
+      .view.mapValues(_.size.toLong).toMap
+    val tr = cr.values.sum; val tt = ct.values.sum
+    val rppm = cr.keys.map { b =>
+      val num = BigInt(ct.getOrElse(b, 0L) + 1) * BigInt(tr + 4096) * 1000000
+      val den = BigInt(cr(b) + 1) * BigInt(tt + 4096)
+      b -> (num / den).toLong
+    }.toMap
+    docRows.filter(_._3.nonEmpty).foreach { case (id, _, ts) =>
+      val nTok = ts.size.toLong
+      val sum = ts.map(t => rppm(md5hex(t).take(3))).sum
+      val avg = sum / nTok
+      assert(got(id) === ((nTok, sum, avg, if (avg >= 1000000L) 1L else 0L)),
+        s"doc $id: got ${got(id)}, model (${nTok}, $sum, $avg)")
+    }
+    assert(got.keySet === docRows.filter(_._3.nonEmpty).map(_._1).toSet)
+  }
+
+  test("d66: tercile cuts re-derived from the output's own score bins") {
+    val out = SparkEntry.queries("d66_ccnet_buckets")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // model the cut derivation: per lang, smallest bins with
+    // 3·cum ≥ tot and 3·cum ≥ 2·tot over the score/1000 histogram
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val bins = rows.map(r => r._3 / 1000L)
+      val hist = bins.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      val tot = bins.size
+      var cum = 0
+      var cut1 = Long.MaxValue; var cut2 = Long.MaxValue
+      hist.foreach { case (b, n) =>
+        cum += n
+        if (cut1 == Long.MaxValue && 3 * cum >= tot) cut1 = b
+        if (cut2 == Long.MaxValue && 3 * cum >= 2 * tot) cut2 = b
+      }
+      rows.foreach { case (id, _, score, bucket) =>
+        val b = score / 1000L
+        val expect = if (b <= cut1) "head" else if (b <= cut2) "middle" else "tail"
+        assert(bucket === expect, s"doc $id lang $lang bin $b cuts ($cut1,$cut2)")
+      }
+      // the buckets are score-ordered and non-empty on this corpus
+      val hMax = rows.filter(_._4 == "head").map(_._3 / 1000L).maxOption
+      val mMin = rows.filter(_._4 == "middle").map(_._3 / 1000L).minOption
+      val tMin = rows.filter(_._4 == "tail").map(_._3 / 1000L).minOption
+      for (h <- hMax; m <- mMin) assert(h < m, s"$lang head/middle bins overlap")
+      for (m <- rows.filter(_._4 == "middle").map(_._3 / 1000L).maxOption;
+           t <- tMin) assert(m < t, s"$lang middle/tail bins overlap")
+      assert(hMax.nonEmpty, s"$lang produced no head bucket")
+    }
+  }
+
+  test("d67: masks, spans, and the corrupted fingerprint match the Scala model") {
+    val got = SparkEntry.queries("d67_span_corruption")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    docRows.foreach { case (id, _, ts) =>
+      val msk = ts.indices.map(i => md5hex(s"$id:$i").take(2) < "28")
+      val nMasked = msk.count(identity).toLong
+      val nSpans = ts.indices.count(i => msk(i) && (i == 0 || !msk(i - 1))).toLong
+      val corrupted = ts.indices.flatMap { i =>
+        if (!msk(i)) Some(ts(i))
+        else if (i == 0 || !msk(i - 1)) Some("<X>")
+        else None
+      }.mkString(" ")
+      assert(got(id) === ((ts.size.toLong, nMasked, nSpans, md5hex(corrupted))),
+        s"doc $id diverged from the span-corruption model")
+    }
+  }
+
+  test("d68: picks are the salted-hash minima of d46's own assignment") {
+    val asg = SparkEntry.queries("d46_kmeans_embed")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = asg.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      members.map(_._1).sortBy(v => (md5hex(v.toString), v)).take(8)
+        .zipWithIndex.map { case (v, i) => (v, cid, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("d68_cluster_sample")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
+  test("e28: RFM quartiles match an independent rank model") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      val cents = rows.map(r => BigDecimal(r._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLongExact).sum
+      (u, rows.size.toLong, cents, rows.map(_._2).max)
+    }.toSeq
+    val glob = perUser.map(_._4).max
+    val base = perUser.map { case (u, f, m, last) =>
+      (u, (glob - last) / 86400000000L, f, m)
+    }
+    val n = base.size.toLong
+    def quart(rank: Long): Long = (4 * (rank - 1)) / n + 1
+    val rr = base.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> quart(i + 1L) }.toMap
+    val fr = base.sortBy(r => (-r._3, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> quart(i + 1L) }.toMap
+    val mr = base.sortBy(r => (-r._4, r._1)).zipWithIndex
+      .map { case (r, i) => r._1 -> quart(i + 1L) }.toMap
+    val got = SparkEntry.queries("e28_rfm_segments")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    base.foreach { case (u, rec, f, m) =>
+      assert(got(u) === ((rec, f, m, rr(u), fr(u), mr(u))), s"user $u")
+    }
+  }
+
+  test("s24 equals e27: the streaming transition matrix is bit-identical") {
+    val batch = SparkEntry.queries("e27_transition_matrix")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val stream = SparkEntry.queries("s24_stream_transitions")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream === batch)
+  }
+
+  test("e27: probabilities are exact basis points that sum to ≤10000 per row") {
+    val rows = SparkEntry.queries("e27_transition_matrix")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._2).sum
+      rs.foreach { case (_, cnt, bps) =>
+        assert(bps === cnt * 10000 / tot, s"$prev bps mismatch") }
+      val s = rs.map(_._3).sum
+      assert(s <= 10000 && s > 10000 - rs.size,
+        s"$prev row bps sum $s out of floor-division range")
+    }
+  }
+}
