@@ -2856,6 +2856,106 @@ object Docs {
         .withColumn("pick_rank", row_number().over(w).cast("long"))
         .filter($"pick_rank" <= 8)
         .orderBy($"cluster_id", $"pick_rank")
+    },
+
+    // ---- d69: contamination LONGEST-RUN — the 13-gram-standard
+    // refinement of d24's fraction: a doc whose eval overlap is one
+    // long contiguous span is a verbatim leak even when its overall
+    // hit fraction is low, so report the maximum run of CONSECUTIVE
+    // contaminated 8-gram positions (≥6 windows ⇔ ≥13 contiguous
+    // shared tokens). Gaps-and-islands on the position stream:
+    // run id = pos − row_number, one window over the doc_id exchange.
+    // Scale shape: positions come from the native position-ordered
+    // shingle hashes (gram text never leaves the scan — the oracle's
+    // gram strings and the hashes agree on membership), the eval gram
+    // set broadcasts (d62's Bloom form replaces it at 100 TB), and
+    // only contaminated positions — the tiny minority — reach the
+    // islands window.
+    GraftQuery.sql("d69_contamination_runs",
+      s"""WITH nd AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
+         |s8 AS (SELECT doc_id, list_transform(
+         |    range(0, greatest(len(toks) - 8, 0) + 1),
+         |    i -> array_to_string(toks[i+1:i+8], ' ')) AS sh FROM tk),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s8 WHERE doc_id < 25),
+         |p0 AS (SELECT doc_id, sh, unnest(range(len(sh))) AS pos FROM s8 WHERE doc_id >= 25),
+         |pos AS (SELECT doc_id, pos, sh[pos+1] AS g FROM p0),
+         |hit AS (SELECT pos.doc_id, pos.pos FROM pos JOIN ev ON pos.g = ev.g),
+         |grp AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM hit),
+         |mr AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+         |    SELECT doc_id, grp, COUNT(*) AS cnt FROM grp GROUP BY 1, 2) z GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM s8 WHERE doc_id >= 25)
+         |SELECT b.doc_id, n_grams,
+         |  CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run,
+         |  CAST(CASE WHEN COALESCE(max_run, 0) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM base b LEFT JOIN mr ON b.doc_id = mr.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = docs(s, dir)
+        .select($"doc_id", Text.shingleHashesAll($"text", 8).as("sh"))
+        .persist() // eval set + positions + per-doc sizes off one scan
+      val evalG = sh.filter($"doc_id" < 25)
+        .select(explode($"sh").as("g")).distinct()
+      val hits = sh.filter($"doc_id" >= 25)
+        .select($"doc_id", posexplode($"sh").as(Seq("pos", "g")))
+        .join(broadcast(evalG), Seq("g"))
+      val runs = hits
+        .withColumn("grp", $"pos" -
+          row_number().over(Window.partitionBy($"doc_id").orderBy($"pos")))
+        .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id").agg(max($"cnt").as("max_run"))
+      sh.filter($"doc_id" >= 25)
+        .select($"doc_id", size($"sh").cast("long").as("n_grams"))
+        .join(runs, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_grams",
+          coalesce($"max_run", lit(0L)).as("max_run"),
+          (coalesce($"max_run", lit(0L)) >= 6).cast("long").as("flagged"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d70: hard-negative mining for contrastive training — for
+    // each query vector, the top-2 most-similar vectors carrying a
+    // DIFFERENT label (the pairs that sharpen an embedding model's
+    // decision boundary). Same machinery as d28's kNN with the label
+    // constraint pushed INTO the join condition: the 20-row query side
+    // broadcasts, the corpus streams through the block-parallel
+    // codegen cosine, rejected same-label pairs never materialize, and
+    // the per-query top-2 is a rank-limit window. Swap in the d11 IVF
+    // probe when the full scan is too hot (d28's routing note).
+    GraftQuery.sql("d70_hard_negatives",
+      s"""$nvCte,
+         |pr AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    c.vec_id AS n_id, c.label AS n_label,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM nv q JOIN nv c ON c.vec_id >= 20 AND c.label <> q.label
+         |  WHERE q.vec_id < 20),
+         |rk AS (SELECT q_id, q_label, n_id, n_label,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM pr)
+         |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_id,
+         |  CAST(n_label AS BIGINT) AS n_label, CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val nv = embs(s, dir)
+        .select($"vec_id", $"embedding", $"label", Vectors.norm($"embedding").as("nrm"))
+      val q = nv.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("eq"),
+          $"nrm".as("nq"), $"label".as("q_label"))
+      val c = nv.filter($"vec_id" >= 20)
+        .select($"vec_id".as("n_id"), $"embedding".as("ec"),
+          $"nrm".as("nc"), $"label".as("n_label"))
+        .repartition(p)
+      val wNbr = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id")
+      broadcast(q).join(c, $"n_label" =!= $"q_label")
+        .withColumn("cos", Vectors.cosineWithNorms($"eq", $"ec", $"nq", $"nc"))
+        .withColumn("rk", row_number().over(wNbr).cast("long"))
+        .filter($"rk" <= 2)
+        .select($"q_id", $"q_label".cast("long").as("q_label"), $"n_id",
+          $"n_label".cast("long").as("n_label"), $"rk")
+        .orderBy($"q_id", $"rk")
     }
   )
 }

@@ -1123,6 +1123,53 @@ object Events {
           expr("(4 * (fr - 1)) div nu + 1").as("f_q"),
           expr("(4 * (mr - 1)) div nu + 1").as("m_q"))
         .orderBy($"user_id")
+    },
+
+    // ---- e29: inter-event gap quantiles per type — the arrival-rate
+    // profile (how bursty is each event type), exact at second
+    // granularity: consecutive same-type gaps per user via ONE lag
+    // window over one (user, type)-keyed exchange, then p50/p90 read
+    // off the (type, gap-seconds) HISTOGRAM with cross-multiplied
+    // cumulative fractions (2·cum ≥ tot, 10·cum ≥ 9·tot — the
+    // e15/d57 idiom). The quantile window sorts only the histogram
+    // (bounded by the observed distinct gap seconds), never the
+    // events; everything is integer µs → floor-divided seconds, so
+    // both engines agree bit-for-bit.
+    GraftQuery.sql("e29_gap_quantiles",
+      s"""$evCte,
+         |g AS (SELECT event_type, epoch_us(ts) - lag(epoch_us(ts)) OVER
+         |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+         |  FROM ev),
+         |b AS (SELECT event_type, gap_us // 1000000 AS gap_s FROM g
+         |  WHERE gap_us IS NOT NULL),
+         |h AS (SELECT event_type, gap_s, COUNT(*) AS n FROM b GROUP BY 1, 2),
+         |c AS (SELECT event_type, gap_s,
+         |    SUM(n) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+         |    SUM(n) OVER (PARTITION BY event_type) AS tot
+         |  FROM h)
+         |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+         |  CAST(MIN(CASE WHEN 2 * cum >= tot THEN gap_s END) AS BIGINT) AS p50_s,
+         |  CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN gap_s END) AS BIGINT) AS p90_s,
+         |  CAST(MAX(gap_s) AS BIGINT) AS max_s
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wGap = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      val b = ev(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("gap_us", $"us" - lag($"us", 1).over(wGap))
+        .filter($"gap_us".isNotNull)
+        .select($"event_type", expr("gap_us div 1000000").as("gap_s"))
+      val h = b.groupBy($"event_type", $"gap_s").agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"gap_s")
+      val wTot = Window.partitionBy($"event_type")
+      h.withColumn("cum", sum($"n").over(wCum))
+        .withColumn("tot", sum($"n").over(wTot))
+        .groupBy($"event_type")
+        .agg(max($"tot").cast("long").as("n_gaps"),
+          min(when($"cum" * 2 >= $"tot", $"gap_s")).cast("long").as("p50_s"),
+          min(when($"cum" * 10 >= $"tot" * 9, $"gap_s")).cast("long").as("p90_s"),
+          max($"gap_s").cast("long").as("max_s"))
+        .orderBy($"event_type")
     }
   )
 }
