@@ -283,6 +283,24 @@ class PlanShapeSpec extends SparkSpec {
       s"pick_rank<=8 lost its WindowGroupLimit truncation:\n$p")
   }
 
+  test("d69: the eval gram set broadcasts into the position stream") {
+    spark.catalog.clearCache()
+    val p = plan("d69_contamination_runs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram set must broadcast, not shuffle the positions:\n$p")
+  }
+
+  test("e29: only the gap histogram is window-sorted, never the events") {
+    val p = plan("e29_gap_quantiles")
+    // three windows: the per-(user,type) lag over events, then the
+    // cumulative and whole-partition passes over the (type, gap_s)
+    // histogram (unordered frame can't fuse with the ordered one)
+    val windows = "Window\\b".r.findAllIn(p).length
+    assert(windows <= 3, s"extra window stages crept into e29:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"e29 must never collapse to one task:\n$p")
+  }
+
   test("e27: the transition lag rides exactly one user-keyed exchange") {
     val p = plan("e27_transition_matrix")
     val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length

@@ -151,6 +151,71 @@ class Wave9Spec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("d69: longest contaminated run matches a Scala islands model") {
+    val got = SparkEntry.queries("d69_contamination_runs")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // model on gram TEXT (the operator runs on position-ordered hashes;
+    // membership agreement is the value identity being checked)
+    def grams(ts: Vector[String]): Vector[String] =
+      (0 to math.max(ts.size - 8, 0)).map(i => ts.slice(i, i + 8).mkString(" ")).toVector
+    val evalSet = docRows.filter(_._1 < 25).flatMap(d => grams(d._3)).toSet
+    docRows.filter(_._1 >= 25).foreach { case (id, _, ts) =>
+      val gs = grams(ts)
+      var run = 0L; var best = 0L
+      gs.foreach { g =>
+        if (evalSet(g)) { run += 1; best = math.max(best, run) } else run = 0
+      }
+      assert(got(id) === ((gs.size.toLong, best, if (best >= 6) 1L else 0L)),
+        s"doc $id: got ${got(id)}, model (${gs.size}, $best)")
+    }
+  }
+
+  test("d70: hard negatives are the true cross-label top-2 by cosine") {
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toVector, r.getInt(2).toLong))
+    def cos(a: Vector[Float], b: Vector[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.filter(_._1 < 20).flatMap { case (qid, qe, ql) =>
+      vecs.filter(v => v._1 >= 20 && v._3 != ql)
+        .map(v => (v._1, v._3, cos(qe, v._2)))
+        .sortBy(v => (-v._3, v._1))
+        .take(2).zipWithIndex
+        .map { case ((nid, nl, _), i) => (qid, ql, nid, nl, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("d70_hard_negatives")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got === expect)
+  }
+
+  test("e29: histogram quantiles match the rank definition on raw gaps") {
+    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
+      .select($"user_id", $"event_type", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (a._2, (b._3 - a._3) / 1000000L) }
+    }
+    val got = SparkEntry.queries("e29_gap_quantiles")(spark, Sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    gaps.groupBy(_._1).foreach { case (t, g) =>
+      val vs = g.map(_._2).sorted
+      val n = vs.size
+      // smallest bin with k·cum ≥ m·tot == the ceil(m·n/k)-th order statistic
+      def q(num: Int, den: Int): Long = vs((num * n + den - 1) / den - 1)
+      assert(got(t) === ((n.toLong, q(1, 2), q(9, 10), vs.last)), s"type $t")
+    }
+  }
+
   test("e27: probabilities are exact basis points that sum to ≤10000 per row") {
     val rows = SparkEntry.queries("e27_transition_matrix")(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
