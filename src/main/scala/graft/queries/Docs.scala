@@ -2754,14 +2754,22 @@ object Docs {
         .persist()
       val tc = dt.groupBy($"tok").agg(sum($"k").as("c"))
       val tot = tc.agg(sum($"c").as("tt"))
+      // DECIMAL(38,0) through the products (d65's discipline): LongType
+      // would wrap silently past ~9.2e12 corpus tokens while the
+      // DuckDB side (HUGEINT sums) stayed exact — the engines must
+      // diverge nowhere. The final BIGINT score cast bounds the OUTPUT
+      // domain instead (mean rarity < 9.2e18 ppm — beyond any corpus
+      // whose hapaxes aren't the whole vocabulary).
       val rar = tc.crossJoin(broadcast(tot))
-        .select($"tok", expr("(tt * 1000000) div c").as("rar_ppm"))
+        .select($"tok",
+          expr("(CAST(tt AS DECIMAL(38,0)) * 1000000) div c").as("rar_ppm"))
       // ds feeds BOTH the histogram→cuts path and the output join —
       // persisted so the score derivation (rarity join + doc rollup,
       // the corpus-sized work) runs once, not once per consumer
       val ds = dt.join(rar, "tok")
         .groupBy($"doc_id", $"lang")
-        .agg(expr("CAST(sum(k * rar_ppm) div sum(k) AS BIGINT)").as("score"))
+        .agg(expr("CAST(sum(k * CAST(rar_ppm AS DECIMAL(38,0))) div sum(k) AS BIGINT)")
+          .as("score"))
         .persist()
       val h = ds.groupBy($"lang", expr("score div 1000").as("sbin"))
         .agg(count(lit(1)).as("n"))
@@ -2839,15 +2847,18 @@ object Docs {
     // partitioning (WindowGroupLimit truncates map-side), never a
     // global sort; vectors themselves never shuffle — only
     // (vec_id, cluster_id) pairs.
-    GraftQuery.sql("d68_cluster_sample",
-      kmeansCtes(8, 3) + s"""
-        |, asg AS (SELECT vec_id, k AS cluster_id FROM a4 WHERE rn = 1),
+    GraftQuery.sql("d68_cluster_sample", {
+      val (k, iters) = (8, 3)
+      val fin = s"a${iters + 1}" // kmeansCtes' final assignment CTE
+      kmeansCtes(k, iters) + s"""
+        |, asg AS (SELECT vec_id, k AS cluster_id FROM $fin WHERE rn = 1),
         |r AS (SELECT vec_id, cluster_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
         |  FROM asg)
         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
         |  CAST(pick_rank AS BIGINT) AS pick_rank
-        |FROM r WHERE pick_rank <= 8 ORDER BY cluster_id, pick_rank""".stripMargin) { (s, dir) =>
+        |FROM r WHERE pick_rank <= 8 ORDER BY cluster_id, pick_rank""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val asg = graft.operators.KMeans.fit(s, embs(s, dir), k = 8, iters = 3)
       val w = Window.partitionBy($"cluster_id")

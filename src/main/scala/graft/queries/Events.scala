@@ -1103,11 +1103,14 @@ object Events {
          |  CAST((4 * (mr - 1)) // nu + 1 AS BIGINT) AS m_q
          |FROM k ORDER BY user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // u feeds both the corpus-max scalar and the crossJoin left side
+      // — persisted so the events scan + user rollup run once
       val u = ev(s, dir).groupBy($"user_id").agg(
         count(lit(1)).as("freq"),
         sum(($"value".cast(DecimalType(18, 2)) * 100).cast("long")).cast("long")
           .as("mon_cents"),
         max(unix_micros($"ts")).as("last_us"))
+        .persist()
       val g = u.agg(max($"last_us").as("glob_us"))
       val r = u.crossJoin(broadcast(g))
         .select($"user_id", $"freq", $"mon_cents",

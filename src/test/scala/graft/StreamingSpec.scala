@@ -438,4 +438,37 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
     assert(stream.toSeq === batch.toSeq)
   }
+
+  test("s24 edge stream equals the batch lag edges, state folded across batches (sf0.001)") {
+    // EDGE-level parity (stronger than the s24 entry's aggregated
+    // matrix): every (user, event, prev → next) attribution must match
+    // the batch lag window, so a state mis-fold at a batch boundary
+    // that happens to preserve pair COUNTS still fails here.
+    import org.apache.spark.sql.functions._
+    import StreamOps.TypedEvent
+    val rows = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"), $"event_type")
+      .as[TypedEvent].collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+    val in = MemoryStream[TypedEvent](spark)
+    val name = "st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamOps.transitionGate(in.toDS()).toDF().writeStream
+      .format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    try rows.grouped(math.max(1, rows.size / 4)).foreach { c =>
+      in.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"tsUs", $"event_id")
+    val batch = rows.toDF()
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .select($"user_id", $"event_id", $"prev_type", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSet === batch.toSet)
+  }
 }

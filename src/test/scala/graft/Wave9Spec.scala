@@ -115,8 +115,8 @@ class Wave9Spec extends SparkSpec {
   }
 
   test("e28: RFM quartiles match an independent rank model") {
-    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
-      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"), $"value")
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", unix_micros($"ts").as("us"), $"value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val perUser = ev.groupBy(_._1).map { case (u, rows) =>
       val cents = rows.map(r => BigDecimal(r._3)
@@ -196,9 +196,8 @@ class Wave9Spec extends SparkSpec {
   }
 
   test("e29: histogram quantiles match the rank definition on raw gaps") {
-    val ev = spark.read.parquet(s"$Sf0001/events.parquet")
-      .select($"user_id", $"event_type", unix_micros($"ts".cast("timestamp")).as("us"),
-        $"event_id")
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val gaps = ev.groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(r => (r._3, r._4))
