@@ -173,6 +173,52 @@ object Multimodal {
     }
   }
 
+  final case class VadOut(doc_id: Long, n_frames: Long, n_voiced: Long,
+                          n_segments: Long, longest: Long)
+
+  /** Voice-activity detection over audio-typed payloads — the fourth
+    * multimodal batch shape (decode → d12, frame-sample → d59, resize
+    * → d60, signal-segmentation → here): the payload is treated as
+    * 8-bit samples, cut into fixed `frame`-byte frames (trailing
+    * partial frame dropped — the codec stand-in contract), each frame
+    * scored by exact integer energy Σ(v−97)², thresholded against
+    * meanSqThresh·frame, and the voiced mask collapsed to contiguous
+    * SEGMENTS (count, longest run) in the same pass. Output is five
+    * longs per clip however long the audio; the per-record loop is the
+    * codec boundary (mapPartitions batched), payload bytes never
+    * shuffle, and there is no exchange until the caller aggregates. */
+  def detectVoice(records: Dataset[MediaRecord], frame: Int,
+                  meanSqThresh: Long): Dataset[VadOut] = {
+    import records.sparkSession.implicits._
+    require(frame >= 1)
+    records.filter(_.media_type == "audio").mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(_.map { r =>
+        val p = r.payload
+        val nf = p.length / frame
+        var f = 0
+        var nVoiced = 0L; var nSeg = 0L; var run = 0L; var longest = 0L
+        while (f < nf) {
+          var e = 0L
+          var i = f * frame
+          val end = i + frame
+          while (i < end) {
+            val d = (p(i) & 0xff) - 97
+            e += d.toLong * d
+            i += 1
+          }
+          if (e > meanSqThresh * frame) {
+            nVoiced += 1
+            if (run == 0) nSeg += 1
+            run += 1
+            if (run > longest) longest = run
+          } else run = 0
+          f += 1
+        }
+        VadOut(r.doc_id, nf.toLong, nVoiced, nSeg, longest)
+      })
+    }
+  }
+
   /** Synthesize a deterministic media table from `documents` (the
     * container has no real media files): payload = the document's bytes,
     * media_type/width/height derived from doc_id. Exercises binary-column

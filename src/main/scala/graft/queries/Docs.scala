@@ -2967,6 +2967,154 @@ object Docs {
         .select($"q_id", $"q_label".cast("long").as("q_label"), $"n_id",
           $"n_label".cast("long").as("n_label"), $"rk")
         .orderBy($"q_id", $"rk")
+    },
+
+    // ---- d71: content-defined chunking — Rabin-style boundaries for
+    // dedup-friendly storage/transfer: a chunk breaks after token i
+    // iff the 4-token window ending at i hashes below 1/8 of the hash
+    // space, so boundaries depend ONLY on local content — an
+    // insertion re-chunks its neighborhood and nothing else (the CDC
+    // property fixed-width chunking lacks; d21 is the fixed-width
+    // twin). Boundary flags are a map-side md5 projection over
+    // positions; chunk ids are one prefix-sum window over the doc_id
+    // exchange; per-chunk rollup (start, len, content fingerprint)
+    // rides the same partitioning. Chunk text reduces to a 128-bit
+    // fingerprint before leaving the operator.
+    GraftQuery.sql("d71_cdc_chunks",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd
+         |  WHERE length(norm) > 0),
+         |p0 AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM tk),
+         |pos AS (SELECT doc_id, pos, toks[pos+1] AS tok,
+         |    CASE WHEN pos >= 3 AND substr(md5(
+         |      array_to_string(toks[pos-2:pos+1], ' ')), 1, 1) < '2'
+         |    THEN 1 ELSE 0 END AS bnd
+         |  FROM p0),
+         |ck AS (SELECT doc_id, pos, tok,
+         |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |  FROM pos)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(MIN(pos) AS BIGINT) AS start, COUNT(*) AS len,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+         |FROM ck GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = docs(s, dir)
+        .filter(length(Text.normalize($"text")) > 0)
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+      val pos = tk
+        .select($"doc_id", $"toks", posexplode($"toks").as(Seq("pos", "tok")))
+        .select($"doc_id", $"pos", $"tok",
+          when($"pos" >= 3 && substring(md5(concat_ws(" ",
+            slice($"toks", $"pos" - 2, lit(4))).cast("binary")), 1, 1) < "2",
+            1L).otherwise(0L).as("bnd"))
+      val wPre = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pos
+        .withColumn("chunk_idx", coalesce(sum($"bnd").over(wPre), lit(0L)))
+        .groupBy($"doc_id", $"chunk_idx")
+        .agg(min($"pos").cast("long").as("start"), count(lit(1)).as("len"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct($"pos", $"tok"))), x => x.getField("tok")))
+            .cast("binary")).as("chunk_fp"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // ---- d72: bigram-LM surprisal — the conditional-probability rung
+    // of the LM-scoring ladder (d66 scores unigram rarity; HERE each
+    // bigram scores 1/p(w2|w1) in exact ppm: c_start(w1)·10⁶ div
+    // c(w1w2), with c_start = occurrences of w1 as a bigram START so
+    // numerator and denominator come from the same population). Doc
+    // score = bigram-weighted mean surprisal, DECIMAL(38,0) through
+    // the products (the d65/d66 overflow discipline). Scale shape: ONE
+    // tokenization builds the (doc, bigram, k) partial aggregate;
+    // bigram and first-token counts BOTH derive from that table; the
+    // vocabulary-sized ratio table broadcasts back; the doc rollup
+    // rides one doc_id exchange. flagged ⟺ mean surprisal > 4·10⁶
+    // (mean conditional probability under 1/4 — the repetitive word
+    // soup scores low, genuinely novel sequences high).
+    GraftQuery.sql("d72_bigram_surprisal",
+      s"""$normCte,
+         |db AS (SELECT doc_id, w1, bg, COUNT(*) AS k FROM (
+         |    SELECT doc_id, toks[i+1] AS w1,
+         |      toks[i+1] || ' ' || toks[i+2] AS bg
+         |    FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd) t,
+         |      UNNEST(range(len(toks) - 1)) AS u(i)
+         |    WHERE len(toks) >= 2) z GROUP BY 1, 2, 3),
+         |c12 AS (SELECT bg, SUM(k) AS cbg FROM db GROUP BY bg),
+         |c1 AS (SELECT w1, SUM(k) AS cw1 FROM db GROUP BY w1),
+         |rat AS (SELECT bg, (CAST(cw1 AS HUGEINT) * 1000000) // cbg AS s_ppm
+         |  FROM c12 JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1),
+         |ds AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(k * CAST(s_ppm AS HUGEINT)) // SUM(k) AS BIGINT) AS score
+         |  FROM db JOIN rat USING (bg) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, score,
+         |  CAST(CASE WHEN score > 4000000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM ds ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val db = docs(s, dir)
+        .select($"doc_id", Text.tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(0), size($"toks") - 2),
+          i => struct(element_at($"toks", i + 1).as("w1"),
+            concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2)).as("bg")))).as("p"))
+        .groupBy($"doc_id", $"p.w1".as("w1"), $"p.bg".as("bg"))
+        .agg(count(lit(1)).as("k"))
+        .persist() // feeds c12, c1, and the doc rollup
+      val c12 = db.groupBy($"bg").agg(sum($"k").as("cbg"))
+      val c1 = db.groupBy($"w1").agg(sum($"k").as("cw1"))
+      val rat = c12
+        .withColumn("w1", split($"bg", " ").getItem(0))
+        .join(c1, "w1")
+        .select($"bg",
+          expr("(CAST(cw1 AS DECIMAL(38,0)) * 1000000) div cbg").as("s_ppm"))
+      db.join(rat, "bg")
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_bigrams"),
+          expr("CAST(sum(k * CAST(s_ppm AS DECIMAL(38,0))) div sum(k) AS BIGINT)")
+            .as("score"))
+        .select($"doc_id", $"n_bigrams", $"score",
+          ($"score" > 4000000L).cast("long").as("flagged"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d73: voice-activity detection — the fourth multimodal batch
+    // shape (signal segmentation over binary payloads): audio-typed
+    // payloads cut into 160-byte frames, each scored by exact integer
+    // energy Σ(v−97)² and thresholded, the voiced mask collapsed to
+    // contiguous segments in the SAME per-record pass
+    // (Multimodal.detectVoice — the codec-stub mapPartitions
+    // boundary). Five longs per clip leave the operator; payload
+    // bytes never shuffle; the oracle re-derives frames, energies,
+    // and segments from the payload characters.
+    GraftQuery.sql("d73_audio_vad",
+      """WITH au AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT doc_id, p // 160 AS fidx,
+        |    ord(substr(text, CAST(p+1 AS INT), 1)) AS v
+        |  FROM au, UNNEST(generate_series(0, (length(text) // 160) * 160 - 1)) AS t(p)),
+        |fe AS (SELECT doc_id, fidx, SUM((v - 97) * (v - 97)) AS e
+        |  FROM fr GROUP BY 1, 2),
+        |vo AS (SELECT doc_id, fidx FROM fe WHERE e > 800 * 160),
+        |grp AS (SELECT doc_id, fidx,
+        |    fidx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fidx) AS g
+        |  FROM vo),
+        |seg AS (SELECT doc_id, g, COUNT(*) AS len FROM grp GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest,
+        |    SUM(len) AS n_voiced FROM seg GROUP BY doc_id)
+        |SELECT au.doc_id, CAST(length(au.text) // 160 AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(n_voiced, 0) AS BIGINT) AS n_voiced,
+        |  CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(longest, 0) AS BIGINT) AS longest
+        |FROM au LEFT JOIN agg ON au.doc_id = agg.doc_id
+        |ORDER BY au.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+      graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 800L)
+        .toDF()
+        .orderBy($"doc_id")
     }
   )
 }
