@@ -3097,7 +3097,7 @@ object Docs {
         |  FROM au, UNNEST(generate_series(0, (length(text) // 160) * 160 - 1)) AS t(p)),
         |fe AS (SELECT doc_id, fidx, SUM((v - 97) * (v - 97)) AS e
         |  FROM fr GROUP BY 1, 2),
-        |vo AS (SELECT doc_id, fidx FROM fe WHERE e > 800 * 160),
+        |vo AS (SELECT doc_id, fidx FROM fe WHERE e > 900 * 160),
         |grp AS (SELECT doc_id, fidx,
         |    fidx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fidx) AS g
         |  FROM vo),
@@ -3112,7 +3112,7 @@ object Docs {
         |ORDER BY au.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
-      graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 800L)
+      graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 900L)
         .toDF()
         .orderBy($"doc_id")
     }

@@ -215,6 +215,90 @@ class Wave9Spec extends SparkSpec {
     }
   }
 
+  // ---- wave 11 ----
+
+  private def cdcBoundary(toks: Vector[String], i: Int): Boolean =
+    i >= 3 && md5hex(toks.slice(i - 3, i + 1).mkString(" ")).head < '2'
+
+  test("d71: chunks match the Scala model; boundaries are content-local (CDC property)") {
+    val got = SparkEntry.queries("d71_cdc_chunks")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def chunksOf(ts: Vector[String]): Vector[(Long, Long, Long, String)] = {
+      val bnd = ts.indices.map(i => cdcBoundary(ts, i))
+      val idx = ts.indices.map(i => (0 until i).count(bnd).toLong)
+      idx.zip(ts.indices).groupBy(_._1).toVector.sortBy(_._1).map { case (c, ps) =>
+        val positions = ps.map(_._2)
+        (c, positions.min.toLong, positions.size.toLong,
+          md5hex(positions.map(ts).mkString(" ")))
+      }
+    }
+    var n = 0
+    docRows.filter(_._3.nonEmpty).foreach { case (id, _, ts) =>
+      chunksOf(ts).foreach { case (c, start, len, fp) =>
+        assert(got((id, c)) === ((start, len, fp)), s"doc $id chunk $c")
+        n += 1
+      }
+    }
+    assert(n === got.size)
+    // the CDC property: prepending a token re-derives ONLY the chunks
+    // around the edit — boundaries ≥ 4 positions in shift by exactly
+    // one (the same windows hash the same), unlike fixed-width d21
+    docRows.filter(_._3.size >= 12).take(10).foreach { case (_, _, ts) =>
+      val shifted = "zzz" +: ts
+      val before = ts.indices.filter(i => cdcBoundary(ts, i)).filter(_ >= 4)
+      val after = shifted.indices.filter(i => cdcBoundary(shifted, i)).filter(_ >= 5)
+      assert(after.map(_ - 1) === before,
+        "an edit at position 0 must not re-chunk the rest of the document")
+    }
+  }
+
+  test("d72: bigram surprisal matches an independent BigInt model") {
+    val got = SparkEntry.queries("d72_bigram_surprisal")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val allBigrams = docRows.flatMap(d => d._3.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+    val cbg = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cw1 = allBigrams.map(_.split(" ")(0)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    docRows.filter(_._3.size >= 2).foreach { case (id, _, ts) =>
+      val bgs = ts.sliding(2).map(_.mkString(" ")).toVector
+      val sum = bgs.map { bg =>
+        (BigInt(cw1(bg.split(" ")(0))) * 1000000 / cbg(bg))
+      }.sum
+      val score = (sum / bgs.size).toLong
+      assert(got(id) === ((bgs.size.toLong, score, if (score > 4000000L) 1L else 0L)),
+        s"doc $id")
+    }
+  }
+
+  test("d73: VAD segments match the byte model and are non-degenerate") {
+    val got = SparkEntry.queries("d73_audio_vad")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._1 % 3 == 1)
+    texts.foreach { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val nf = b.length / 160
+      val voiced = (0 until nf).map { f =>
+        val e = (f * 160 until (f + 1) * 160)
+          .map { i => val d = (b(i) & 0xff) - 97; d.toLong * d }.sum
+        e > 900L * 160
+      }
+      var run = 0L; var longest = 0L; var nSeg = 0L
+      voiced.foreach { v =>
+        if (v) { if (run == 0) nSeg += 1; run += 1; longest = math.max(longest, run) }
+        else run = 0
+      }
+      assert(got(id) === ((nf.toLong, voiced.count(identity).toLong, nSeg, longest)),
+        s"doc $id")
+    }
+    val (frames, voiced) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(voiced > 0 && voiced < frames,
+      s"threshold must split the corpus ($voiced of $frames voiced)")
+  }
+
   test("e27: probabilities are exact basis points that sum to ≤10000 per row") {
     val rows = SparkEntry.queries("e27_transition_matrix")(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
