@@ -3090,7 +3090,20 @@ object Docs {
     // boundary). Five longs per clip leave the operator; payload
     // bytes never shuffle; the oracle re-derives frames, energies,
     // and segments from the payload characters.
-    GraftQuery.sql("d73_audio_vad",
+    GraftQuery.sql("d73_audio_vad", vadOracleSql) { (s, dir) =>
+      import s.implicits._
+      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
+      graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 900L)
+        .toDF()
+        .orderBy($"doc_id")
+    }
+  )
+
+  /** d73's oracle, shared with the streaming twin s25 (identical rows
+    * by stream/batch parity — the stateless projection commutes with
+    * micro-batching). Lazy: declared after `queries`, whose d73 entry
+    * captures it — an eager val would still be null at that point. */
+  private[queries] lazy val vadOracleSql: String =
       """WITH au AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
         |fr AS (SELECT doc_id, p // 160 AS fidx,
         |    ord(substr(text, CAST(p+1 AS INT), 1)) AS v
@@ -3109,12 +3122,5 @@ object Docs {
         |  CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
         |  CAST(COALESCE(longest, 0) AS BIGINT) AS longest
         |FROM au LEFT JOIN agg ON au.doc_id = agg.doc_id
-        |ORDER BY au.doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
-      graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 900L)
-        .toDF()
-        .orderBy($"doc_id")
-    }
-  )
+        |ORDER BY au.doc_id""".stripMargin
 }

@@ -1173,6 +1173,108 @@ object Events {
           min(when($"cum" * 10 >= $"tot" * 9, $"gap_s")).cast("long").as("p90_s"),
           max($"gap_s").cast("long").as("max_s"))
         .orderBy($"event_type")
+    },
+
+    // ---- e30: cohort lifetime value — e9's retention grid with exact
+    // REVENUE instead of presence: per (first-active-week cohort,
+    // weeks-since) the week's revenue and the cohort's cumulative LTV
+    // per user, all in integer cents (cum div users floors identically
+    // on both engines). Scale shape: the cohort map is one user
+    // aggregate joined back by user_id; revenue partial-aggregates
+    // map-side into the (cohort, week_n) grid; the cumulative window
+    // runs over THAT grid — #cohorts × #weeks rows, never events.
+    GraftQuery.sql("e30_cohort_ltv",
+      s"""$evCte,
+         |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+         |       FROM ev GROUP BY user_id),
+         |cs AS (SELECT cohort, COUNT(*) AS n_users FROM fw GROUP BY cohort),
+         |rv AS (SELECT f.cohort,
+         |    CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort) / 7 AS BIGINT) AS week_n,
+         |    SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+         |  FROM ev e JOIN fw f ON e.user_id = f.user_id GROUP BY 1, 2),
+         |cm AS (SELECT cohort, week_n, rev,
+         |    SUM(rev) OVER (PARTITION BY cohort ORDER BY week_n) AS cum
+         |  FROM rv)
+         |SELECT cm.cohort AS cohort_week, week_n,
+         |  CAST(rev AS BIGINT) AS rev_cents, CAST(cum AS BIGINT) AS cum_cents,
+         |  CAST(cs.n_users AS BIGINT) AS n_users,
+         |  CAST(cum // cs.n_users AS BIGINT) AS ltv_cents_per_user
+         |FROM cm JOIN cs ON cm.cohort = cs.cohort
+         |ORDER BY cohort_week, week_n""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val fw = e.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).cast("date").as("cohort"))
+        .persist() // feeds the size table and the revenue join
+      val cs = fw.groupBy($"cohort").agg(count(lit(1)).as("n_users"))
+      val rv = e.join(fw, "user_id")
+        .groupBy($"cohort",
+          (datediff(date_trunc("week", $"ts").cast("date"), $"cohort") / 7)
+            .cast("long").as("week_n"))
+        .agg(sum(($"value".cast(DecimalType(18, 2)) * 100).cast("long")).as("rev"))
+      val wCum = Window.partitionBy($"cohort").orderBy($"week_n")
+      rv.withColumn("cum", sum($"rev").over(wCum))
+        .join(broadcast(cs), "cohort")
+        .select($"cohort".as("cohort_week"), $"week_n",
+          $"rev".cast("long").as("rev_cents"), $"cum".cast("long").as("cum_cents"),
+          $"n_users".cast("long").as("n_users"),
+          expr("cum div n_users").as("ltv_cents_per_user"))
+        .orderBy($"cohort_week", $"week_n")
+    },
+
+    // ---- e31: funnel latency — how long each e7 funnel stage takes:
+    // per user the first view→click and click→purchase delays (the
+    // strictly-after chains e7 counts), then p50/p90 per stage off the
+    // (stage, delay-seconds) histogram (e29's proven order-statistic
+    // idiom — the quantile window sorts the histogram, never users).
+    // All integer µs → floor-divided seconds.
+    GraftQuery.sql("e31_funnel_time",
+      s"""$evCte,
+         |v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1),
+         |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1),
+         |d AS (SELECT 'view_to_click' AS stage,
+         |    (epoch_us(c.cts) - epoch_us(v.vts)) // 1000000 AS delay_s
+         |  FROM v JOIN c ON v.user_id = c.user_id
+         |  UNION ALL SELECT 'click_to_purchase',
+         |    (epoch_us(p.pts) - epoch_us(c.cts)) // 1000000
+         |  FROM c JOIN p ON c.user_id = p.user_id),
+         |h AS (SELECT stage, delay_s, COUNT(*) AS n FROM d GROUP BY 1, 2),
+         |q AS (SELECT stage, delay_s,
+         |    SUM(n) OVER (PARTITION BY stage ORDER BY delay_s) AS cum,
+         |    SUM(n) OVER (PARTITION BY stage) AS tot
+         |  FROM h)
+         |SELECT stage, CAST(MAX(tot) AS BIGINT) AS n_users,
+         |  CAST(MIN(CASE WHEN 2 * cum >= tot THEN delay_s END) AS BIGINT) AS p50_s,
+         |  CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN delay_s END) AS BIGINT) AS p90_s
+         |FROM q GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val v = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("vts"))
+      val c = e.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"vts").groupBy($"user_id").agg(min($"ts").as("cts"))
+        .persist() // feeds both stages
+      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"cts").groupBy($"user_id").agg(min($"ts").as("pts"))
+      val d = v.join(c, "user_id")
+        .select(lit("view_to_click").as("stage"),
+          expr("(unix_micros(cts) - unix_micros(vts)) div 1000000").as("delay_s"))
+        .unionByName(c.join(p, "user_id")
+          .select(lit("click_to_purchase").as("stage"),
+            expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("delay_s")))
+      val h = d.groupBy($"stage", $"delay_s").agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy($"stage").orderBy($"delay_s")
+      val wTot = Window.partitionBy($"stage")
+      h.withColumn("cum", sum($"n").over(wCum))
+        .withColumn("tot", sum($"n").over(wTot))
+        .groupBy($"stage")
+        .agg(max($"tot").cast("long").as("n_users"),
+          min(when($"cum" * 2 >= $"tot", $"delay_s")).cast("long").as("p50_s"),
+          min(when($"cum" * 10 >= $"tot" * 9, $"delay_s")).cast("long").as("p90_s"))
+        .orderBy($"stage")
     }
   )
 }

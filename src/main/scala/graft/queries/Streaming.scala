@@ -1076,6 +1076,30 @@ object Streaming {
         .withColumn("p_bps",
           expr("(n * 10000) div sum(n) over (partition by prev_type)"))
         .orderBy($"prev_type", $"next_type")
+    },
+
+    // ---- s25: multimodal VAD ON THE STREAM — d73's signal
+    // segmentation as a stateless append-mode pass: each micro-batch's
+    // audio payloads run through the SAME codec-stub mapPartitions
+    // (Multimodal.detectVoice on the streaming Dataset), emitting five
+    // longs per clip with NO streaming state — ingest-time media
+    // triage whose cost is exactly the projection, the binary-payload
+    // twin of s23's stateless text gate. The projection commutes with
+    // micro-batching, so the drain shares d73's oracle verbatim: any
+    // batch-boundary effect would break the hash.
+    GraftQuery.sql("s25_stream_vad", Docs.vadOracleSql) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().toSeq.sortBy(_._1)
+      val in = MemoryStream[(Long, String)](s)
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        s, in.toDF().toDF("doc_id", "text"))
+      val vad = graft.operators.Multimodal
+        .detectVoice(media, frame = 160, meanSqThresh = 900L)
+      drainChunksToTable(s, vad.toDF(), "append", in, mbChunks(s, rows))
+        .orderBy($"doc_id")
     }
   )
 }
