@@ -902,6 +902,74 @@ object Relational {
       // must not outlive the answer.
       val rows = try out.collect() finally { ed.unpersist(); deg.unpersist() }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    },
+
+    // ---- q36: onion decomposition — synchronous k-core peeling
+    // (threshold 3, 4 unrolled rounds) over the q33 co-purchase graph:
+    // layer(v) = the round at which v is peeled (its degree among
+    // still-active nodes drops under 3), survivors after round 4 form
+    // the residual core (layer 5). This is the distributed k-core
+    // algorithm's actual shape — each round is ONE edge-keyed degree
+    // aggregate semi-joined on the shrinking active set, layers are
+    // bulk-synchronous, no per-node sequential peeling — and the
+    // layer count is the fixed unroll both engines share. Active sets
+    // persist per round (the q33/DedupClusters iteration discipline);
+    // every shuffle key is an 8-byte part id.
+    GraftQuery.sql("q36_onion_layers", {
+      val prelude =
+        """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+          |a0 AS (SELECT DISTINCT src AS node FROM ed)""".stripMargin
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT ed.src AS node, COUNT(*) AS dg FROM ed
+           |  JOIN a${r - 1} s ON ed.src = s.node
+           |  JOIN a${r - 1} t ON ed.dst = t.node GROUP BY 1),
+           |p$r AS (SELECT a.node FROM a${r - 1} a LEFT JOIN d$r ON a.node = d$r.node
+           |  WHERE COALESCE(d$r.dg, 0) < 3),
+           |a$r AS (SELECT node FROM a${r - 1} EXCEPT SELECT node FROM p$r)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      prelude + rounds +
+        """
+          |SELECT node, CAST(layer AS BIGINT) AS layer FROM (
+          |  SELECT node, 1 AS layer FROM p1
+          |  UNION ALL SELECT node, 2 FROM p2
+          |  UNION ALL SELECT node, 3 FROM p3
+          |  UNION ALL SELECT node, 4 FROM p4
+          |  UNION ALL SELECT node, 5 FROM a4) z
+          |ORDER BY node""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val a = li.select($"l_orderkey", $"l_partkey".as("a"))
+      val b = li.select($"l_orderkey", $"l_partkey".as("b"))
+      val e0 = a.join(b, Seq("l_orderkey"))
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
+        .filter($"m" >= 2)
+        .select($"a", $"b")
+      val ed = e0.select($"a".as("src"), $"b".as("dst"))
+        .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
+        .persist() // re-read every peeling round
+      var active = ed.select($"src".as("node")).distinct().persist()
+      var peeled = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to 4) {
+        val dr = ed
+          .join(active.select($"node".as("src")), "src")
+          .join(active.select($"node".as("dst")), "dst")
+          .groupBy($"src".as("node")).agg(count(lit(1)).as("dg"))
+        val pr = active.join(dr, Seq("node"), "left")
+          .filter(coalesce($"dg", lit(0L)) < 3)
+          .select($"node", lit(r.toLong).as("layer"))
+        peeled = peeled :+ pr
+        active = active.join(pr.select($"node"), Seq("node"), "left_anti")
+          .persist() // next round reads it twice (both semi-join sides)
+      }
+      peeled.reduce(_ unionByName _)
+        .unionByName(active.select($"node", lit(5L).as("layer")))
+        .orderBy($"node")
     }
   )
 }
