@@ -2869,6 +2869,43 @@ object Docs {
         .orderBy($"cluster_id", $"pick_rank")
     },
 
+    // ---- d74: JSONL interchange round-trip — the training-data
+    // industry's wire format (one JSON object per line) written with
+    // the native JSON sink and read back through the native JSON
+    // source, proven LOSSLESS against the oracle computed from the
+    // ORIGINAL table: per-lang doc counts, exact char sums, and an
+    // order-insensitive XOR-of-fingerprint-prefixes corpus digest —
+    // any mangled character, dropped row, or mis-escaped string breaks
+    // the hash. Scale shape: the write is source-partitioned
+    // (lang-keyed dirs, the d23 layout rule), the read-back schema is
+    // pinned (no sampling inference pass at 100 TB), and the digest
+    // aggregates map-side — XOR is commutative, so no ordering
+    // constraint survives the round trip.
+    GraftQuery.sql("d74_jsonl_roundtrip",
+      """WITH fp AS (SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm, text
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+        |  CAST(bit_xor(('0x' || substr(md5(norm), 1, 15))::BIGINT) AS BIGINT) AS corpus_digest
+        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val out = java.nio.file.Files.createTempDirectory("graft-d74-").toString
+      docs(s, dir).select($"doc_id", $"lang", $"text")
+        .write.mode("overwrite").partitionBy("lang").json(out)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType)))
+      s.read.schema(schema).json(out)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("chars_sum"),
+          expr("bit_xor(CAST(conv(substr(md5(CAST(" +
+            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS BINARY)), 1, 15), 16, 10) AS BIGINT))")
+            .as("corpus_digest"))
+        .orderBy($"lang")
+    },
+
     // ---- d69: contamination LONGEST-RUN — the 13-gram-standard
     // refinement of d24's fraction: a doc whose eval overlap is one
     // long contiguous span is a verbatim leak even when its overall
