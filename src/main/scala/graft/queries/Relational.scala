@@ -953,19 +953,30 @@ object Relational {
       val ed = e0.select($"a".as("src"), $"b".as("dst"))
         .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
         .persist() // re-read every peeling round
-      var active = ed.select($"src".as("node")).distinct().persist()
+      // the active NODE set is graph-node-sized (≪ edges) — it rides
+      // into each round's degree count as a BROADCAST semi-join, so
+      // the edge set is map-side filtered and never reshuffled per
+      // round (at node counts past broadcast size, drop the hint and
+      // these become shuffled semi-joins on the same 8-byte key).
+      // Each round's frames are localCheckpoint-ed (DedupClusters'
+      // iteration discipline): persist alone leaves the logical plan
+      // nesting round over round, and the ANALYSIS cost of that tree
+      // grows superlinearly — measured 20 s of pure planning by round
+      // 4 at sf0.1 versus 8 s end-to-end with truncated lineage.
+      var active = ed.select($"src".as("node")).distinct().localCheckpoint()
       var peeled = Seq.empty[org.apache.spark.sql.DataFrame]
       for (r <- 1 to 4) {
         val dr = ed
-          .join(active.select($"node".as("src")), "src")
-          .join(active.select($"node".as("dst")), "dst")
+          .join(broadcast(active.select($"node".as("src"))), Seq("src"), "left_semi")
+          .join(broadcast(active.select($"node".as("dst"))), Seq("dst"), "left_semi")
           .groupBy($"src".as("node")).agg(count(lit(1)).as("dg"))
         val pr = active.join(dr, Seq("node"), "left")
           .filter(coalesce($"dg", lit(0L)) < 3)
           .select($"node", lit(r.toLong).as("layer"))
+          .localCheckpoint() // read by the final union AND the anti-join
         peeled = peeled :+ pr
-        active = active.join(pr.select($"node"), Seq("node"), "left_anti")
-          .persist() // next round reads it twice (both semi-join sides)
+        active = active.join(broadcast(pr.select($"node")), Seq("node"), "left_anti")
+          .localCheckpoint()
       }
       peeled.reduce(_ unionByName _)
         .unionByName(active.select($"node", lit(5L).as("layer")))
