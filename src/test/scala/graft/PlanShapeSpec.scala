@@ -301,6 +301,21 @@ class PlanShapeSpec extends SparkSpec {
       s"e29 must never collapse to one task:\n$p")
   }
 
+  test("d72: the bigram ratio table broadcasts; no corpus sort-merge join") {
+    spark.catalog.clearCache()
+    val p = plan("d72_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized ratio table must broadcast into the rollup:\n$p")
+  }
+
+  test("d71: boundary detection is map-side; chunk assembly rides one doc exchange") {
+    val p = plan("d71_cdc_chunks")
+    val docShuffles = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(docShuffles <= 1,
+      s"expected a single doc_id exchange for the prefix-sum + rollup, got $docShuffles:\n$p")
+    assert(!p.contains("Join"), s"CDC chunking must not join:\n$p")
+  }
+
   test("e27: the transition lag rides exactly one user-keyed exchange") {
     val p = plan("e27_transition_matrix")
     val userShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length
