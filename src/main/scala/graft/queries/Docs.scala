@@ -884,7 +884,9 @@ object Docs {
       val labels = graft.operators.DedupClusters.assign(
         d.select($"doc_id"), pairs)
       val kept = d.join(labels, "doc_id").filter($"doc_id" === $"cluster_id")
-      val out = java.nio.file.Files.createTempDirectory("graft-d23-").toString
+      // fixed path + overwrite (d74's rule): no corpus copy leaked per run
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d23-corpus").toString
       kept.select($"doc_id", $"text", $"lang")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
@@ -2891,18 +2893,26 @@ object Docs {
         |FROM fp GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      val out = java.nio.file.Files.createTempDirectory("graft-d74-").toString
+      // fixed path + overwrite: repeated runs REUSE the directory
+      // instead of leaking one full corpus copy per invocation (at sf1
+      // that leak filled this host's disk once)
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-d74-roundtrip").toString
       docs(s, dir).select($"doc_id", $"lang", $"text")
         .write.mode("overwrite").partitionBy("lang").json(out)
       val schema = StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType), StructField("lang", StringType)))
+      // digest column built from the CANONICAL Text.normalize — the
+      // corpus-wide fingerprint definition must not fork from the rest
+      // of the suite
+      val fpLong = conv(substring(md5(Text.normalize($"text").cast("binary")), 1, 15),
+        16, 10).cast("long")
       s.read.schema(schema).json(out)
+        .withColumn("fp_long", fpLong)
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).cast("long").as("chars_sum"),
-          expr("bit_xor(CAST(conv(substr(md5(CAST(" +
-            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS BINARY)), 1, 15), 16, 10) AS BIGINT))")
-            .as("corpus_digest"))
+          expr("bit_xor(fp_long)").as("corpus_digest"))
         .orderBy($"lang")
     },
 

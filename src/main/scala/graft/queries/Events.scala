@@ -1178,8 +1178,11 @@ object Events {
     // ---- e30: cohort lifetime value — e9's retention grid with exact
     // REVENUE instead of presence: per (first-active-week cohort,
     // weeks-since) the week's revenue and the cohort's cumulative LTV
-    // per user, all in integer cents (cum div users floors identically
-    // on both engines). Scale shape: the cohort map is one user
+    // per user, all in integer cents (cum div users — floor on
+    // NON-NEGATIVE cum, which the generator's positive values
+    // guarantee; a refund-carrying corpus would need a floor-division
+    // shim, since Spark's div truncates toward zero on negatives
+    // while DuckDB's // floors). Scale shape: the cohort map is one user
     // aggregate joined back by user_id; revenue partial-aggregates
     // map-side into the (cohort, week_n) grid; the cumulative window
     // runs over THAT grid — #cohorts × #weeks rows, never events.

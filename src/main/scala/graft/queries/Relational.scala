@@ -16,6 +16,32 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
+  /** The co-purchase graph shared by q33 (PageRank) and q36 (onion
+    * peeling): part pairs co-occurring in ≥2 orders, symmetric. ONE
+    * definition on each side — a threshold tweak must not be able to
+    * fork the graph between its consumers. */
+  private val coPurchaseSql =
+    """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)""".stripMargin
+
+  /** Spark twin of [[coPurchaseSql]]: the symmetric (src, dst) edge set. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val a = li.select($"l_orderkey", $"l_partkey".as("a"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("b"))
+    val e0 = a.join(b, Seq("l_orderkey"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
+      .filter($"m" >= 2)
+      .select($"a", $"b")
+    e0.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- q1: full-scan groupBy multi-aggregate (TPC-H Q1 shape).
@@ -842,12 +868,8 @@ object Relational {
     // collect; ranks live distributed end to end and only the top-15
     // TakeOrdered reaches the driver.
     GraftQuery.sql("q33_item_pagerank", {
-      val prelude =
-        """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-          |  FROM lineitem a JOIN lineitem b
-          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-          |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+      val prelude = coPurchaseSql +
+        """,
           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
           |nn AS (SELECT COUNT(*) AS n FROM deg),
           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM deg CROSS JOIN nn)""".stripMargin
@@ -868,16 +890,7 @@ object Relational {
           |ORDER BY rank DESC, node LIMIT 15""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-      val a = li.select($"l_orderkey", $"l_partkey".as("a"))
-      val b = li.select($"l_orderkey", $"l_partkey".as("b"))
-      val e0 = a.join(b, Seq("l_orderkey"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
-        .filter($"m" >= 2)
-        .select($"a", $"b")
-      val ed = e0.select($"a".as("src"), $"b".as("dst"))
-        .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
+      val ed = coPurchaseEdges(s, dir)
         .persist() // re-read every iteration
       val deg = ed.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
         .persist() // re-read every iteration (contribution + node spine)
@@ -912,17 +925,14 @@ object Relational {
     // algorithm's actual shape — each round is ONE edge-keyed degree
     // aggregate semi-joined on the shrinking active set, layers are
     // bulk-synchronous, no per-node sequential peeling — and the
-    // layer count is the fixed unroll both engines share. Active sets
-    // persist per round (the q33/DedupClusters iteration discipline);
-    // every shuffle key is an 8-byte part id.
+    // layer count is the fixed unroll both engines share. Per-round
+    // frames are localCheckpoint-ed — lineage truncation, not just
+    // caching, is what bounds the planning cost of the iteration
+    // (DedupClusters' discipline; see the in-loop comment); every
+    // shuffle key is an 8-byte part id.
     GraftQuery.sql("q36_onion_layers", {
-      val prelude =
-        """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-          |  FROM lineitem a JOIN lineitem b
-          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-          |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
-          |a0 AS (SELECT DISTINCT src AS node FROM ed)""".stripMargin
+      val prelude = coPurchaseSql +
+        ",\na0 AS (SELECT DISTINCT src AS node FROM ed)"
       val rounds = (1 to 4).map { r =>
         s"""d$r AS (SELECT ed.src AS node, COUNT(*) AS dg FROM ed
            |  JOIN a${r - 1} s ON ed.src = s.node
@@ -942,17 +952,8 @@ object Relational {
           |ORDER BY node""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-      val a = li.select($"l_orderkey", $"l_partkey".as("a"))
-      val b = li.select($"l_orderkey", $"l_partkey".as("b"))
-      val e0 = a.join(b, Seq("l_orderkey"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
-        .filter($"m" >= 2)
-        .select($"a", $"b")
-      val ed = e0.select($"a".as("src"), $"b".as("dst"))
-        .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
-        .persist() // re-read every peeling round
+      val ed = coPurchaseEdges(s, dir)
+        .persist() // re-read every peeling round; released after the loop
       // the active NODE set is graph-node-sized (≪ edges) — it rides
       // into each round's degree count as a BROADCAST semi-join, so
       // the edge set is map-side filtered and never reshuffled per
@@ -978,6 +979,9 @@ object Relational {
         active = active.join(broadcast(pr.select($"node")), Seq("node"), "left_anti")
           .localCheckpoint()
       }
+      // eager rounds are all checkpointed — the edge cache must not
+      // outlive the loop (q33/q34's discipline)
+      ed.unpersist()
       peeled.reduce(_ unionByName _)
         .unionByName(active.select($"node", lit(5L).as("layer")))
         .orderBy($"node")
