@@ -885,8 +885,8 @@ object Docs {
         d.select($"doc_id"), pairs)
       val kept = d.join(labels, "doc_id").filter($"doc_id" === $"cluster_id")
       // fixed path + overwrite (d74's rule): no corpus copy leaked per run
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-d23-corpus").toString
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-d23-corpus-${ProcessHandle.current().pid()}").toString
       kept.select($"doc_id", $"text", $"lang")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
@@ -2896,8 +2896,8 @@ object Docs {
       // fixed path + overwrite: repeated runs REUSE the directory
       // instead of leaking one full corpus copy per invocation (at sf1
       // that leak filled this host's disk once)
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-d74-roundtrip").toString
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-d74-roundtrip-${ProcessHandle.current().pid()}").toString
       docs(s, dir).select($"doc_id", $"lang", $"text")
         .write.mode("overwrite").partitionBy("lang").json(out)
       val schema = StructType(Seq(StructField("doc_id", LongType),
