@@ -2871,6 +2871,39 @@ object Docs {
         .orderBy($"cluster_id", $"pick_rank")
     },
 
+    // ---- d75: dedup threshold yield curve — the tuning table a
+    // curation run consults before committing to a near-dup cutoff:
+    // for each candidate Jaccard threshold, how many pairs and how
+    // many distinct documents would be implicated. ONE exact
+    // prefix-filtered similarity join at the loosest threshold (the
+    // d18 engine, persisted) feeds every curve point — the thresholds
+    // are a 5-row explode over the edge list, never a re-join; both
+    // aggregates ride the tiny edge table. Threshold compares are
+    // t_bps/10000.0 — the identical double on both engines.
+    GraftQuery.sql("d75_dedup_curve",
+      s"""$simCte,
+         |th AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS t_bps),
+         |sel AS (SELECT t_bps, a_id, b_id FROM pr, th
+         |  WHERE jaccard >= t_bps / 10000.0),
+         |ne AS (SELECT t_bps, COUNT(*) AS n_edges FROM sel GROUP BY 1),
+         |ndc AS (SELECT t_bps, COUNT(DISTINCT d) AS n_docs FROM (
+         |  SELECT t_bps, a_id AS d FROM sel
+         |  UNION ALL SELECT t_bps, b_id FROM sel) z GROUP BY 1)
+         |SELECT CAST(ne.t_bps AS BIGINT) AS t_bps, n_edges, n_docs
+         |FROM ne JOIN ndc ON ne.t_bps = ndc.t_bps
+         |ORDER BY t_bps""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val edges = jaccardEdges(s, dir) // exact pairs at >= 0.5, persisted
+      val bps = array(Seq(5000, 6000, 7000, 8000, 9000).map(t => lit(t.toLong)): _*)
+      val sel = edges
+        .select($"a_id", $"b_id", $"jaccard", explode(bps).as("t_bps"))
+        .filter($"jaccard" >= $"t_bps" / 10000.0)
+      val ne = sel.groupBy($"t_bps").agg(count(lit(1)).as("n_edges"))
+      val ndc = sel.select($"t_bps", explode(array($"a_id", $"b_id")).as("d"))
+        .groupBy($"t_bps").agg(countDistinct($"d").as("n_docs"))
+      ne.join(ndc, "t_bps").orderBy($"t_bps")
+    },
+
     // ---- d74: JSONL interchange round-trip — the training-data
     // industry's wire format (one JSON object per line) written with
     // the native JSON sink and read back through the native JSON

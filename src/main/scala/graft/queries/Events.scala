@@ -1278,6 +1278,33 @@ object Events {
           min(when($"cum" * 2 >= $"tot", $"delay_s")).cast("long").as("p50_s"),
           min(when($"cum" * 10 >= $"tot" * 9, $"delay_s")).cast("long").as("p90_s"))
         .orderBy($"stage")
+    },
+
+    // ---- e32: weekday activity profile — per event type, the
+    // day-of-week load distribution in exact basis points (capacity
+    // planning's weekly shape; e26 finds the peak instant, HERE the
+    // recurring pattern). Day-of-week is PURE INTEGER arithmetic —
+    // (epoch_days + 3) % 7 with Monday=0, anchored on 1970-01-01
+    // being a Thursday — because the engines' dayofweek() builtins
+    // disagree on numbering; derived map-side, aggregated into a
+    // type×7 grid, shares windowed over that grid only.
+    GraftQuery.sql("e32_weekday_profile",
+      s"""$evCte,
+         |d AS (SELECT event_type,
+         |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+         |  FROM ev),
+         |g AS (SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2)
+         |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+         |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_bps
+         |FROM g ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val g = ev(s, dir)
+        .select($"event_type",
+          expr("(unix_micros(ts) div 86400000000 + 3) % 7").as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+      g.withColumn("share_bps",
+          expr("(n * 10000) div sum(n) over (partition by event_type)"))
+        .orderBy($"event_type", $"dow")
     }
   )
 }

@@ -439,6 +439,24 @@ class StreamingSpec extends SparkSpec {
     assert(stream.toSeq === batch.toSeq)
   }
 
+  test("s24: GroupState is ONE row per user — flat in events, equal to user count") {
+    import org.apache.spark.sql.functions._
+    import StreamOps.TypedEvent
+    val rows = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tsUs"), $"event_type")
+      .as[TypedEvent].collect().sortBy(e => (e.tsUs, e.event_id)).toSeq
+    val nUsers = rows.map(_.user_id).distinct.size.toLong
+    val in = MemoryStream[TypedEvent](spark)
+    val (_, totals) = drainWithStateTotals(
+      StreamOps.transitionGate(in.toDS()).toDF(), "append", in,
+      rows.grouped(math.max(1, rows.size / 4)).toSeq)
+    // after every batch the state is exactly one TransState per user
+    // seen so far — it never grows with event history
+    assert(totals.last === nUsers,
+      s"state rows ${totals.last} != users $nUsers")
+    assert(totals === totals.sorted, "state must only grow with new users")
+  }
+
   test("s24 edge stream equals the batch lag edges, state folded across batches (sf0.001)") {
     // EDGE-level parity (stronger than the s24 entry's aggregated
     // matrix): every (user, event, prev → next) attribution must match
