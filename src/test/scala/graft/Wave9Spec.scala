@@ -299,6 +299,48 @@ class Wave9Spec extends SparkSpec {
       s"threshold must split the corpus ($voiced of $frames voiced)")
   }
 
+  test("e30: cumulative LTV re-derives from the weekly revenue grid") {
+    val out = SparkEntry.queries("e30_cohort_ltv")(spark, Sf0001)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.groupBy(_._1).foreach { case (cohort, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, rev, cumGot, nUsers, ltv) =>
+        cum += rev
+        assert(cumGot === cum, s"cohort $cohort cumulative drifted")
+        assert(ltv === cum / nUsers, s"cohort $cohort per-user LTV")
+      }
+      assert(sorted.map(_._5).distinct.size === 1,
+        s"cohort $cohort size must be constant across weeks")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("e31: stage quantiles equal the exact order statistics on raw delays") {
+    val ev = Tables.events(spark, Sf0001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(user: Long, tpe: String, after: Long): Option[Long] =
+      byUser.get(user).flatMap(_.filter(e => e._2 == tpe && e._3 > after)
+        .map(_._3).minOption)
+    val v = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "view").map(_._3).minOption.map(u -> _) }.toMap
+    val c = v.flatMap { case (u, vt) => firstAfter(u, "click", vt).map(u -> _) }
+    val p = c.flatMap { case (u, ct) => firstAfter(u, "purchase", ct).map(u -> _) }
+    val delays = Map(
+      "view_to_click" -> c.map { case (u, ct) => (ct - v(u)) / 1000000L }.toVector.sorted,
+      "click_to_purchase" -> p.map { case (u, pt) => (pt - c(u)) / 1000000L }.toVector.sorted)
+    val got = SparkEntry.queries("e31_funnel_time")(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    delays.foreach { case (stage, vs) =>
+      val n = vs.size
+      def q(num: Int, den: Int): Long = vs((num * n + den - 1) / den - 1)
+      assert(got(stage) === ((n.toLong, q(1, 2), q(9, 10))), s"stage $stage")
+    }
+  }
+
   test("e27: probabilities are exact basis points that sum to ≤10000 per row") {
     val rows = SparkEntry.queries("e27_transition_matrix")(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
