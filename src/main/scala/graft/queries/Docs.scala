@@ -884,9 +884,8 @@ object Docs {
       val labels = graft.operators.DedupClusters.assign(
         d.select($"doc_id"), pairs)
       val kept = d.join(labels, "doc_id").filter($"doc_id" === $"cluster_id")
-      // fixed path + overwrite (d74's rule): no corpus copy leaked per run
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-d23-corpus-${ProcessHandle.current().pid()}").toString
+      // per-process scratch, reused within the JVM and deleted at exit
+      val out = graft.util.TempDirs.scoped("graft-d23-corpus")
       kept.select($"doc_id", $"text", $"lang")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
@@ -2889,19 +2888,29 @@ object Docs {
          |ndc AS (SELECT t_bps, COUNT(DISTINCT d) AS n_docs FROM (
          |  SELECT t_bps, a_id AS d FROM sel
          |  UNION ALL SELECT t_bps, b_id FROM sel) z GROUP BY 1)
-         |SELECT CAST(ne.t_bps AS BIGINT) AS t_bps, n_edges, n_docs
-         |FROM ne JOIN ndc ON ne.t_bps = ndc.t_bps
+         |SELECT CAST(th.t_bps AS BIGINT) AS t_bps,
+         |  COALESCE(n_edges, 0) AS n_edges, COALESCE(n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN ne ON th.t_bps = ne.t_bps
+         |  LEFT JOIN ndc ON th.t_bps = ndc.t_bps
          |ORDER BY t_bps""".stripMargin) { (s, dir) =>
       import s.implicits._
       val edges = jaccardEdges(s, dir) // exact pairs at >= 0.5, persisted
-      val bps = array(Seq(5000, 6000, 7000, 8000, 9000).map(t => lit(t.toLong)): _*)
+      val thresholds = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+      val bps = array(thresholds.map(lit): _*)
       val sel = edges
         .select($"a_id", $"b_id", $"jaccard", explode(bps).as("t_bps"))
         .filter($"jaccard" >= $"t_bps" / 10000.0)
       val ne = sel.groupBy($"t_bps").agg(count(lit(1)).as("n_edges"))
       val ndc = sel.select($"t_bps", explode(array($"a_id", $"b_id")).as("d"))
         .groupBy($"t_bps").agg(countDistinct($"d").as("n_docs"))
-      ne.join(ndc, "t_bps").orderBy($"t_bps")
+      // every curve point is emitted, zero-yield thresholds included —
+      // "no pairs at 0.9" and "0.9 not evaluated" must be distinguishable
+      thresholds.toDF("t_bps")
+        .join(ne, Seq("t_bps"), "left")
+        .join(ndc, Seq("t_bps"), "left")
+        .select($"t_bps", coalesce($"n_edges", lit(0L)).as("n_edges"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"t_bps")
     },
 
     // ---- d74: JSONL interchange round-trip — the training-data
@@ -2926,11 +2935,10 @@ object Docs {
         |FROM fp GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types._
-      // fixed path + overwrite: repeated runs REUSE the directory
-      // instead of leaking one full corpus copy per invocation (at sf1
-      // that leak filled this host's disk once)
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-d74-roundtrip-${ProcessHandle.current().pid()}").toString
+      // per-process scratch, reused within the JVM and deleted at exit
+      // (an unbounded per-invocation temp leak once filled this host's
+      // disk at sf1 — TempDirs owns the lifecycle now)
+      val out = graft.util.TempDirs.scoped("graft-d74-roundtrip")
       docs(s, dir).select($"doc_id", $"lang", $"text")
         .write.mode("overwrite").partitionBy("lang").json(out)
       val schema = StructType(Seq(StructField("doc_id", LongType),

@@ -1284,14 +1284,18 @@ object Events {
     // day-of-week load distribution in exact basis points (capacity
     // planning's weekly shape; e26 finds the peak instant, HERE the
     // recurring pattern). Day-of-week is PURE INTEGER arithmetic —
-    // (epoch_days + 3) % 7 with Monday=0, anchored on 1970-01-01
+    // FLOORED epoch days + 3 mod 7, Monday=0, anchored on 1970-01-01
     // being a Thursday — because the engines' dayofweek() builtins
-    // disagree on numbering; derived map-side, aggregated into a
-    // type×7 grid, shares windowed over that grid only.
+    // disagree on numbering. Both the day division and the modulus
+    // are forced to floor/positive semantics (floor() + pmod /
+    // double-%) so pre-1970 timestamps label identically on both
+    // engines — Spark's div/% truncate toward zero while DuckDB's //
+    // floors, the e30-documented hazard. Derived map-side, aggregated
+    // into a type×7 grid, shares windowed over that grid only.
     GraftQuery.sql("e32_weekday_profile",
       s"""$evCte,
          |d AS (SELECT event_type,
-         |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+         |    ((epoch_us(ts) // 86400000000 + 3) % 7 + 7) % 7 AS dow
          |  FROM ev),
          |g AS (SELECT event_type, dow, COUNT(*) AS n FROM d GROUP BY 1, 2)
          |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
@@ -1300,7 +1304,8 @@ object Events {
       import s.implicits._
       val g = ev(s, dir)
         .select($"event_type",
-          expr("(unix_micros(ts) div 86400000000 + 3) % 7").as("dow"))
+          expr("pmod(CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT) + 3, 7)")
+            .as("dow"))
         .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
       g.withColumn("share_bps",
           expr("(n * 10000) div sum(n) over (partition by event_type)"))

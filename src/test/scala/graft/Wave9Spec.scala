@@ -335,6 +335,10 @@ class Wave9Spec extends SparkSpec {
     val got = SparkEntry.queries("e31_funnel_time")(spark, Sf0001)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     delays.foreach { case (stage, vs) =>
+      // guard first: a regenerated corpus with no completions for a
+      // stage should fail HERE, not as an index crash below
+      assert(vs.nonEmpty, s"fixture has no $stage completions")
+      assert(got.contains(stage), s"query emitted no $stage row")
       val n = vs.size
       def q(num: Int, den: Int): Long = vs((num * n + den - 1) / den - 1)
       assert(got(stage) === ((n.toLong, q(1, 2), q(9, 10))), s"stage $stage")
