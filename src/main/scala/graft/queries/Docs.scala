@@ -733,7 +733,67 @@ object Docs {
     // pairs top out at 5), found by exploding the fingerprint sets and
     // joining on the 8-byte hash — the same shuffle shape as d6
     // (hash keys, never text).
-    GraftQuery.rowsOnly("d14_winnow_fingerprint") { (s, dir) =>
+    //
+    // Winnowing is fully DETERMINISTIC (unlike d6/d7's seeded sketch
+    // families), so the oracle recomputes the WinnowExpression's exact
+    // bit pattern in DuckDB: each k=16-gram's polynomial rolling hash
+    // folds in HUGEINT mod 2^64 (Scala Long wrap-around), MurmurHash3's
+    // fmix64 finalizer runs with UBIGINT xor/logical-shift plus the
+    // 32-bit-split multiply (a·c mod 2^64 = a·c_lo + (a·c_hi mod 2^32)
+    // ·2^32 — each partial < 2^96 fits HUGEINT), and the per-window min
+    // is taken over the SIGNED reinterpretation — the comparison the
+    // JVM's `Long <` actually performs (the rightmost-tie rule picks an
+    // index, not a value, so the selected SET is just the distinct
+    // window minima). The corpus guarantees norm length ≥ k, so the
+    // short-input branch never fires in oracle scope.
+    GraftQuery.sql("d14_winnow_fingerprint",
+      """WITH nd AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |cl AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(norm)+1),
+        |      i -> CAST(ord(substr(norm, CAST(i AS INT), 1)) AS HUGEINT)) AS cs
+        |  FROM nd),
+        |gram AS (
+        |  SELECT doc_id, g,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT), cs[g+1:g+16]),
+        |      (acc, x) -> (acc * 1000003 + x)
+        |        % CAST('18446744073709551616' AS HUGEINT)) AS raw
+        |  FROM cl, UNNEST(generate_series(0, len(cs)-16)) AS t(g)),
+        |f1 AS (SELECT doc_id, g,
+        |    xor(CAST(raw AS UBIGINT), CAST(raw AS UBIGINT) >> 33) AS x FROM gram),
+        |f2 AS (SELECT doc_id, g, CAST((CAST(x AS HUGEINT)*3981806797 +
+        |    ((CAST(x AS HUGEINT)*4283543511) % CAST(4294967296 AS HUGEINT))
+        |      * CAST(4294967296 AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM f1),
+        |f3 AS (SELECT doc_id, g, xor(x, x >> 33) AS x FROM f2),
+        |f4 AS (SELECT doc_id, g, CAST((CAST(x AS HUGEINT)*444984403 +
+        |    ((CAST(x AS HUGEINT)*3301882366) % CAST(4294967296 AS HUGEINT))
+        |      * CAST(4294967296 AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM f3),
+        |hs AS (SELECT doc_id, g,
+        |    CAST(CASE WHEN xor(x, x >> 33) >= CAST('9223372036854775808' AS UBIGINT)
+        |      THEN CAST(xor(x, x >> 33) AS HUGEINT)
+        |        - CAST('18446744073709551616' AS HUGEINT)
+        |      ELSE CAST(xor(x, x >> 33) AS HUGEINT) END AS BIGINT) AS h FROM f4),
+        |mx AS (SELECT doc_id, MAX(g) AS mg FROM hs GROUP BY doc_id),
+        |win AS (
+        |  SELECT a.doc_id, a.g AS s, MIN(b.h) AS wmin
+        |  FROM hs a JOIN mx USING (doc_id)
+        |  JOIN hs b ON a.doc_id = b.doc_id AND b.g BETWEEN a.g AND a.g+7
+        |  WHERE a.g <= mx.mg - 7
+        |  GROUP BY a.doc_id, a.g),
+        |fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM win),
+        |common AS (SELECT fp, count(*) AS fn FROM fp
+        |  GROUP BY fp HAVING fn BETWEEN 2 AND 100),
+        |inb AS (SELECT f.doc_id, f.fp FROM fp f JOIN common USING (fp)),
+        |pairs AS (
+        |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS n_shared
+        |  FROM inb l JOIN inb r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 6)
+        |SELECT a_id, b_id, n_shared FROM pairs
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val fps = docs(s, dir).repartition(p)
@@ -2170,15 +2230,46 @@ object Docs {
     // ---- d12: multimodal plumbing — binary payload column + typed
     // metadata through the batched per-partition extraction operator
     // (decode stubbed; schema/encoder/batching real — see
-    // operators.Multimodal).
-    GraftQuery.rowsOnly("d12_multimodal_meta") { (s, dir) =>
+    // operators.Multimodal). Like d59/d60, the stub codec's byte
+    // algebra over the ASCII corpus IS SQL-expressible, so this entry
+    // carries a full hash oracle: the query surfaces the
+    // INTEGER-EXACT feature columns — byte_sum (recovered exactly
+    // from mean_byte·n_bytes: the product's error is ≪ 0.5 for any
+    // sum < 2^52, so round() is lossless), mean in integer basis
+    // points, and the 64-bit histogram-sign phash (bucket > n/64.0
+    // over doubles ⟺ 64·bucket > n over integers — exact both
+    // sides; ASCII ⇒ only buckets 0..31 can light up). byte_entropy
+    // is inherently floating (Σ p·log₂p) and stays spec-checked in
+    // MultimodalSpec rather than risking a last-ulp oracle diff.
+    GraftQuery.sql("d12_multimodal_meta",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |    text, length(text) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v
+        |  FROM m, UNNEST(generate_series(0, n-1)) AS t(p)),
+        |s AS (SELECT doc_id, COUNT(*) AS n_bytes, CAST(SUM(v) AS BIGINT) AS byte_sum
+        |      FROM b GROUP BY 1),
+        |hb AS (SELECT doc_id, v // 4 AS k, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ph AS (SELECT hb.doc_id,
+        |    CAST(SUM(CASE WHEN 64*c > s.n_bytes
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM hb JOIN s USING (doc_id) GROUP BY 1)
+        |SELECT m.doc_id, m.media_type, s.n_bytes, s.byte_sum,
+        |  s.byte_sum * 10000 // s.n_bytes AS mean_bp,
+        |  COALESCE(ph.phash, 0) AS phash
+        |FROM m JOIN s USING (doc_id) LEFT JOIN ph USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val media = graft.operators.Multimodal.mediaFromDocuments(s, docs(s, dir))
       graft.operators.Multimodal.extractFeatures(media)
         .toDF()
         .select($"doc_id", $"media_type", $"n_bytes",
-          round($"mean_byte", 4).as("mean_byte"),
-          round($"byte_entropy", 4).as("byte_entropy"), $"phash")
+          round($"mean_byte" * $"n_bytes").cast("long").as("byte_sum"), $"phash")
+        .select($"doc_id", $"media_type", $"n_bytes", $"byte_sum",
+          expr("byte_sum * 10000 div n_bytes").as("mean_bp"), $"phash")
         .orderBy($"doc_id")
     },
 
