@@ -555,10 +555,20 @@ object Docs {
         .orderBy($"lang", $"predicted")
     },
 
-    // ---- d6: MinHash+LSH near-dup candidates. Exactness is covered by
-    // MinHashSpec (recall vs brute-force Jaccard); the driver checks
-    // rows>0 — testdata plants ~20 near-dup pairs per 500 docs.
-    GraftQuery.rowsOnly("d6_dedup_minhash") { (s, dir) =>
+    // ---- d6: MinHash+LSH near-dup candidates. LSH is probabilistic
+    // only about RECALL — given its seeds it is a pure function of the
+    // corpus, so the oracle (OracleHash) replays the whole pipeline in
+    // DuckDB bit-for-bit: xxh64 shingle hashes, the 64-perm xor-fmix64
+    // signature with signed mins, Spark's Murmur3 band hash over each
+    // 4-slot slice, and the capped bucket self-join. Recall quality
+    // itself stays pinned by DedupSpec (planted near-dups vs
+    // brute-force Jaccard).
+    GraftQuery.sql("d6_dedup_minhash",
+      "WITH " + OracleHash.shingleCte + ",\n" +
+        OracleHash.minhashCte(MinhashPerms, MinhashSeed) + ",\n" +
+        OracleHash.bandsCte(MinhashRows) + ",\n" +
+        OracleHash.candidateCte(MaxBucket) + "\n" +
+        "SELECT a_id, b_id, n_shared_bands FROM cand ORDER BY a_id, b_id") { (s, dir) =>
       import s.implicits._
       minhashCandidates(s, dir).orderBy($"a_id", $"b_id")
     },
@@ -571,7 +581,29 @@ object Docs {
     // pair at hamming ≤7 shares a band; 8–12 found with high probability),
     // verified with bit_count(xor) <= 12. The fingerprint is 8 bytes/doc:
     // at 100 TB the candidate join shuffles fingerprints, never text.
-    GraftQuery.rowsOnly("d7_dedup_simhash") { (s, dir) =>
+    // Deterministic end-to-end (majority votes are integer-exact), so
+    // the oracle recomputes the 64-bit fingerprint, the 8×8-bit bands,
+    // the capped buckets, and the hamming refine in DuckDB.
+    GraftQuery.sql("d7_dedup_simhash",
+      "WITH " + OracleHash.shingleCte + ",\n" + OracleHash.simhashCte + ",\n" +
+        """banded AS (
+          |  SELECT doc_id, sim, i AS band_idx,
+          |    CAST((simu // pl[8*i+1]) % 256 AS BIGINT) AS band_val
+          |  FROM sims, pw, UNNEST(generate_series(0, 7)) t(i)),
+          |buckets AS (SELECT band_idx, band_val, count(*) AS bn FROM banded
+          |  GROUP BY 1, 2 HAVING bn BETWEEN 2 AND """.stripMargin + MaxBucket +
+        """),
+          |inb AS MATERIALIZED (SELECT b.band_idx, b.band_val, b.doc_id, b.sim
+          |  FROM banded b JOIN buckets USING (band_idx, band_val)),
+          |pairs AS (
+          |  SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+          |    MIN(l.sim) AS sim_a, MIN(r.sim) AS sim_b
+          |  FROM inb l JOIN inb r ON l.band_idx = r.band_idx
+          |    AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a_id, b_id, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+          |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 12
+          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sims = shingleSets(s, dir).select($"doc_id",
         call_function("simhash64", $"sh").as("sim"))
@@ -614,7 +646,29 @@ object Docs {
     // ---- d8: exact n-gram Jaccard verification of the LSH candidates
     // (candidate generation is d6's band join; this is the refine step,
     // so the quadratic set-compare only runs on O(candidates) pairs).
-    GraftQuery.rowsOnly("d8_ngram_jaccard") { (s, dir) =>
+    // The oracle reuses d6's replayed candidate set and recomputes the
+    // intersection over the xxh64 shingle sets — the double jaccard
+    // hash-matches because both sides compute the same single division
+    // from the same three integers, then round half-up to 6 places.
+    GraftQuery.sql("d8_ngram_jaccard",
+      "WITH " + OracleHash.shingleCte + ",\n" +
+        OracleHash.minhashCte(MinhashPerms, MinhashSeed) + ",\n" +
+        OracleHash.bandsCte(MinhashRows) + ",\n" +
+        OracleHash.candidateCte(MaxBucket) + ",\n" +
+        """sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+          |ix AS (
+          |  SELECT c.a_id, c.b_id, count(*) AS c
+          |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+          |  JOIN sh b ON b.doc_id = c.b_id AND a.h = b.h
+          |  GROUP BY 1, 2),
+          |jac AS (
+          |  SELECT c.a_id, c.b_id,
+          |    CAST(COALESCE(ix.c, 0) AS DOUBLE)
+          |      / (sa.nsh + sb.nsh - COALESCE(ix.c, 0)) AS j
+          |  FROM cand c LEFT JOIN ix ON ix.a_id = c.a_id AND ix.b_id = c.b_id
+          |  JOIN sz sa ON sa.doc_id = c.a_id JOIN sz sb ON sb.doc_id = c.b_id)
+          |SELECT a_id, b_id, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sets = shingleSets(s, dir).persist()
       val a = sets.select($"doc_id".as("a_id"), $"sh".as("sh_a"))

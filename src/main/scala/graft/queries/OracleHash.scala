@@ -1,0 +1,249 @@
+package graft.queries
+
+import graft.functions.expressions.HashMix
+
+/** DuckDB SQL combinators that re-derive the repo's hash primitives
+  * bit-for-bit, so the deterministic near-dup family (d6 MinHash-LSH,
+  * d7 SimHash, d8 exact-Jaccard refine) can carry FULL hash oracles
+  * instead of rows-only checks. LSH is only *probabilistic about
+  * recall*; given its seeds it is a pure function of the corpus, and
+  * DuckDB can replay every stage exactly:
+  *
+  *  - 64-bit wrap-around arithmetic runs in HUGEINT mod 2^64 (Scala
+  *    `Long` overflow semantics); a·c mod 2^64 for a 64-bit constant c
+  *    splits c into 32-bit halves so no partial product exceeds 2^96.
+  *  - xor / logical shifts run over UBIGINT (cast round-trips are
+  *    loss-free for values < 2^64); rotl is two disjoint bit ranges so
+  *    `+` replaces `|`.
+  *  - XXH64 (Spark's `xxhash64`, seed 42 — the shingle hash of
+  *    expressions.Shingle) needs only its < 32-byte path here: the
+  *    3-word shingles of this corpus top out at 26 bytes (the CTE
+  *    would need the 4-accumulator stripe loop past 31).
+  *  - Murmur3_x86_32 (Spark's `hash()` over the 4-slot signature
+  *    bands) is 32-bit wrap arithmetic: HUGEINT mod 2^32 throughout.
+  *  - Mins/comparisons happen on the SIGNED reinterpretation — the
+  *    comparison the JVM's `Long <` performs (same rule d14's oracle
+  *    follows).
+  *
+  * Validated end-to-end against the Spark outputs at sf0.01 before
+  * being wired in (25/25 d6 pairs, 24/24 d7, 25/25 d8 including the
+  * rounded double jaccard). Oracle scope assumes >= 3 tokens and
+  * shingles < 32 bytes per doc, both true of the driver corpus by a
+  * wide margin (min 10 tokens, max 26-byte shingle).
+  */
+private[queries] object OracleHash {
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val M32 = "CAST(4294967296 AS HUGEINT)"
+  private val Half = "CAST('9223372036854775808' AS HUGEINT)"
+
+  /** (x·c) mod 2^64 — x a HUGEINT expr in [0,2^64), c a 64-bit const. */
+  private def mulmod(x: String, c: BigInt): String = {
+    val (ch, cl) = (c >> 32, c & 0xffffffffL)
+    s"((($x)*$cl + ((($x)*$ch) % $M32)*$M32) % $M64)"
+  }
+
+  /** (x·c) mod 2^64 where one factor < 2^32 (no split needed). */
+  private def mulmodSmall(x: String, c: BigInt): String =
+    s"((($x)*$c) % $M64)"
+
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
+
+  private def shr(x: String, r: Int): String =
+    s"(($x) // ${BigInt(1) << r})"
+
+  private def rotl(x: String, r: Int): String =
+    s"((($x)*${BigInt(1) << r}) % $M64 + ($x) // ${BigInt(1) << (64 - r)})"
+
+  private def toSigned(x: String): String =
+    s"CAST(CASE WHEN ($x) >= $Half THEN ($x) - $M64 ELSE ($x) END AS BIGINT)"
+
+  private def toUnsigned(x: String): String =
+    s"(CAST($x AS HUGEINT) + CASE WHEN ($x) < 0 THEN $M64 ELSE CAST(0 AS HUGEINT) END)"
+
+  private val FmixC1 = BigInt("ff51afd7ed558ccd", 16)
+  private val FmixC2 = BigInt("c4ceb9fe1a85ec53", 16)
+
+  /** Full fmix64 over a HUGEINT expr (inline expression, no CTE). */
+  private def fmix64(x: String): String = {
+    val a = xor64(x, shr(x, 33))
+    val b = mulmod(a, FmixC1)
+    val c = xor64(b, shr(b, 33))
+    val d = mulmod(c, FmixC2)
+    xor64(d, shr(d, 33))
+  }
+
+  // XXH64 primes
+  private val P1 = BigInt("9E3779B185EBCA87", 16)
+  private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val P3 = BigInt("165667B19E3779F9", 16)
+  private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val P5 = BigInt("27D4EB2F165667C5", 16)
+
+  /** XXH64(seed 42, n < 32) staged over sh0(doc_id, sid, bl, n):
+    * per-byte list + length in, chained CTEs out, final table
+    * xah(doc_id, sid, h BIGINT signed). Layout mirrors the reference
+    * algorithm: 8-byte chunks, one 4-byte chunk, tail bytes, avalanche
+    * — each step gated by a length CASE (conditions are data-
+    * independent across rows, so DuckDB vectorizes them fine). */
+  private def xxh64Stages: String = {
+    def le(off: String, w: Int): String =
+      (0 until w).map(j => s"bl[$off+${j + 1}]*${BigInt(1) << (8 * j)}").mkString(" + ")
+    val ctes = Seq.newBuilder[String]
+    ctes += s"xa0 AS (SELECT doc_id, sid, bl, n, " +
+      s"CAST((${42 + P5} + n) AS HUGEINT) % $M64 AS h FROM sh0)"
+    for (i <- 0 until 3) {
+      val k1 = s"CAST((${le((8 * i).toString, 8)}) AS HUGEINT)"
+      val k1c = mulmod(rotl(mulmod(k1, P2), 31), P1)
+      val step = s"(${mulmod(rotl(xor64("h", k1c), 27), P1)} + $P4) % $M64"
+      ctes += s"xa${i + 1} AS (SELECT doc_id, sid, bl, n, " +
+        s"CASE WHEN n // 8 > $i THEN $step ELSE h END AS h FROM xa$i)"
+    }
+    val k4 = s"CAST((CASE WHEN n % 8 >= 4 THEN ${le("(n//8)*8", 4)} ELSE 0 END) AS HUGEINT)"
+    val step4 = s"(${mulmod(rotl(xor64("h", mulmodSmall(k4, P1)), 23), P2)} + $P3) % $M64"
+    ctes += s"xa4 AS (SELECT doc_id, sid, bl, n, " +
+      s"CASE WHEN n % 8 >= 4 THEN $step4 ELSE h END AS h FROM xa3)"
+    for (j <- 0 until 3) {
+      val b = s"CAST(bl[(n//4)*4+$j+1] AS HUGEINT)"
+      val step = mulmod(rotl(xor64("h", mulmodSmall(b, P5)), 11), P1)
+      ctes += s"xa${5 + j} AS (SELECT doc_id, sid, bl, n, " +
+        s"CASE WHEN n % 4 > $j THEN $step ELSE h END AS h FROM xa${4 + j})"
+    }
+    ctes += s"xa8 AS (SELECT doc_id, sid, ${mulmod(xor64("h", shr("h", 33)), P2)} AS h FROM xa7)"
+    ctes += s"xa9 AS (SELECT doc_id, sid, ${mulmod(xor64("h", shr("h", 29)), P3)} AS h FROM xa8)"
+    ctes += s"xah AS (SELECT doc_id, sid, ${toSigned(xor64("h", shr("h", 32)))} AS h FROM xa9)"
+    ctes.result().mkString(",\n")
+  }
+
+  /** sh(doc_id, h): the distinct signed xxh64 3-word-shingle set —
+    * DuckDB twin of Text.shingleHashes(normalize(text), 3). */
+  val shingleCte: String =
+    """nd AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |tok AS (SELECT doc_id, string_split(norm, ' ') AS ts FROM nd),
+      |shs AS (
+      |  SELECT doc_id, i AS sid, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
+      |  FROM tok, UNNEST(generate_series(0, len(ts)-3)) t(i)),
+      |sh0 AS (
+      |  SELECT doc_id, sid,
+      |    list_transform(range(1, length(s)+1),
+      |      i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT)) AS bl,
+      |    length(s) AS n
+      |  FROM shs),
+      |""".stripMargin + xxh64Stages + ",\n" +
+      "sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM xah)"
+
+  /** sig(doc_id, j, slot): the 64-perm MinHash signature — signed min
+    * over the shingle set of fmix64(h ^ S_j), S_j = HashMix.permSeed
+    * (seeds inlined as literals straight from the Scala source of
+    * truth, so the two sides cannot drift).
+    *
+    * fmix64 is STAGED through CTE columns rather than one inline
+    * expression: DuckDB does no common-subexpression elimination, so
+    * the nested form recomputes each chained step 2× per level (~16×
+    * work over the numPerms × shingles hot table); staged, every step
+    * reads a materialized column once. */
+  def minhashCte(numPerms: Int, seed: Long): String = {
+    val seeds = Array.tabulate(numPerms)(j =>
+      java.lang.Long.toUnsignedString(HashMix.permSeed(seed, j)))
+    val lits = seeds.map(s => s"CAST('$s' AS HUGEINT)").mkString(", ")
+    s"""sds AS (SELECT CAST(j AS BIGINT) AS j, CAST(sl[j+1] AS HUGEINT) AS s
+       |  FROM (SELECT [$lits] AS sl),
+       |    UNNEST(generate_series(0, ${numPerms - 1})) t(j)),
+       |ms0 AS (SELECT sh.doc_id, sd.j,
+       |  ${xor64(toUnsigned("sh.h"), "sd.s")} AS x FROM sh, sds sd),
+       |ms1 AS (SELECT doc_id, j, ${xor64("x", shr("x", 33))} AS x FROM ms0),
+       |ms2 AS (SELECT doc_id, j, ${mulmod("x", FmixC1)} AS x FROM ms1),
+       |ms3 AS (SELECT doc_id, j, ${xor64("x", shr("x", 33))} AS x FROM ms2),
+       |ms4 AS (SELECT doc_id, j, ${mulmod("x", FmixC2)} AS x FROM ms3),
+       |ms5 AS (SELECT doc_id, j, ${xor64("x", shr("x", 33))} AS x FROM ms4),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, j, MIN(${toSigned("x")}) AS slot
+       |  FROM ms5 GROUP BY doc_id, j)""".stripMargin
+  }
+
+  // ---- Murmur3_x86_32 over the 4-slot band (Spark hash(), seed 42) ----
+  private def xor32(a: String, b: String): String =
+    s"CAST(xor(CAST($a AS BIGINT), CAST($b AS BIGINT)) AS HUGEINT)"
+  private def rotl32(x: String, r: Int): String =
+    s"((($x)*${1L << r}) % $M32 + ($x) // ${1L << (32 - r)})"
+  private def mul32(x: String, c: Long): String =
+    s"((($x)*$c) % $M32)"
+  private def mixK1(k: String): String =
+    mul32(rotl32(mul32(k, 0xcc9e2d51L), 15), 0x1b873593L)
+  private def mixH1(h: String, k: String): String =
+    s"((${mul32(rotl32(xor32(h, k), 13), 5)} + 3864292196) % $M32)"
+  private def fmix32(h: String): String = {
+    val a = xor32(h, "8")
+    val b = xor32(a, shr(a, 16))
+    val c = mul32(b, 0x85ebca6bL)
+    val d = xor32(c, shr(c, 13))
+    val e = mul32(d, 0xc2b2ae35L)
+    xor32(e, shr(e, 16))
+  }
+
+  /** bh(doc_id, band_idx, band_hash): Spark `hash(slice(sig, 4b+1, 4))`
+    * re-derived — the running-seed Murmur3 fold over the band's four
+    * longs (each long = two LE 32-bit blocks through mixK1/mixH1, then
+    * the per-long fmix with len 8), int32 result sign-extended. */
+  def bandsCte(rowsPerBand: Int): String = {
+    require(rowsPerBand == 4, "band layout is pivoted to 4 slot columns")
+    val ctes = Seq.newBuilder[String]
+    ctes +=
+      s"""bp AS (
+         |  SELECT doc_id, j // 4 AS band_idx,
+         |    MAX(CASE WHEN j % 4 = 0 THEN slot END) AS l0,
+         |    MAX(CASE WHEN j % 4 = 1 THEN slot END) AS l1,
+         |    MAX(CASE WHEN j % 4 = 2 THEN slot END) AS l2,
+         |    MAX(CASE WHEN j % 4 = 3 THEN slot END) AS l3
+         |  FROM sig GROUP BY doc_id, j // 4),
+         |mb0 AS (SELECT doc_id, band_idx, l0, l1, l2, l3, CAST(42 AS HUGEINT) AS h FROM bp)""".stripMargin
+    for (i <- 0 until 4) {
+      val u = toUnsigned(s"l$i")
+      val lo = s"(($u) % $M32)"
+      val hi = s"(($u) // $M32)"
+      ctes += s"mb${i}a AS (SELECT doc_id, band_idx, l0, l1, l2, l3, " +
+        s"${mixH1("h", mixK1(lo))} AS h FROM mb$i)"
+      ctes += s"mb${i + 1} AS (SELECT doc_id, band_idx, l0, l1, l2, l3, " +
+        s"${fmix32(mixH1("h", mixK1(hi)))} AS h FROM mb${i}a)"
+    }
+    ctes += "bh AS MATERIALIZED (SELECT doc_id, band_idx, " +
+      s"CAST(CASE WHEN h >= 2147483648 THEN h - $M32 ELSE h END AS BIGINT) AS band_hash FROM mb4)"
+    ctes.result().mkString(",\n")
+  }
+
+  /** cand(a_id, b_id, n_shared_bands): the capped LSH bucket self-join
+    * — d6's candidate set, shared verbatim by d8's refine oracle. */
+  def candidateCte(maxBucket: Long): String =
+    s"""buckets AS (SELECT band_idx, band_hash, count(*) AS bn FROM bh
+       |  GROUP BY 1, 2 HAVING bn BETWEEN 2 AND $maxBucket),
+       |inb AS MATERIALIZED (SELECT bh.band_idx, bh.band_hash, bh.doc_id
+       |  FROM bh JOIN buckets USING (band_idx, band_hash)),
+       |cand AS MATERIALIZED (
+       |  SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS n_shared_bands
+       |  FROM inb l JOIN inb r ON l.band_idx = r.band_idx
+       |    AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** simt(doc_id, simu HUGEINT, sim BIGINT): SimHash64 over the
+    * shingle set — bit b of the fingerprint is the majority vote
+    * 2·(#hashes with bit b set) > |set|, integer-exact. */
+  val simhashCte: String = {
+    val pw = (0 until 64).map(b =>
+      s"CAST('${BigInt(1) << b}' AS HUGEINT)").mkString(", ")
+    s"""pw(pl) AS (SELECT [$pw]),
+       |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+       |bits AS (
+       |  SELECT sh.doc_id, b,
+       |    SUM(CAST((${toUnsigned("sh.h")} // pl[b+1]) % 2 AS BIGINT)) AS setc
+       |  FROM sh, pw, UNNEST(generate_series(0, 63)) t(b)
+       |  GROUP BY sh.doc_id, b),
+       |simt AS (
+       |  SELECT bits.doc_id,
+       |    SUM(CASE WHEN 2*setc > sz.nsh THEN pl[b+1] ELSE CAST(0 AS HUGEINT) END) AS simu
+       |  FROM bits JOIN sz USING (doc_id), pw
+       |  GROUP BY bits.doc_id),
+       |sims AS (SELECT doc_id, simu, ${toSigned("simu")} AS sim FROM simt)""".stripMargin
+  }
+}
