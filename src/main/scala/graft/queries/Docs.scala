@@ -564,7 +564,7 @@ object Docs {
     // itself stays pinned by DedupSpec (planted near-dups vs
     // brute-force Jaccard).
     GraftQuery.sql("d6_dedup_minhash",
-      "WITH " + OracleHash.shingleCte + ",\n" +
+      "WITH " + OracleHash.shingleCte(3) + ",\n" +
         OracleHash.minhashCte(MinhashPerms, MinhashSeed) + ",\n" +
         OracleHash.bandsCte(MinhashRows) + ",\n" +
         OracleHash.candidateCte(MaxBucket) + "\n" +
@@ -585,7 +585,7 @@ object Docs {
     // the oracle recomputes the 64-bit fingerprint, the 8×8-bit bands,
     // the capped buckets, and the hamming refine in DuckDB.
     GraftQuery.sql("d7_dedup_simhash",
-      "WITH " + OracleHash.shingleCte + ",\n" + OracleHash.simhashCte + ",\n" +
+      "WITH " + OracleHash.shingleCte(3) + ",\n" + OracleHash.simhashCte + ",\n" +
         """banded AS (
           |  SELECT doc_id, sim, i AS band_idx,
           |    CAST((simu // pl[8*i+1]) % 256 AS BIGINT) AS band_val
@@ -651,7 +651,7 @@ object Docs {
     // hash-matches because both sides compute the same single division
     // from the same three integers, then round half-up to 6 places.
     GraftQuery.sql("d8_ngram_jaccard",
-      "WITH " + OracleHash.shingleCte + ",\n" +
+      "WITH " + OracleHash.shingleCte(3) + ",\n" +
         OracleHash.minhashCte(MinhashPerms, MinhashSeed) + ",\n" +
         OracleHash.bandsCte(MinhashRows) + ",\n" +
         OracleHash.candidateCte(MaxBucket) + ",\n" +
@@ -941,8 +941,51 @@ object Docs {
 
     // ---- d16: random-hyperplane LSH ANN — the bucket-join variant of
     // d11's IVF (data-independent codes, no centroid pass; recall vs
-    // cosine tradeoff measured in AnnSpec).
-    GraftQuery.rowsOnly("d16_ann_lsh") { (s, dir) =>
+    // cosine tradeoff measured in AnnSpec). The hyperplanes are SEEDED
+    // CONSTANTS of the operator (AnnLsh.planes, fixed LCG), so like the
+    // minhash seeds they inline into the oracle as literals and the
+    // whole search — sign-pattern codes, 1-bit multiprobe, bucket join,
+    // exact cosine re-rank — replays in DuckDB. Double parity of the
+    // dot products is the same contract d9/d10 already hash-pass on
+    // (both engines fold CAST-to-double products left to right).
+    GraftQuery.sql("d16_ann_lsh", {
+      val planes = graft.operators.AnnLsh.planes
+        .map(p => "[" + p.map(_.toDouble.toString).mkString(", ") + "]")
+        .mkString("[", ",\n    ", "]")
+      def dot(a: String, b: String): String =
+        s"""list_sum(list_transform(range(len($a)),
+           |      i -> CAST($a[i+1] AS DOUBLE) * $b[i+1]))""".stripMargin
+      val codeTerms = (0 until graft.operators.AnnLsh.NumBits).map { i =>
+        s"(CASE WHEN ${dot("embedding", s"pls[${i + 1}]")} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val probeList = "[code" +
+        (0 until graft.operators.AnnLsh.NumBits)
+          .map(i => s", xor(code, ${1L << i})").mkString + "]"
+      s"""WITH pl(pls) AS (SELECT $planes),
+         |nv AS (SELECT vec_id, embedding,
+         |  sqrt(${dot("embedding", "CAST(embedding AS DOUBLE[])")}) AS nrm
+         |  FROM embeddings),
+         |codes AS (SELECT vec_id, embedding, nrm, $codeTerms AS code FROM nv, pl),
+         |probes AS (
+         |  SELECT vec_id AS q_id, bucket
+         |  FROM codes, UNNEST($probeList) t(bucket) WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, c.vec_id AS neighbor_id
+         |  FROM probes p JOIN codes c ON c.code = p.bucket
+         |  WHERE p.q_id <> c.vec_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.neighbor_id,
+         |    ${dot("q.embedding", "CAST(c.embedding AS DOUBLE[])")}
+         |      / (q.nrm * c.nrm) AS cos
+         |  FROM cand JOIN nv q ON q.vec_id = cand.q_id
+         |  JOIN nv c ON c.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos, CAST(rk AS BIGINT) AS rk
+         |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    }) { (s, dir) =>
       import s.implicits._
       val nv = embs(s, dir)
       val queries = nv.filter($"vec_id" < 10)
@@ -2695,10 +2738,13 @@ object Docs {
     // map-side scan that cannot skew. The Bloom guarantee (NO false
     // negatives) makes the flag a strict superset of d20's exact
     // contamination set; Wave8Spec asserts superset + bounded false
-    // positives against d20 run on the same corpus. Probabilistic
-    // bit-pattern (murmur-seeded, deterministic per build but not
-    // SQL-expressible) → rows.
-    GraftQuery.rowsOnly("d62_bloom_decontaminate") { (s, dir) =>
+    // positives against d20 run on the same corpus. The bit pattern is
+    // deterministic given the corpus, so the oracle rebuilds the
+    // filter's exact bits and probe sequence in DuckDB
+    // (DecontaminationFilter.oracleSql — shared verbatim with s23,
+    // extending the two gates' bit-parity contract to the checker).
+    GraftQuery.sql("d62_bloom_decontaminate",
+      DecontaminationFilter.oracleSql) { (s, dir) =>
       import s.implicits._
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sh8 = docs(s, dir).repartition(p)

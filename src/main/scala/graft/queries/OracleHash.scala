@@ -80,34 +80,61 @@ private[queries] object OracleHash {
   private val P4 = BigInt("85EBCA77C2B2AE63", 16)
   private val P5 = BigInt("27D4EB2F165667C5", 16)
 
-  /** XXH64(seed 42, n < 32) staged over sh0(doc_id, sid, bl, n):
+  /** XXH64(seed 42, n < 64) staged over sh0(doc_id, sid, bl, n):
     * per-byte list + length in, chained CTEs out, final table
     * xah(doc_id, sid, h BIGINT signed). Layout mirrors the reference
-    * algorithm: 8-byte chunks, one 4-byte chunk, tail bytes, avalanche
-    * — each step gated by a length CASE (conditions are data-
-    * independent across rows, so DuckDB vectorizes them fine). */
+    * algorithm: at n >= 32 one 32-byte stripe primes the four
+    * accumulators (unrolled once — longer input would need the stripe
+    * LOOP, which no shingle in oracle scope reaches), then 8-byte
+    * chunks, one 4-byte chunk, tail bytes, and the avalanche — each
+    * step gated by a length CASE (conditions are data-independent
+    * across rows, so DuckDB vectorizes them fine). */
   private def xxh64Stages: String = {
     def le(off: String, w: Int): String =
       (0 until w).map(j => s"bl[$off+${j + 1}]*${BigInt(1) << (8 * j)}").mkString(" + ")
+    val seed = BigInt(42)
+    val wrap = (BigInt(1) << 64) - 1
+    val init = Seq((seed + P1 + P2) & wrap, (seed + P2) & wrap, seed, (seed - P1) & wrap)
     val ctes = Seq.newBuilder[String]
+    // one stripe: v_i = rotl31(init_i + lane_i·P2)·P1, lanes at 0/8/16/24
+    val vexprs = (0 until 4).map { i =>
+      val lane = s"CAST((${le((8 * i).toString, 8)}) AS HUGEINT)"
+      mulmod(rotl(s"((${init(i)} + ${mulmod(lane, P2)}) % $M64)", 31), P1)
+    }
+    ctes += "sv AS (SELECT doc_id, sid, bl, n, " +
+      (0 until 4).map(i => s"CASE WHEN n >= 32 THEN ${vexprs(i)} " +
+        s"ELSE CAST(0 AS HUGEINT) END AS v${i + 1}").mkString(", ") +
+      " FROM sh0)"
+    val hsum = s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M64)"
+    ctes += s"sm0 AS (SELECT doc_id, sid, bl, n, v1, v2, v3, v4, " +
+      s"CASE WHEN n >= 32 THEN $hsum ELSE CAST(${(seed + P5) & wrap} AS HUGEINT) END AS h FROM sv)"
+    for (i <- 0 until 4) {
+      val vm = mulmod(rotl(mulmod(s"v${i + 1}", P2), 31), P1)
+      val merged = s"(${mulmod(xor64("h", vm), P1)} + $P4) % $M64"
+      ctes += s"sm${i + 1} AS (SELECT doc_id, sid, bl, n, v1, v2, v3, v4, " +
+        s"CASE WHEN n >= 32 THEN $merged ELSE h END AS h FROM sm$i)"
+    }
+    // h += n; remaining bytes start at o = 32 (striped) or 0
     ctes += s"xa0 AS (SELECT doc_id, sid, bl, n, " +
-      s"CAST((${42 + P5} + n) AS HUGEINT) % $M64 AS h FROM sh0)"
+      s"CASE WHEN n >= 32 THEN 32 ELSE 0 END AS o, " +
+      s"n - CASE WHEN n >= 32 THEN 32 ELSE 0 END AS r, " +
+      s"(h + n) % $M64 AS h FROM sm4)"
     for (i <- 0 until 3) {
-      val k1 = s"CAST((${le((8 * i).toString, 8)}) AS HUGEINT)"
+      val k1 = s"CAST((${le(s"o+${8 * i}", 8)}) AS HUGEINT)"
       val k1c = mulmod(rotl(mulmod(k1, P2), 31), P1)
       val step = s"(${mulmod(rotl(xor64("h", k1c), 27), P1)} + $P4) % $M64"
-      ctes += s"xa${i + 1} AS (SELECT doc_id, sid, bl, n, " +
-        s"CASE WHEN n // 8 > $i THEN $step ELSE h END AS h FROM xa$i)"
+      ctes += s"xa${i + 1} AS (SELECT doc_id, sid, bl, n, o, r, " +
+        s"CASE WHEN r // 8 > $i THEN $step ELSE h END AS h FROM xa$i)"
     }
-    val k4 = s"CAST((CASE WHEN n % 8 >= 4 THEN ${le("(n//8)*8", 4)} ELSE 0 END) AS HUGEINT)"
+    val k4 = s"CAST((CASE WHEN r % 8 >= 4 THEN ${le("o+(r//8)*8", 4)} ELSE 0 END) AS HUGEINT)"
     val step4 = s"(${mulmod(rotl(xor64("h", mulmodSmall(k4, P1)), 23), P2)} + $P3) % $M64"
-    ctes += s"xa4 AS (SELECT doc_id, sid, bl, n, " +
-      s"CASE WHEN n % 8 >= 4 THEN $step4 ELSE h END AS h FROM xa3)"
+    ctes += s"xa4 AS (SELECT doc_id, sid, bl, n, o, r, " +
+      s"CASE WHEN r % 8 >= 4 THEN $step4 ELSE h END AS h FROM xa3)"
     for (j <- 0 until 3) {
-      val b = s"CAST(bl[(n//4)*4+$j+1] AS HUGEINT)"
+      val b = s"CAST(bl[o+(r//4)*4+$j+1] AS HUGEINT)"
       val step = mulmod(rotl(xor64("h", mulmodSmall(b, P5)), 11), P1)
-      ctes += s"xa${5 + j} AS (SELECT doc_id, sid, bl, n, " +
-        s"CASE WHEN n % 4 > $j THEN $step ELSE h END AS h FROM xa${4 + j})"
+      ctes += s"xa${5 + j} AS (SELECT doc_id, sid, bl, n, o, r, " +
+        s"CASE WHEN r % 4 > $j THEN $step ELSE h END AS h FROM xa${4 + j})"
     }
     ctes += s"xa8 AS (SELECT doc_id, sid, ${mulmod(xor64("h", shr("h", 33)), P2)} AS h FROM xa7)"
     ctes += s"xa9 AS (SELECT doc_id, sid, ${mulmod(xor64("h", shr("h", 29)), P3)} AS h FROM xa8)"
@@ -115,23 +142,25 @@ private[queries] object OracleHash {
     ctes.result().mkString(",\n")
   }
 
-  /** sh(doc_id, h): the distinct signed xxh64 3-word-shingle set —
-    * DuckDB twin of Text.shingleHashes(normalize(text), 3). */
-  val shingleCte: String =
-    """nd AS (
-      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      |  FROM documents),
-      |tok AS (SELECT doc_id, string_split(norm, ' ') AS ts FROM nd),
-      |shs AS (
-      |  SELECT doc_id, i AS sid, ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS s
-      |  FROM tok, UNNEST(generate_series(0, len(ts)-3)) t(i)),
-      |sh0 AS (
-      |  SELECT doc_id, sid,
-      |    list_transform(range(1, length(s)+1),
-      |      i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT)) AS bl,
-      |    length(s) AS n
-      |  FROM shs),
-      |""".stripMargin + xxh64Stages + ",\n" +
+  /** sh(doc_id, h): the distinct signed xxh64 k-word-shingle set —
+    * DuckDB twin of Text.shingleHashes(normalize(text), k). Assumes
+    * every doc has >= k tokens and every shingle is < 64 bytes (both
+    * corpus-checked: 3-grams top out at 26 bytes, 8-grams at 60). */
+  def shingleCte(k: Int): String =
+    s"""nd AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |tok AS (SELECT doc_id, string_split(norm, ' ') AS ts FROM nd),
+       |shs AS (
+       |  SELECT doc_id, i AS sid, list_aggregate(ts[i+1:i+$k], 'string_agg', ' ') AS s
+       |  FROM tok, UNNEST(generate_series(0, len(ts)-$k)) t(i)),
+       |sh0 AS (
+       |  SELECT doc_id, sid,
+       |    list_transform(range(1, length(s)+1),
+       |      i -> CAST(ord(substr(s, CAST(i AS INT), 1)) AS HUGEINT)) AS bl,
+       |    length(s) AS n
+       |  FROM shs),
+       |""".stripMargin + xxh64Stages + ",\n" +
       "sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM xah)"
 
   /** sig(doc_id, j, slot): the 64-perm MinHash signature — signed min
@@ -225,6 +254,49 @@ private[queries] object OracleHash {
        |  FROM inb l JOIN inb r ON l.band_idx = r.band_idx
        |    AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Spark BloomFilterImpl's sizing, replicated from the published
+    * formulas (util.sketch.BloomFilter.optimalNumOfBits /
+    * optimalNumOfHashFunctions) plus BitArray's round-up to whole
+    * 64-bit words — probe indices are taken mod the ROUNDED size.
+    * Cross-checked against a live BloomFilter.create(10000, 0.01):
+    * bitSize 95872, k 7; probe replica validated on 2000 random longs
+    * including false-positive behavior. */
+  def bloomBitSize(expectedItems: Long, fpp: Double): Long = {
+    val numBits = (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    ((numBits + 63) / 64) * 64
+  }
+  def bloomNumHashes(expectedItems: Long, fpp: Double): Int = {
+    val numBits = (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    math.max(1, math.round(numBits.toDouble / expectedItems * math.log(2)).toInt)
+  }
+
+  /** One Murmur3_x86_32 hashLong(l, seed) as staged CTEs over a table
+    * carrying columns (h BIGINT gram hash, `seedCol` HUGEINT) — two LE
+    * 32-bit blocks through mixK1/mixH1, then fmix with len 8. Emits
+    * `outCol` (HUGEINT in [0,2^32)). */
+  private def hashLongStages(src: String, keep: String, seedExpr: String,
+                             outCol: String, tag: String): String = {
+    val u = toUnsigned("h")
+    val lo = s"(($u) % $M32)"
+    val hi = s"(($u) // $M32)"
+    s"""${tag}a AS (SELECT $keep, ${mixH1(seedExpr, mixK1(lo))} AS hh FROM $src),
+       |${tag}b AS (SELECT $keep, ${fmix32(mixH1("hh", mixK1(hi)))} AS $outCol FROM ${tag}a)""".stripMargin
+  }
+
+  /** gp(h, pos): the k bloom bit positions of each distinct gram hash
+    * in gd(h) — h1 = hashLong(h, 0), h2 = hashLong(h, h1), position i
+    * = (flip-if-negative (h1 + i·h2) as int32) mod bitSize, exactly
+    * BloomFilterImpl.mightContainLong's sequence. */
+  def bloomPositionsCte(numHashes: Int, bitSize: Long): String = {
+    val comb = s"((h1 + i * h2) % $M32)"
+    val flipped = s"(CASE WHEN $comb >= 2147483648 THEN 4294967295 - $comb ELSE $comb END)"
+    s"""${hashLongStages("gd", "h", "CAST(0 AS HUGEINT)", "h1", "bg1")},
+       |${hashLongStages("bg1b", "h, h1", "h1", "h2", "bg2")},
+       |gp AS MATERIALIZED (
+       |  SELECT h, CAST($flipped % $bitSize AS BIGINT) AS pos
+       |  FROM bg2b, UNNEST(generate_series(1, $numHashes)) t(i))""".stripMargin
+  }
 
   /** simt(doc_id, simu HUGEINT, sim BIGINT): SimHash64 over the
     * shingle set — bit b of the fingerprint is the majority vote

@@ -33,15 +33,47 @@ object GraftQuery {
 private[queries] object DecontaminationFilter {
   val EvalMaxDocId = 25L
   val ShingleK = 8
+  val ExpectedItems = 10000L
+  val Fpp = 0.01
   def bytes(docs: DataFrame): Array[Byte] = {
     import org.apache.spark.sql.functions._
     val bf = docs.filter(col("doc_id") < EvalMaxDocId)
       .select(explode(
         graft.functions.Text.shingleHashes(col("text"), ShingleK)).as("g"))
-      .stat.bloomFilter("g", expectedNumItems = 10000L, fpp = 0.01)
+      .stat.bloomFilter("g", expectedNumItems = ExpectedItems, fpp = Fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray
+  }
+
+  /** The shared d62/s23 oracle: the Bloom gate replayed in DuckDB.
+    * "Probabilistic" only names the FP rate — given the corpus the bit
+    * pattern is deterministic, so the oracle rebuilds it: xxh64 8-gram
+    * hashes (OracleHash, 1-stripe path), Murmur3 hashLong h1/h2, the
+    * k=7 probe positions mod the word-rounded 95872-bit array, eval
+    * bits from doc_id < EvalMaxDocId, and a gram hits iff ALL k of its
+    * positions are set (by any eval gram — exactly how FPs arise).
+    * Both gates emit the same (doc_id, n_grams, n_hits) rows, so one
+    * oracle string serves d62 and s23 — extending the bit-parity
+    * contract to the checker. */
+  lazy val oracleSql: String = {
+    val k = OracleHash.bloomNumHashes(ExpectedItems, Fpp)
+    "WITH " + OracleHash.shingleCte(ShingleK) + ",\n" +
+      "gd AS MATERIALIZED (SELECT DISTINCT h FROM sh),\n" +
+      OracleHash.bloomPositionsCte(
+        k, OracleHash.bloomBitSize(ExpectedItems, Fpp)) + ",\n" +
+      s"""bits AS MATERIALIZED (SELECT DISTINCT gp.pos FROM gp
+         |  WHERE gp.h IN (SELECT h FROM sh WHERE doc_id < $EvalMaxDocId)),
+         |probe AS (SELECT doc_id, h FROM sh WHERE doc_id >= $EvalMaxDocId),
+         |ghit AS (SELECT p.doc_id, p.h, COUNT(b.pos) AS nb
+         |  FROM probe p JOIN gp ON gp.h = p.h
+         |  LEFT JOIN bits b ON b.pos = gp.pos
+         |  GROUP BY 1, 2),
+         |dc AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |    SUM(CASE WHEN nb = $k THEN 1 ELSE 0 END) AS n_hits
+         |  FROM ghit GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hits FROM dc WHERE n_hits > 0
+         |ORDER BY doc_id""".stripMargin
   }
 }
 

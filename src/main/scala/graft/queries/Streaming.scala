@@ -375,10 +375,28 @@ object Streaming {
     // stateless projection (shingle→signature→band hashes) + a
     // stream-static equi-join on the 12-byte (band_idx, band_hash) key,
     // so there is no watermark and no state growth from the join; only
-    // the tiny (doc, ref) pair aggregate is stateful. Probabilistic
-    // (LSH), so rows-only: exact stream/batch parity is asserted in
-    // StreamingSpec against the identically-parameterized batch plan.
-    GraftQuery.rowsOnly("s11_stream_neardup_gate") { (s, dir) =>
+    // the tiny (doc, ref) pair aggregate is stateful. LSH is
+    // probabilistic only about recall — the oracle replays the whole
+    // deterministic pipeline in DuckDB (OracleHash: xxh64 shingles,
+    // fmix64 minhash, murmur3 band hashes) with s11's split: reference
+    // bands from doc_id < 250 (cap-filtered), stream side >= 250,
+    // distinct-ref counts per streamed doc. Stream/batch parity stays
+    // separately pinned in StreamingSpec.
+    GraftQuery.sql("s11_stream_neardup_gate",
+      "WITH " + OracleHash.shingleCte(3) + ",\n" +
+        OracleHash.minhashCte(64, 42L) + ",\n" +
+        OracleHash.bandsCte(4) + ",\n" +
+        """refb AS (SELECT doc_id AS ref_id, band_idx, band_hash
+          |  FROM bh WHERE doc_id < 250),
+          |kept AS (SELECT band_idx, band_hash FROM refb
+          |  GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |ref AS (SELECT refb.ref_id, refb.band_idx, refb.band_hash
+          |  FROM refb JOIN kept USING (band_idx, band_hash)),
+          |strm AS (SELECT doc_id, band_idx, band_hash FROM bh WHERE doc_id >= 250),
+          |pairs AS (SELECT strm.doc_id, ref.ref_id
+          |  FROM strm JOIN ref USING (band_idx, band_hash) GROUP BY 1, 2)
+          |SELECT doc_id, COUNT(*) AS n_ref_candidates FROM pairs
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.functions.Text
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1016,9 +1034,12 @@ object Streaming {
     // whose cost is exactly the projection, in append mode, immune to
     // skew and to state-store growth alike. Bloom insertion is
     // commutative, so the filter built here is bit-identical to d62's
-    // and StreamingSpec pins exact stream/batch parity; probabilistic
-    // bit-pattern → rows (d62's reasoning).
-    GraftQuery.rowsOnly("s23_stream_bloom_gate") { (s, dir) =>
+    // and StreamingSpec pins exact stream/batch parity; the oracle is
+    // d62's VERBATIM (DecontaminationFilter.oracleSql rebuilds the
+    // filter's bits and probe sequence in DuckDB), so the drained
+    // stream must hash-match the independent DuckDB replay too.
+    GraftQuery.sql("s23_stream_bloom_gate",
+      DecontaminationFilter.oracleSql) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.functions.Text
