@@ -25,6 +25,53 @@ object Docs {
       |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm, text
       |  FROM documents)""".stripMargin
 
+  /** Oracle prelude shared by the CDC family (d71 chunking, d76
+    * boilerplate removal): token positions with Rabin-style boundary
+    * flags and the running chunk index. One definition so the two
+    * entries cannot drift on the chunking rule. */
+  private val cdcCte =
+    s"""$normCte,
+       |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd
+       |  WHERE length(norm) > 0),
+       |p0 AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM tk),
+       |pos AS (SELECT doc_id, pos, toks[pos+1] AS tok,
+       |    CASE WHEN pos >= 3 AND substr(md5(
+       |      array_to_string(toks[pos-2:pos+1], ' ')), 1, 1) < '2'
+       |    THEN 1 ELSE 0 END AS bnd
+       |  FROM p0),
+       |ck AS (SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM pos)""".stripMargin
+
+  /** Spark twin of [[cdcCte]]: the per-chunk rollup (doc_id, chunk_idx,
+    * start, len, txt) both CDC consumers build on. Boundary flags are a
+    * map-side md5 projection; the chunk index is one prefix-sum window
+    * over the doc_id exchange; the rollup rides the same partitioning.
+    * Chunk text is bounded by the CDC cut rate (expected 8 tokens), so
+    * carrying it is O(corpus), never O(doc). */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = docs(s, dir)
+      .filter(length(Text.normalize($"text")) > 0)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+    val pos = tk
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos", $"tok",
+        when($"pos" >= 3 && substring(md5(concat_ws(" ",
+          slice($"toks", $"pos" - 2, lit(4))).cast("binary")), 1, 1) < "2",
+          1L).otherwise(0L).as("bnd"))
+    val wPre = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("chunk_idx", coalesce(sum($"bnd").over(wPre), lit(0L)))
+      .groupBy($"doc_id", $"chunk_idx")
+      .agg(min($"pos").cast("long").as("start"), count(lit(1)).as("len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"tok"))), x => x.getField("tok")))
+          .as("txt"))
+  }
+
   /** d45's oracle: the k-round BPE merge loop unrolled into a CTE
     * chain — per round, a pair count over the current tokenization, the
     * (n desc, pair asc) argmax, and the greedy rewrite as the SAME
@@ -3260,43 +3307,16 @@ object Docs {
     // rides the same partitioning. Chunk text reduces to a 128-bit
     // fingerprint before leaving the operator.
     GraftQuery.sql("d71_cdc_chunks",
-      s"""$normCte,
-         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd
-         |  WHERE length(norm) > 0),
-         |p0 AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM tk),
-         |pos AS (SELECT doc_id, pos, toks[pos+1] AS tok,
-         |    CASE WHEN pos >= 3 AND substr(md5(
-         |      array_to_string(toks[pos-2:pos+1], ' ')), 1, 1) < '2'
-         |    THEN 1 ELSE 0 END AS bnd
-         |  FROM p0),
-         |ck AS (SELECT doc_id, pos, tok,
-         |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-         |  FROM pos)
+      s"""$cdcCte
          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          |  CAST(MIN(pos) AS BIGINT) AS start, COUNT(*) AS len,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
          |FROM ck GROUP BY doc_id, chunk_idx
          |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val tk = docs(s, dir)
-        .filter(length(Text.normalize($"text")) > 0)
-        .select($"doc_id", Text.tokens($"text").as("toks"))
-      val pos = tk
-        .select($"doc_id", $"toks", posexplode($"toks").as(Seq("pos", "tok")))
-        .select($"doc_id", $"pos", $"tok",
-          when($"pos" >= 3 && substring(md5(concat_ws(" ",
-            slice($"toks", $"pos" - 2, lit(4))).cast("binary")), 1, 1) < "2",
-            1L).otherwise(0L).as("bnd"))
-      val wPre = Window.partitionBy($"doc_id").orderBy($"pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pos
-        .withColumn("chunk_idx", coalesce(sum($"bnd").over(wPre), lit(0L)))
-        .groupBy($"doc_id", $"chunk_idx")
-        .agg(min($"pos").cast("long").as("start"), count(lit(1)).as("len"),
-          md5(concat_ws(" ", transform(
-            array_sort(collect_list(struct($"pos", $"tok"))), x => x.getField("tok")))
-            .cast("binary")).as("chunk_fp"))
+      cdcChunks(s, dir)
+        .select($"doc_id", $"chunk_idx", $"start", $"len",
+          md5($"txt".cast("binary")).as("chunk_fp"))
         .orderBy($"doc_id", $"chunk_idx")
     },
 
@@ -3375,6 +3395,203 @@ object Docs {
       graft.operators.Multimodal.detectVoice(media, frame = 160, meanSqThresh = 900L)
         .toDF()
         .orderBy($"doc_id")
+    },
+
+    // ---- d76: boilerplate removal — the C4/CCNet line-frequency rule
+    // ("drop any line occurring ≥3 times in the corpus") re-expressed
+    // over CDC chunks, since this corpus has no newlines and the CDC
+    // cut (d71, one shared definition) is the content-stable segment
+    // boundary. Distinct from d50 in KIND: d50 keeps a canonical copy
+    // of cross-doc-shared substrings; boilerplate is removed from
+    // EVERY occurrence — headers/footers/navigation have no canonical
+    // home. Scale shape: chunk fingerprints partial-count map-side
+    // into ONE fp-keyed exchange; the removal decision joins back
+    // co-partitioned on that same fp key (at 100 TB the ≥3 minority
+    // set is tiny — a Bloom over hot fps, d62's form, replaces the
+    // join); the per-doc rollup and the cleaned-text fingerprint ride
+    // one doc_id exchange. Chunk text is CDC-bounded (expected 8
+    // tokens), so nothing here scales with document length.
+    GraftQuery.sql("d76_boilerplate_remove",
+      s"""$cdcCte,
+         |ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS len,
+         |    string_agg(tok, ' ' ORDER BY pos) AS txt
+         |  FROM ck GROUP BY 1, 2),
+         |fq AS (SELECT md5(txt) AS fp, COUNT(*) AS freq FROM ch GROUP BY 1),
+         |j AS (SELECT ch.doc_id, ch.chunk_idx, ch.len, ch.txt, fq.freq
+         |  FROM ch JOIN fq ON md5(ch.txt) = fq.fp)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN freq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(SUM(len) AS BIGINT) AS tok_total,
+         |  CAST(SUM(CASE WHEN freq < 3 THEN len ELSE 0 END) AS BIGINT) AS tok_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN freq < 3 THEN txt END,
+         |    ' ' ORDER BY chunk_idx), '')) AS clean_fp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ch = cdcChunks(s, dir).withColumn("fp", md5($"txt".cast("binary")))
+      val fq = ch.groupBy($"fp").agg(count(lit(1)).as("freq"))
+      ch.join(fq, "fp")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(($"freq" >= 3).cast("long")).as("n_removed"),
+          sum($"len").as("tok_total"),
+          sum(when($"freq" < 3, $"len").otherwise(0L)).as("tok_kept"),
+          md5(concat_ws(" ", transform(
+            filter(
+              array_sort(collect_list(struct($"chunk_idx",
+                when($"freq" < 3, $"txt").as("txt")))),
+              x => x.getField("txt").isNotNull),
+            x => x.getField("txt"))).cast("binary")).as("clean_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d77: vocabulary growth curve (Heaps' law) in curation order
+    // — the tokenizer-planning question "how fast does the type
+    // inventory still grow?" answered WITHOUT re-scanning any prefix:
+    // each type contributes exactly once, at its corpus-wide
+    // first-occurrence doc (min doc_id — one token-keyed exchange with
+    // map-side min partials, d53's first-occurrence table), first
+    // occurrences and token mass histogram into 10 doc-id deciles
+    // (decile = one broadcast scalar, max doc_id), and the cumulative
+    // curve + type/token ratio come from a window over the TEN-row
+    // decile table. The textbook form — count distinct tokens in each
+    // prefix — scans the corpus 10 times and shuffles 10 near-full
+    // distinct sets; this plan is one scan, two tiny exchanges, and
+    // never re-reads a prefix.
+    GraftQuery.sql("d77_vocab_growth",
+      s"""$normCte,
+         |nt AS (SELECT MAX(doc_id) + 1 AS n_total FROM documents),
+         |dd AS (SELECT doc_id, LEAST(9, doc_id * 10 // n_total) AS dec
+         |  FROM documents, nt),
+         |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+         |  FROM nd WHERE length(norm) > 0),
+         |occ AS (SELECT dec, COUNT(*) AS toks
+         |  FROM tok JOIN dd USING (doc_id) GROUP BY 1),
+         |ft AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+         |nw AS (SELECT dd.dec, COUNT(*) AS new_types
+         |  FROM ft JOIN dd ON ft.first_doc = dd.doc_id GROUP BY 1),
+         |dn AS (SELECT dec, COUNT(*) AS n_docs FROM dd GROUP BY 1),
+         |g AS (SELECT unnest(generate_series(0, 9)) AS dec),
+         |base AS (SELECT g.dec, COALESCE(dn.n_docs, 0) AS n_docs,
+         |    COALESCE(occ.toks, 0) AS toks, COALESCE(nw.new_types, 0) AS new_types
+         |  FROM g LEFT JOIN dn ON g.dec = dn.dec
+         |    LEFT JOIN occ ON g.dec = occ.dec
+         |    LEFT JOIN nw ON g.dec = nw.dec),
+         |c AS (SELECT dec, n_docs, new_types, toks,
+         |    SUM(new_types) OVER (ORDER BY dec) AS vocab_cum,
+         |    SUM(toks) OVER (ORDER BY dec) AS tokens_cum FROM base)
+         |SELECT CAST(dec AS BIGINT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(new_types AS BIGINT) AS new_types,
+         |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+         |  CAST(toks AS BIGINT) AS tokens_dec,
+         |  CAST(tokens_cum AS BIGINT) AS tokens_cum,
+         |  CAST(CASE WHEN tokens_cum > 0
+         |    THEN vocab_cum * 1000000 // tokens_cum ELSE 0 END AS BIGINT) AS ttr_ppm
+         |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // one scalar to the driver — the decile RULE, not data (d61's
+      // budget-scalar discipline)
+      val nTotal = docs(s, dir).agg((max($"doc_id") + 1).as("n")).head().getLong(0)
+      val dec = least(lit(9L), expr(s"doc_id * 10 div $nTotal"))
+      val tok = docs(s, dir)
+        .filter(length(Text.normalize($"text")) > 0)
+        .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      val occ = tok.select(dec.as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("tokens_dec"))
+      val nw = tok.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+        .select(dec.as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("new_types"))
+      val dn = docs(s, dir).select(dec.as("decile"))
+        .groupBy($"decile").agg(count(lit(1)).as("n_docs"))
+      // cumulative curve over the TEN-row decile table only
+      val wCum = Window.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      (0L to 9L).toDF("decile")
+        .join(dn, Seq("decile"), "left")
+        .join(occ, Seq("decile"), "left")
+        .join(nw, Seq("decile"), "left")
+        .select($"decile", coalesce($"n_docs", lit(0L)).as("n_docs"),
+          coalesce($"new_types", lit(0L)).as("new_types"),
+          coalesce($"tokens_dec", lit(0L)).as("tokens_dec"))
+        .withColumn("vocab_cum", sum($"new_types").over(wCum))
+        .withColumn("tokens_cum", sum($"tokens_dec").over(wCum))
+        .select($"decile", $"n_docs", $"new_types", $"vocab_cum",
+          $"tokens_dec", $"tokens_cum",
+          when($"tokens_cum" > 0,
+            expr("vocab_cum * 1000000 div tokens_cum")).otherwise(0L).as("ttr_ppm"))
+        .orderBy($"decile")
+    },
+
+    // ---- d78: embedding hygiene gate — the vector-side quality
+    // filter every embedding pipeline runs before ANN/clustering
+    // (d10/d46's precondition): per vector, non-finite entries, the
+    // all-zero degenerate (cosine would NaN — Vectors.cosine's
+    // documented non-defense), and an exact norm-outlier band
+    // [med/2, 2·med] where the median norm comes from the VALUE
+    // HISTOGRAM over integer basis points (d56's order-statistics
+    // trick — the corpus is never sorted; the cumulative window runs
+    // over distinct norm_bp values only, a domain bounded by the norm
+    // range, and the one-row median broadcasts back). Norms are the
+    // proven index-ascending double fold (nvCte parity idiom), floored
+    // to bp so the comparison is integer-exact on both engines.
+    GraftQuery.sql("d78_embedding_hygiene",
+      """WITH v AS (SELECT vec_id, len(embedding) AS n_dims,
+        |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |      OR isinf(CAST(x AS DOUBLE)))) AS n_bad,
+        |    CASE WHEN len(list_filter(embedding, x -> x <> 0)) = 0
+        |      THEN 1 ELSE 0 END AS is_zero,
+        |    sqrt(list_sum(list_transform(range(len(embedding)),
+        |      i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |vb AS (SELECT vec_id, n_dims, n_bad, is_zero,
+        |    CASE WHEN n_bad > 0 THEN -1
+        |      ELSE CAST(floor(nrm * 10000) AS BIGINT) END AS norm_bp FROM v),
+        |h AS (SELECT norm_bp, COUNT(*) AS c FROM vb
+        |  WHERE n_bad = 0 AND is_zero = 0 GROUP BY 1),
+        |cum AS (SELECT norm_bp, SUM(c) OVER (ORDER BY norm_bp) AS cum,
+        |    SUM(c) OVER () AS n FROM h),
+        |med AS (SELECT MIN(norm_bp) AS med FROM cum WHERE cum * 2 >= n)
+        |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+        |  CAST(n_bad AS BIGINT) AS n_bad, CAST(is_zero AS BIGINT) AS is_zero,
+        |  norm_bp,
+        |  CASE WHEN n_bad > 0 THEN 'nonfinite' WHEN is_zero = 1 THEN 'zero'
+        |    WHEN norm_bp * 2 < med OR norm_bp > med * 2 THEN 'outlier'
+        |    ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN n_bad = 0 AND is_zero = 0
+        |    AND norm_bp * 2 >= med AND norm_bp <= med * 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM vb, med ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val inf = lit(Float.PositiveInfinity)
+      val v = embs(s, dir).select($"vec_id",
+        size($"embedding").cast("long").as("n_dims"),
+        size(filter($"embedding", x => isnan(x) || abs(x) === inf))
+          .cast("long").as("n_bad"),
+        (size(filter($"embedding", x => x =!= lit(0.0f))) === 0)
+          .cast("long").as("is_zero"),
+        Vectors.norm($"embedding").as("nrm"))
+      val vb = v.select($"vec_id", $"n_dims", $"n_bad", $"is_zero",
+        when($"n_bad" > 0, lit(-1L))
+          .otherwise(floor($"nrm" * 10000).cast("long")).as("norm_bp"))
+        .persist() // feeds the histogram and the final projection
+      val wOrd = Window.orderBy($"norm_bp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      // median over the tiny norm_bp histogram (d56's cum*2 >= n pick)
+      val med = vb.filter($"n_bad" === 0 && $"is_zero" === 0)
+        .groupBy($"norm_bp").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wOrd))
+        .withColumn("n", sum($"c").over(wAll))
+        .filter($"cum" * 2 >= $"n")
+        .agg(min($"norm_bp").as("med"))
+      vb.crossJoin(broadcast(med))
+        .select($"vec_id", $"n_dims", $"n_bad", $"is_zero", $"norm_bp",
+          when($"n_bad" > 0, "nonfinite").when($"is_zero" === 1, "zero")
+            .when($"norm_bp" * 2 < $"med" || $"norm_bp" > $"med" * 2, "outlier")
+            .otherwise("ok").as("status"),
+          ($"n_bad" === 0 && $"is_zero" === 0 &&
+            $"norm_bp" * 2 >= $"med" && $"norm_bp" <= $"med" * 2)
+            .cast("long").as("kept"))
+        .orderBy($"vec_id")
     }
   )
 
