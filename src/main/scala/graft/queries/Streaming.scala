@@ -25,6 +25,17 @@ object Streaming {
   private val evCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
+  /** Checkpoint scratch for the bounded drains. State-store commits are
+    * many tiny fsynced files; on a disk-backed java.io.tmpdir they pay
+    * flush latency that is pure harness floor (a real deployment's
+    * checkpoint cadence is amortized over a long-running query, not a
+    * 2-batch drain). Prefer the tmpfs when one is present; durability
+    * is irrelevant here — the drain is re-runnable, each query gets a
+    * FRESH dir (a reused checkpoint would resume prior state), and the
+    * per-process parent is deleted at JVM exit. */
+  private def ckptDir(): String =
+    graft.util.TempDirs.freshUnder("/dev/shm", "graft-ckpt")
+
   private def drainToTable(spark: SparkSession, df: DataFrame,
                            outputMode: String): DataFrame = {
     val name = "g_" + UUID.randomUUID().toString.replace("-", "")
@@ -40,8 +51,7 @@ object Streaming {
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-ckpt-").toString)
+        .option("checkpointLocation", ckptDir())
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
     } finally {
@@ -69,8 +79,7 @@ object Streaming {
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-ckpt-").toString)
+        .option("checkpointLocation", ckptDir())
         .start()
       try {
         chunks.foreach { c => in.addData(c); q.processAllAvailable() }
@@ -99,7 +108,8 @@ object Streaming {
   private def materializeLog(s: SparkSession, dir: String,
                              chunk: Int): java.nio.file.Path = {
     import s.implicits._
-    val root = Files.createTempDirectory("graft-shardedlog-")
+    val root = java.nio.file.Paths.get(
+      graft.util.TempDirs.freshUnder("/dev/shm", "graft-shardedlog"))
     Tables.events(s, dir)
       .select($"event_id", pmod($"user_id", lit(4)).as("shard"))
       .collect()
@@ -679,7 +689,8 @@ object Streaming {
       // full redelivery pass follows the original), so the dedup stage
       // is load-bearing — without it every count downstream doubles
       // and the hash breaks
-      val root = Files.createTempDirectory("graft-pipeline-log-")
+      val root = java.nio.file.Paths.get(
+        graft.util.TempDirs.freshUnder("/dev/shm", "graft-pipeline-log"))
       Tables.load(s, dir, "documents")
         .select($"doc_id", pmod($"doc_id", lit(4)).as("shard"))
         .collect().groupBy(_.getLong(1))

@@ -21,6 +21,26 @@ object TempDirs {
       dir.toString
     })
 
+  /** A FRESH unique subdirectory per call (streaming checkpoints must
+    * never be reused across queries — a resumed checkpoint replays
+    * prior state), all under one per-process parent with a single
+    * delete-on-exit hook. The parent prefers `base` when it is a
+    * writable directory (e.g. a tmpfs for checkpoint scratch) and
+    * falls back to java.io.tmpdir. */
+  def freshUnder(base: String, name: String): String = {
+    val parent = registered.getOrElseUpdate(s"$base::$name", {
+      val b = new java.io.File(base)
+      val root = if (b.isDirectory && b.canWrite) b
+                 else new java.io.File(sys.props("java.io.tmpdir"))
+      val dir = new java.io.File(root, s"$name-${ProcessHandle.current().pid()}")
+      dir.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+      dir.toString
+    })
+    java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(parent), "q-").toString
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
