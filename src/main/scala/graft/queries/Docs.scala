@@ -3427,7 +3427,11 @@ object Docs {
          |    ' ' ORDER BY chunk_idx), '')) AS clean_fp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // persisted: the chunk rollup feeds BOTH the frequency aggregate
+      // and the join side — without it the whole CDC pipeline executes
+      // twice (column pruning forks the subplans, so no ReusedExchange)
       val ch = cdcChunks(s, dir).withColumn("fp", md5($"txt".cast("binary")))
+        .persist()
       val fq = ch.groupBy($"fp").agg(count(lit(1)).as("freq"))
       ch.join(fq, "fp")
         .groupBy($"doc_id")
@@ -3492,9 +3496,13 @@ object Docs {
       // budget-scalar discipline)
       val nTotal = docs(s, dir).agg((max($"doc_id") + 1).as("n")).head().getLong(0)
       val dec = least(lit(9L), expr(s"doc_id * 10 div $nTotal"))
+      // persisted: the token table feeds the per-decile mass AND the
+      // first-occurrence aggregate — one tokenization scan, as claimed
+      // (the two remaining documents scans read only the doc_id column)
       val tok = docs(s, dir)
         .filter(length(Text.normalize($"text")) > 0)
         .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+        .persist()
       val occ = tok.select(dec.as("decile"))
         .groupBy($"decile").agg(count(lit(1)).as("tokens_dec"))
       val nw = tok.groupBy($"tok").agg(min($"doc_id").as("doc_id"))

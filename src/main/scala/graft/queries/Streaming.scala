@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.{BatchingSink, ShardedLog, StreamOps}
-import java.nio.file.Files
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -138,15 +137,19 @@ object Streaming {
          |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       val root = materializeLog(s, dir, chunk = 2000)
-      val stream = s.readStream.format(ShardedLog.Format)
-        .option("path", root.toString)
-        .option("startingPosition", "trim_horizon")
-        .load()
-        .select($"shard", $"value".cast("long").as("event_id"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n"),
-          min($"event_id").as("min_id"), max($"event_id").as("max_id"))
-      drainToTable(s, stream, "complete").orderBy($"shard")
+      try {
+        val stream = s.readStream.format(ShardedLog.Format)
+          .option("path", root.toString)
+          .option("startingPosition", "trim_horizon")
+          .load()
+          .select($"shard", $"value".cast("long").as("event_id"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n"),
+            min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+        drainToTable(s, stream, "complete").orderBy($"shard")
+        // the drain is complete and the memory sink holds the result —
+        // free the tmpfs log now, not at JVM exit
+      } finally graft.util.TempDirs.delete(root.toString)
     },
 
     // ---- s3: backpressured drain — same log, but admission control caps
@@ -170,15 +173,17 @@ object Streaming {
       val total = Tables.events(s, dir).count()
       val chunk = math.max(500L, total / 4 / batches + 1).toInt
       val root = materializeLog(s, dir, chunk)
-      val stream = s.readStream.format(ShardedLog.Format)
-        .option("path", root.toString)
-        .option("startingPosition", "trim_horizon")
-        .option("maxFilesPerTrigger", "1")
-        .load()
-        .select($"shard", $"value".cast("long").as("event_id"))
-        .groupBy($"shard")
-        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
-      drainToTable(s, stream, "complete").orderBy($"shard")
+      try {
+        val stream = s.readStream.format(ShardedLog.Format)
+          .option("path", root.toString)
+          .option("startingPosition", "trim_horizon")
+          .option("maxFilesPerTrigger", "1")
+          .load()
+          .select($"shard", $"value".cast("long").as("event_id"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+        drainToTable(s, stream, "complete").orderBy($"shard")
+      } finally graft.util.TempDirs.delete(root.toString)
     },
 
     // ---- s2: the batching sink end-to-end, distributed: every partition
@@ -691,6 +696,7 @@ object Streaming {
       // and the hash breaks
       val root = java.nio.file.Paths.get(
         graft.util.TempDirs.freshUnder("/dev/shm", "graft-pipeline-log"))
+      try {
       Tables.load(s, dir, "documents")
         .select($"doc_id", pmod($"doc_id", lit(4)).as("shard"))
         .collect().groupBy(_.getLong(1))
@@ -745,6 +751,7 @@ object Streaming {
         .groupBy($"lang", $"status")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"status")
+      } finally graft.util.TempDirs.delete(root.toString)
     },
 
     // ---- s18: PII gate ON THE INGEST STREAM — d49's detection /

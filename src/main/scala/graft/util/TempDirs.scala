@@ -26,20 +26,28 @@ object TempDirs {
     * prior state), all under one per-process parent with a single
     * delete-on-exit hook. The parent prefers `base` when it is a
     * writable directory (e.g. a tmpfs for checkpoint scratch) and
-    * falls back to java.io.tmpdir. */
+    * falls back to java.io.tmpdir. The parent itself comes from
+    * createTempDirectory — unpredictable name, owner-only perms,
+    * collision = failure — never a guessable pid-derived path a
+    * co-tenant could pre-plant in a world-writable base. */
   def freshUnder(base: String, name: String): String = {
     val parent = registered.getOrElseUpdate(s"$base::$name", {
       val b = new java.io.File(base)
       val root = if (b.isDirectory && b.canWrite) b
                  else new java.io.File(sys.props("java.io.tmpdir"))
-      val dir = new java.io.File(root, s"$name-${ProcessHandle.current().pid()}")
-      dir.mkdirs()
+      val dir = java.nio.file.Files
+        .createTempDirectory(root.toPath, s"$name-").toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
       dir.toString
     })
     java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get(parent), "q-").toString
   }
+
+  /** Eager recursive delete for scratch whose useful life ends before
+    * JVM exit (e.g. a materialized harness log after its drain) — on a
+    * tmpfs, waiting for the exit hook holds RAM for the whole run. */
+  def delete(dir: String): Unit = deleteRecursively(new java.io.File(dir))
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
