@@ -44,6 +44,41 @@ object Docs {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
        |  FROM pos)""".stripMargin
 
+  /** Oracle prelude shared by the quality-scoring consumers (d61
+    * budget selection, d79 cross-source calibration): the integer-bp
+    * quality score (length + punctuation + stopword components, all
+    * integer division). One definition so the score cannot drift. */
+  private val qualityCte =
+    s"""$normCte,
+       |t AS (SELECT doc_id, source,
+       |    len(string_split(norm, ' ')) AS n_tok,
+       |    length(norm) AS chars,
+       |    length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
+       |    len(list_filter(string_split(norm, ' '), x -> x IN ('the', 'a'))) AS stop
+       |  FROM nd WHERE length(norm) > 0),
+       |q AS (SELECT doc_id, source, n_tok,
+       |    30 * LEAST(n_tok, 100) + (chars - punct) * 3000 // chars
+       |      + stop * 4000 // n_tok AS q_bp FROM t)""".stripMargin
+
+  /** Spark twin of [[qualityCte]]: (doc_id, source, n_tok, q_bp). */
+  private def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = Text.normalize($"text")
+    docs(s, dir)
+      .select($"doc_id", $"source", norm.as("norm"))
+      .filter(length($"norm") > 0)
+      .select($"doc_id", $"source",
+        size(split($"norm", " ")).cast("long").as("n_tok"),
+        length($"norm").cast("long").as("chars"),
+        length(regexp_replace($"norm", "[a-z0-9 ]", "")).cast("long").as("punct"),
+        size(filter(split($"norm", " "),
+          x => x.isin(stopwords.map(lit(_)): _*))).cast("long").as("stop"))
+      .select($"doc_id", $"source", $"n_tok",
+        (lit(30L) * least($"n_tok", lit(100L)) +
+          expr("(chars - punct) * 3000 div chars") +
+          expr("stop * 4000 div n_tok")).as("q_bp"))
+  }
+
   /** Spark twin of [[cdcCte]]: the per-chunk rollup (doc_id, chunk_idx,
     * start, len, txt) both CDC consumers build on. Boundary flags are a
     * map-side md5 projection; the chunk index is one prefix-sum window
@@ -2715,16 +2750,7 @@ object Docs {
     // is one total order over the corpus; this one windows just the
     // cutoff bin, bounded by a bin's mass, not the corpus.
     GraftQuery.sql("d61_quality_budget",
-      s"""$normCte,
-         |t AS (SELECT doc_id, source,
-         |    len(string_split(norm, ' ')) AS n_tok,
-         |    length(norm) AS chars,
-         |    length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS punct,
-         |    len(list_filter(string_split(norm, ' '), x -> x IN ('the', 'a'))) AS stop
-         |  FROM nd WHERE length(norm) > 0),
-         |q AS (SELECT doc_id, source, n_tok,
-         |    30 * LEAST(n_tok, 100) + (chars - punct) * 3000 // chars
-         |      + stop * 4000 // n_tok AS q_bp FROM t),
+      s"""$qualityCte,
          |tot AS (SELECT SUM(n_tok) * 2 // 5 AS b FROM q),
          |bins AS (SELECT q_bp, SUM(n_tok) AS btok FROM q GROUP BY 1),
          |cb AS (SELECT q_bp, btok, COALESCE(SUM(btok) OVER (ORDER BY q_bp DESC
@@ -2738,20 +2764,7 @@ object Docs {
          |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
          |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val norm = Text.normalize($"text")
-      val t = docs(s, dir)
-        .select($"doc_id", $"source", norm.as("norm"))
-        .filter(length($"norm") > 0)
-        .select($"doc_id", $"source",
-          size(split($"norm", " ")).cast("long").as("n_tok"),
-          length($"norm").cast("long").as("chars"),
-          length(regexp_replace($"norm", "[a-z0-9 ]", "")).cast("long").as("punct"),
-          size(filter(split($"norm", " "),
-            x => x.isin(stopwords.map(lit(_)): _*))).cast("long").as("stop"))
-      val q = t.select($"doc_id", $"source", $"n_tok",
-        (lit(30L) * least($"n_tok", lit(100L)) +
-          expr("(chars - punct) * 3000 div chars") +
-          expr("stop * 4000 div n_tok")).as("q_bp"))
+      val q = qualityScores(s, dir)
       val budget = q.agg(expr("sum(n_tok) * 2 div 5")).head().getLong(0)
       val bins = q.groupBy($"q_bp").agg(sum($"n_tok").as("btok"))
       // cumulative mass of strictly-better bins: window over the TINY
@@ -3600,6 +3613,49 @@ object Docs {
             $"norm_bp" * 2 >= $"med" && $"norm_bp" <= $"med" * 2)
             .cast("long").as("kept"))
         .orderBy($"vec_id")
+    },
+
+    // ---- d79: cross-source quality calibration — the normalization
+    // step a heterogeneous-corpus curation run needs BEFORE d61's
+    // budget or d35's sampling can compare sources at all: a raw
+    // quality score (d61's formula, ONE shared definition) means
+    // different things under different source distributions, so each
+    // doc is mapped to its WITHIN-SOURCE percentile, exactly:
+    // cal_bp = (#docs in the same source with a strictly lower score)
+    // · 10000 div n_source. Sort-free by the value-histogram
+    // discipline (d56/d57/d78): scores partial-aggregate into a
+    // (source, q_bp) histogram, the strictly-below cumulative runs
+    // over THAT summary per source, and the tiny table broadcasts back
+    // onto a map-side projection — the corpus is never sorted, never
+    // windowed, and the exchange key is (source, q_bp), bounded by
+    // score domain × sources, independent of corpus size.
+    GraftQuery.sql("d79_quality_calibrate",
+      s"""$qualityCte,
+         |h AS (SELECT source, q_bp, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         |cum AS (SELECT source, q_bp,
+         |    COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY q_bp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt,
+         |    SUM(c) OVER (PARTITION BY source) AS n_s FROM h)
+         |SELECT q.doc_id, q.source, q.q_bp,
+         |  CAST(cnt_lt * 10000 // n_s AS BIGINT) AS cal_bp,
+         |  CAST(CASE WHEN cnt_lt * 2 >= n_s THEN 1 ELSE 0 END AS BIGINT) AS top_half
+         |FROM q JOIN cum ON q.source = cum.source AND q.q_bp = cum.q_bp
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val q = qualityScores(s, dir)
+      val wLt = Window.partitionBy($"source").orderBy($"q_bp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wSrc = Window.partitionBy($"source")
+      // windows run over the (source, q_bp) HISTOGRAM only
+      val cum = q.groupBy($"source", $"q_bp").agg(count(lit(1)).as("c"))
+        .withColumn("cnt_lt", coalesce(sum($"c").over(wLt), lit(0L)))
+        .withColumn("n_s", sum($"c").over(wSrc))
+        .drop("c")
+      q.join(broadcast(cum), Seq("source", "q_bp"))
+        .select($"doc_id", $"source", $"q_bp",
+          expr("cnt_lt * 10000 div n_s").as("cal_bp"),
+          ($"cnt_lt" * 2 >= $"n_s").cast("long").as("top_half"))
+        .orderBy($"doc_id")
     }
   )
 

@@ -88,6 +88,45 @@ class Wave10Spec extends SparkSpec {
     assert(model.last._3 < model.head._3)
   }
 
+  test("d79: within-source calibration matches the Scala model") {
+    val got = SparkEntry.queries("d79_quality_calibrate")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val rows = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = rows.flatMap { case (id, src, text) =>
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      if (norm.isEmpty) None else {
+        val toks = norm.split(" ").toVector
+        val nTok = toks.size.toLong
+        val chars = norm.length.toLong
+        val punct = norm.count(c => !(c.isDigit || (c >= 'a' && c <= 'z') || c == ' ')).toLong
+        val stop = toks.count(t => t == "the" || t == "a").toLong
+        Some((id, src, 30L * math.min(nTok, 100L) +
+          (chars - punct) * 3000L / chars + stop * 4000L / nTok))
+      }
+    }
+    val bySrc = scored.groupBy(_._2)
+    scored.foreach { case (id, src, q) =>
+      val peers = bySrc(src).map(_._3)
+      val cntLt = peers.count(_ < q).toLong
+      val nS = peers.size.toLong
+      val model = (src, q, cntLt * 10000 / nS, if (cntLt * 2 >= nS) 1L else 0L)
+      assert(got(id) === model, s"doc $id")
+    }
+    assert(got.keySet === scored.map(_._1).toSet)
+    // calibration is the point: identical cal_bp semantics across
+    // sources even though raw score distributions differ — each source
+    // must span the percentile range (min cal_bp = 0 per source)
+    bySrc.keys.foreach { src =>
+      val cals = scored.filter(_._2 == src)
+        .map { case (id, _, _) => got(id)._3 }
+      assert(cals.min === 0L, s"source $src: no 0-percentile doc")
+    }
+  }
+
   test("d78: hygiene gate matches the Scala model (fold order, median band)") {
     val got = SparkEntry.queries("d78_embedding_hygiene")(spark, Sf0001)
       .collect().map(r => r.getLong(0) ->
