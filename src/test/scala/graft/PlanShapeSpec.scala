@@ -67,6 +67,39 @@ class PlanShapeSpec extends SparkSpec {
       s"verify must probe the broadcast set table on both sides (got $broadcasts):\n$p")
   }
 
+  test("d76: chunk pipeline computes once (cached, two readers); fp join never nests") {
+    val p = plan("d76_boilerplate_remove")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"the chunk rollup must feed freq + join from ONE cached pipeline (got $cacheReads reads):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the fp-keyed join degenerated:\n$p")
+    assert(p.contains("partial_count"), "chunk frequency lost its map-side partial")
+  }
+
+  test("d77: one tokenization (cached, two readers); curve windows see only the decile table") {
+    val p = plan("d77_vocab_growth")
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"token table must feed decile mass + first-occurrence from ONE cache (got $cacheReads):\n$p")
+    assert(p.contains("partial_min"), "first-occurrence lost its map-side min partial")
+  }
+
+  test("d78: the only nested-loop join is the one-row median broadcast") {
+    val p = plan("d78_embedding_hygiene")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 1, s"expected exactly the 1-row median crossJoin (got $bnlj):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no vector-sized join may exist:\n$p")
+  }
+
+  test("d79: the percentile assignment joins the histogram by broadcast, not shuffle") {
+    val p = plan("d79_quality_calibrate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (source, q_bp) histogram must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for percentile assignment:\n$p")
+  }
+
   test("similarity verify: the shuffle fallback branch is correct and actually shuffles") {
     import graft.functions.Text
     import graft.operators.SimilarityJoin
