@@ -17,6 +17,50 @@ class BatchingSinkSpec extends AnyFunSuite {
                    sleeps: mutable.Buffer[Long] = mutable.Buffer.empty) =
     new BatchingSink[Int](put, config, sleeps += _)
 
+  test("property: arbitrary failure/throttle patterns conserve every record exactly once") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // behavior per record: 0 = succeed, 1 = hard-fail, k in 2..4 =
+    // throttle (k-1) flushes then succeed — generated streams cross the
+    // buffer cap so threshold flush, requeue, and the close-drain all
+    // execute on the same run
+    val genCase = for {
+      n <- Gen.choose(0, 1200)
+      behaviors <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const(0), 1 -> Gen.const(1), 2 -> Gen.choose(2, 4)))
+      threshold <- Gen.choose(1, 300)
+    } yield (behaviors.toVector, threshold)
+    var seed = Seed(11L)
+    val params = Gen.Parameters.default
+    (0 until 60).foreach { _ =>
+      genCase.apply(params, seed).foreach { case (behaviors, threshold) =>
+        val throttlesLeft = mutable.Map.empty[Int, Int] ++
+          behaviors.zipWithIndex.collect { case (k, i) if k >= 2 => i -> (k - 1) }
+        val put: Seq[Int] => Seq[PutResult] = batch => batch.map { i =>
+          behaviors(i) match {
+            case 1 => PutResult(Some("InternalFailure"))
+            case k if k >= 2 && throttlesLeft(i) > 0 =>
+              throttlesLeft(i) -= 1; PutResult(Some(ThrottledCode))
+            case _ => PutResult(None)
+          }
+        }
+        val out = sink(put,
+          Config(sendingThreshold = threshold, maxBufferSize = threshold * 2))
+          .run(behaviors.indices.iterator).toVector
+        // conservation: every record leaves on exactly one channel
+        val emitted = out.map(_.fold(_.record, identity)).sorted
+        assert(emitted === behaviors.indices.toVector,
+          s"records lost or doubled (n=${behaviors.size}, t=$threshold)")
+        // the Left channel carries exactly the hard failures — throttling
+        // alone can never dead-letter a record
+        val lefts = out.collect { case Left(e) => e }
+        assert(lefts.map(_.record).toSet === behaviors.indices.filter(behaviors(_) == 1).toSet)
+        assert(lefts.forall(_.errorCode != ThrottledCode))
+      }
+      seed = seed.next
+    }
+  }
+
   test("flushes at sendingThreshold, with a final partial flush on close") {
     val batches = mutable.Buffer.empty[Int]
     val ok = sink({ b => batches += b.size; b.map(_ => PutResult(None)) },

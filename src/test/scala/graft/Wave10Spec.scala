@@ -55,6 +55,37 @@ class Wave10Spec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0, "no boilerplate removed — rule untested")
   }
 
+  test("property: CDC boundaries are edit-local — an insertion shifts, never re-chunks") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def bnd(toks: Vector[String]): Vector[Boolean] =
+      toks.indices.map(p =>
+        p >= 3 && md5hex(toks.slice(p - 3, p + 1).mkString(" ")).head < '2').toVector
+    val genCase = for {
+      n <- Gen.choose(8, 120)
+      toks <- Gen.listOfN(n, Gen.oneOf("key", "agg", "row", "scan", "hash",
+        "table", "part", "value", "merge", "sort"))
+      at <- Gen.choose(0, n)
+      ins <- Gen.oneOf("spark", "line", "batch")
+    } yield (toks.toVector, at, ins)
+    var seed = Seed(23L)
+    val params = Gen.Parameters.default
+    (0 until 80).foreach { _ =>
+      genCase.apply(params, seed).foreach { case (toks, at, ins) =>
+        val before = bnd(toks)
+        val after = bnd(toks.patch(at, Seq(ins), 0))
+        // strictly before the edit: flags untouched (windows end < at)
+        (0 until at).foreach(p => assert(after(p) === before(p),
+          s"pre-edit boundary moved at $p (insert '$ins'@$at)"))
+        // from 4 past the edit on: flags are the old flags shifted by one
+        // (windows lie entirely after the inserted token)
+        ((at + 4) to toks.size).foreach(q => assert(after(q) === before(q - 1),
+          s"post-edit boundary not a pure shift at $q (insert '$ins'@$at)"))
+      }
+      seed = seed.next
+    }
+  }
+
   test("d77: vocabulary growth curve matches the Scala model") {
     val got = SparkEntry.queries("d77_vocab_growth")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
