@@ -23,6 +23,56 @@ class KinesisAdapterSpec extends AnyFunSuite {
     new KinesisShardReader("stream", new FakeKinesisPort(id),
       pollLimit = pollLimit, sleeper = sleeps += _)
 
+  test("property: random append/read/commit/expiry interleavings lose and double nothing") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // ops: 0 = producer appends 1-5 records, 1 = the query advances and
+    // reads the new frontier range, 2 = a commit prunes somewhere at or
+    // below the read frontier, 3 = the service expires every iterator
+    val genOps = Gen.listOfN(60,
+      Gen.frequency(4 -> Gen.const(0), 3 -> Gen.const(1),
+        2 -> Gen.const(2), 1 -> Gen.const(3)))
+    var seed = Seed(31L)
+    val params = Gen.Parameters.default
+    (0 until 25).foreach { round =>
+      genOps.apply(params, seed).foreach { ops =>
+        val (id, core) = freshCore()
+        try {
+          val r = reader(id)
+          val shard = core.shardName(0)
+          var produced = 0
+          var readTo = 0L
+          var pruned = 0L
+          val consumed = mutable.Buffer.empty[String]
+          var die = 7L
+          def roll(n: Long): Long = { die = (die * 48271) % 2147483647L; die % n }
+          ops.foreach {
+            case 0 =>
+              (1 to (1 + roll(5)).toInt).foreach { _ =>
+                produced += 1
+                core.append(shard, s"k$produced", s"v$produced".getBytes)
+              }
+            case 1 =>
+              val frontier = r.maxSequence(shard)
+              consumed ++= r.read(shard, readTo, frontier).map(_.value)
+              readTo = frontier
+            case 2 =>
+              if (readTo > pruned) {
+                pruned += 1 + roll(readTo - pruned)
+                r.prune(shard, pruned)
+              }
+            case _ => core.expireIterators()
+          }
+          val frontier = r.maxSequence(shard)
+          consumed ++= r.read(shard, readTo, frontier).map(_.value)
+          assert(consumed.toSeq === (1 to produced).map(i => s"v$i"),
+            s"round $round: transport lost or doubled records under ${ops.mkString(",")}")
+        } finally FakeKinesis.drop(id)
+      }
+      seed = seed.next
+    }
+  }
+
   test("expired iterators are reissued, not retried blindly (taxonomy: reissue arm)") {
     val (id, core) = freshCore()
     try {
