@@ -128,20 +128,15 @@ object AnnIvf {
     GraftFunctions.register(spark)
     val cents = centroids(spark, embeddings, numClusters)
     val indexed = assign(spark, embeddings, cents)
-    val centArr = centroidLiteral(cents)
 
-    // rank centroids per query map-side: score the literal array, sort
-    // by (-csim, cid) — csim desc with cid-asc ties, matching the r2
-    // window tie-break — and keep nprobe. No exchange on the query side.
-    val scored = transform(centArr, c => struct(
-      (Vectors.dot($"qe", c.getField("centroid")) * lit(-1.0) /
-        (Vectors.norm($"qe") * c.getField("cnorm"))).as("neg_csim"),
-      c.getField("cid").as("cid")))
-    val probed = queries
-      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
-      .select($"q_id", $"qe",
-        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
-      .select($"q_id", $"qe", $"pc.cid".as("cluster_id"))
+    // rank centroids per query map-side via the ONE probe-ranking
+    // implementation (assignTop) — csim desc with cid-asc ties,
+    // matching the r2 window tie-break; no exchange on the query side.
+    // A second inlined copy of the scoring block once lived here; any
+    // tie-break fix would have had to land twice.
+    val probed = assignTop(spark, queries.select($"vec_id", $"embedding"),
+        cents, nprobe)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"cluster_id")
 
     // search only the probed clusters; same tie-break as the exact d10
     val wk = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")

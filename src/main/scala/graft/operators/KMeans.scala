@@ -92,6 +92,8 @@ object KMeans {
     GraftFunctions.register(spark)
     require(k >= 1 && iters >= 1, s"k=$k iters=$iters: need k>=1, iters>=1")
     var cents = seedCentroids(embs, k)
+    require(cents.length == k,
+      s"k-means needs at least k=$k vectors to seed, input provided ${cents.length}")
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       // (cluster, dim) partial aggregate: k·dim (sum, count) cells —

@@ -45,6 +45,9 @@ import org.apache.spark.sql.functions._
   * hashes equal those over the strings). The hashed-set table and the
   * prefix table are persisted: each feeds two plan branches, which
   * would otherwise re-run the upstream shingle pipeline per branch.
+  * Those caches live until the application clears them — a driver
+  * sweeping many corpora per session should `spark.catalog.clearCache()`
+  * between calls (Bench/Verify do exactly that per query).
   */
 object SimilarityJoin {
 
@@ -88,11 +91,20 @@ object SimilarityJoin {
     // global document frequency — the prefix order (rarest first)
     val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
 
-    // prefix: keep the (n - ceil(t*n) + 1) globally-rarest tokens per doc
+    // prefix: keep the (n - ceil(t*n) + 1) globally-rarest tokens per
+    // doc — PLUS ONE: every ceil/floor pruning bound below carries a
+    // one-unit guard band, because the double product t*n can land an
+    // ulp above the exact rational (e.g. 0.07d * 200 = 14.000000000...1
+    // → ceil 15, true 14) and a bound that rounds the wrong way drops a
+    // pair whose true Jaccard EQUALS the threshold. |t_fp·n − t·n| <
+    // n·ulp(t) ≪ 1 for any real document size, so ±1 provably covers
+    // the error; the bounds stay candidate-pruning-only and the exact
+    // verify restores precision, keeping the no-false-negatives
+    // contract for EVERY threshold, representable or not.
     val w = Window.partitionBy($"id").orderBy($"df", $"g")
     val prefix = toks.join(freq, "g")
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 1)
+      .filter($"rn" <= $"n" - ceil(lit(threshold) * $"n") + 2)
       .select($"g", $"id", $"n", $"rn")
       .persist() // both sides of the candidate self-join
 
@@ -102,11 +114,14 @@ object SimilarityJoin {
     val r = prefix.select($"g", $"id".as("b_id"), $"n".as("nb"), $"rn".as("rb"))
     val candidates = l.join(r, "g")
       .filter($"a_id" < $"b_id")
-      .filter($"nb" >= ceil(lit(threshold) * $"na") && $"nb" <= floor($"na" / threshold))
+      // length and positional bounds each loosened by the same one-unit
+      // FP guard band as the prefix (see above)
+      .filter($"nb" >= ceil(lit(threshold) * $"na") - 1 &&
+        $"nb" <= floor($"na" / threshold) + 1)
       // PPJoin positional filter: best-possible overlap from this shared
       // token's positions must still reach the J>=t overlap requirement
       .filter(lit(1) + least($"na" - $"ra", $"nb" - $"rb") >=
-        ceil(lit(threshold / (1.0 + threshold)) * ($"na" + $"nb")))
+        ceil(lit(threshold / (1.0 + threshold)) * ($"na" + $"nb")) - 1)
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_shared_prefix"))
 

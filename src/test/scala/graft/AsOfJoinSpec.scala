@@ -30,6 +30,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(joined("T3") === None)        // no quote at or before 5
   }
 
+  test("the matched right row is attached atomically — its own nulls survive") {
+    val trades = Seq((1L, t(30), "T1")).toDF("acct", "trade_ts", "trade_id")
+    // nearest quote (t=20) has a null px: a per-column fill would
+    // resurrect the stale t=10 px and emit a row that never existed
+    val quotes = Seq(
+      (1L, t(10), Some(100.0), 5L), (1L, t(20), Option.empty[Double], 7L))
+      .toDF("acct", "quote_ts", "px", "qty")
+    val r = AsOfJoin.latestAtOrBefore(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px", "qty")).select($"px", $"qty").head()
+    assert(r.isNullAt(0), "px must be the nearest row's own null")
+    assert(r.getLong(1) === 7L, "qty must come from the same nearest row")
+  }
+
+  test("null timestamps: right rows never match, left rows match nothing (both directions)") {
+    val trades = Seq(
+      (1L, Some(t(10)), "T1"), (1L, Option.empty[Timestamp], "Tnull"))
+      .toDF("acct", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, Some(t(5)), 100.0), (1L, Some(t(15)), 200.0),
+      (1L, Option.empty[Timestamp], 999.0))
+      .toDF("acct", "quote_ts", "px")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select($"trade_id", $"px").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val back = collect(AsOfJoin.latestAtOrBefore(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px")))
+    assert(back("T1") === Some(100.0), "null-ts quote must not outrank t(5)")
+    assert(back("Tnull") === None, "a null-ts trade has no as-of match")
+    val fwd = collect(AsOfJoin.earliestAtOrAfter(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px")))
+    assert(fwd("T1") === Some(200.0))
+    assert(fwd("Tnull") === None, "a null-ts trade has no forward match either")
+  }
+
   test("same-instant right duplicates resolve deterministically via the tiebreaker") {
     val trades = Seq((1L, t(10), "T1")).toDF("acct", "trade_ts", "trade_id")
     // two quotes at exactly t(10): without a tiebreaker the winner is

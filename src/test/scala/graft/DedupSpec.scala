@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccard pruning bounds survive a non-representable threshold at exact equality") {
+    import spark.implicits._
+    // 0.07d parses a hair ABOVE 7/100, so ceil(0.07*200) evaluates to 15
+    // in doubles while the true bound is 14 — without the one-unit FP
+    // guard band the length filter rejects this pair even though its
+    // Jaccard equals the threshold (14/200, computed identically as a
+    // double by the final verify)
+    val a = (1 to 200).map(i => s"tok$i")
+    val df = Seq((1L, a), (2L, a.take(14))).toDF("id", "set")
+    val out = graft.operators.SimilarityJoin
+      .jaccard(df, "id", "set", threshold = 0.07).collect()
+    assert(out.length === 1, "the exactly-at-threshold pair was pruned")
+    assert(out.head.getDouble(2) === 14.0 / 200.0)
+  }
+
   test("d34 containment join equals brute-force |A∩B|/|A| >= 0.75 — zero false negatives") {
     import spark.implicits._
     val got = SparkEntry.queries("d34_containment_join")(spark, Sf0001)
