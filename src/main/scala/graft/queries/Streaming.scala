@@ -262,8 +262,10 @@ object Streaming {
       val agg = StreamOps.tumblingCounts(
         in.toDF().toDF("ts", "value"),
         tsCol = "ts", width = "1 day", horizon = "1 hour")
-      drainChunksToTable(s, agg, "complete", in,
-        mbChunks(s, rows)).orderBy($"wday")
+      drainChunksToTable(s, agg, "complete", in, mbChunks(s, rows))
+        // daily windows start at midnight, so the date IS the window
+        .select($"wstart".cast("date").as("wday"), $"n", $"total_value")
+        .orderBy($"wday")
     },
 
     // ---- s8: the document quality gate run ON THE STREAM — the batch

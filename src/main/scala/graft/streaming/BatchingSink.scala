@@ -71,6 +71,16 @@ class BatchingSink[A](
     sleeper: Long => Unit = Thread.sleep) extends Serializable {
   import BatchingSink._
 
+  // The flush-batch bound: a batch is at most sendingThreshold records
+  // (fills stop at the threshold; requeued throttles never exceed the
+  // previous batch, so the bound holds inductively), and the transport's
+  // per-call cap is maxBufferSize — so the cap is enforced here, at
+  // construction, not per flush. An unchecked threshold > cap would send
+  // batches the transport rejects wholesale (AWS caps PutRecords at 500).
+  require(config.sendingThreshold >= 1 &&
+    config.sendingThreshold <= config.maxBufferSize,
+    s"sendingThreshold ${config.sendingThreshold} must be in [1, maxBufferSize ${config.maxBufferSize}]")
+
   /** Drain `records`, emitting the success/failure channel in completion
     * order. Lazily pulls from upstream only when the buffer has room —
     * the iterator-pull analog of the reference's demand-driven `pull(in)`

@@ -150,23 +150,40 @@ final class KinesisShardReader(
     * not position state — never checkpointed, never serialized). */
   @transient private lazy val tailIters = TrieMap.empty[String, String]
 
-  private def getPage(it: String): RecordsPage =
+  /** Shards observed closed (getRecords returned no next iterator):
+    * their frontier is final, so advance() short-circuits. Driver-side
+    * cache only — safe to lose on restart (one re-poll rediscovers). */
+  @transient private lazy val closedShards =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The retryable arm of the taxonomy, shared by getRecords AND
+    * getShardIterator — the latter has its own 5-calls/s/shard service
+    * cap, so an unretried throttle there would kill a trigger or task
+    * on a routine, transient condition. Expired is HANDLED (reissue,
+    * reference KinesisSource.scala:293-294), client errors are bugs. */
+  private def withTaxonomyRetry[A](body: => A): A =
     Retry.withRetries(
       tries = maxTries,
       onError = Retry.expBackoff(sleeper),
-      // throttle/service retry with backoff; expired is HANDLED (reissue,
-      // reference KinesisSource.scala:293-294), client errors are bugs
       retryable = t => !t.isInstanceOf[BatchingSink.ClientException] &&
         !t.isInstanceOf[ExpiredIteratorException]) {
-      port.getRecords(it, pollLimit)
+      body
     }
+
+  private def getPage(it: String): RecordsPage =
+    withTaxonomyRetry(port.getRecords(it, pollLimit))
+
+  private def getIterator(shard: String, typ: String,
+                          startSeq: Option[String],
+                          tsUs: Option[Long] = None): String =
+    withTaxonomyRetry(port.getShardIterator(stream, shard, typ, startSeq, tsUs))
 
   private def iteratorAfter(shard: String, lastSeq: Option[String]): String =
     lastSeq match {
       case Some(seq) =>
-        port.getShardIterator(stream, shard, "AFTER_SEQUENCE_NUMBER", Some(seq), None)
+        getIterator(shard, "AFTER_SEQUENCE_NUMBER", Some(seq))
       case None =>
-        port.getShardIterator(stream, shard, "TRIM_HORIZON", None, None)
+        getIterator(shard, "TRIM_HORIZON", None)
     }
 
   /** Poll the shard's tail into the ledger (sequence metadata only) and
@@ -174,6 +191,12 @@ final class KinesisShardReader(
     * shard, resumed from the cached cursor — the reference's continuous
     * getRecords pump (KinesisSource.scala:255-258) in pull form. */
   private def advance(shard: String): Long = synchronized {
+    // a closed shard can never grow: remember closure and stop paying
+    // GetShardIterator + GetRecords for it on every trigger (closed
+    // parents linger in DescribeStream for the whole retention period —
+    // hundreds of shards × every trigger is real throttle budget)
+    if (closedShards.contains(shard))
+      return ledger.get(shard).map(_.end).getOrElse(0L)
     var led = ledger.getOrElse(shard, ShardLedger(0L, Vector.empty))
     var it = tailIters.getOrElse(shard,
       iteratorAfter(shard, led.entries.lastOption.map(_._1)))
@@ -195,7 +218,8 @@ final class KinesisShardReader(
         case None => open = false; caughtUp = true // shard closed
       }
     }
-    if (open) tailIters.put(shard, it) else tailIters.remove(shard)
+    if (open) tailIters.put(shard, it)
+    else { tailIters.remove(shard); closedShards.add(shard): Unit }
     ledger.put(shard, led)
     led.end
   }
@@ -217,7 +241,7 @@ final class KinesisShardReader(
     // arrival is monotone, so the leading run of arrivals < tsUs IS
     // the position (the same takeWhile semantics as FileShardReader).
     var it: Option[String] =
-      Some(port.getShardIterator(stream, shard, "TRIM_HORIZON", None, None))
+      Some(getIterator(shard, "TRIM_HORIZON", None))
     var lastSeq: Option[String] = None
     var count = 0L
     var done = false
@@ -388,17 +412,37 @@ final class ReflectiveKinesisPort(
   }
 
   override def describeStream(stream: String): Seq[ShardDesc] = {
-    val req = newModel("DescribeStreamRequest")
-    invoke(req, "setStreamName", stream)
-    val res = invoke(client, "describeStream", req)
-    val desc = invoke(res, "getStreamDescription")
-    invoke(desc, "getShards").asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
-      .map { s =>
-        ShardDesc(
-          invoke(s, "getShardId").asInstanceOf[String],
-          Option(invoke(s, "getParentShardId").asInstanceOf[String]),
-          Option(invoke(s, "getAdjacentParentShardId").asInstanceOf[String]))
+    // DescribeStream pages at ~100 shards; a single call would silently
+    // truncate the topology (and every shard beyond the page would
+    // never be read). Follow HasMoreShards with ExclusiveStartShardId
+    // until the listing is complete — closed shards count against the
+    // page too, so moderately-resharded streams hit this early.
+    val out = scala.collection.mutable.ListBuffer.empty[ShardDesc]
+    var startAfter: Option[String] = None
+    var more = true
+    while (more) {
+      val req = newModel("DescribeStreamRequest")
+      invoke(req, "setStreamName", stream)
+      startAfter.foreach(s => invoke(req, "setExclusiveStartShardId", s))
+      val res = invoke(client, "describeStream", req)
+      val desc = invoke(res, "getStreamDescription")
+      val page = invoke(desc, "getShards")
+        .asInstanceOf[java.util.List[AnyRef]].asScala.toSeq
+        .map { s =>
+          ShardDesc(
+            invoke(s, "getShardId").asInstanceOf[String],
+            Option(invoke(s, "getParentShardId").asInstanceOf[String]),
+            Option(invoke(s, "getAdjacentParentShardId").asInstanceOf[String]))
+        }
+      out ++= page
+      val hasMore = invoke(desc, "getHasMoreShards") match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => false
       }
+      more = hasMore && page.nonEmpty
+      startAfter = page.lastOption.map(_.shardId)
+    }
+    out.toSeq
   }
 
   override def getShardIterator(

@@ -146,17 +146,24 @@ object ShardedLog {
 /** Per-shard consumed-sequence offset ("everything up to and including
   * seq N of shard S has been delivered"). */
 case class ShardedLogOffset(consumed: Map[String, Long]) extends Offset {
+  // shard ids come from transport implementations and are unconstrained
+  // (only the file log validates its names), so quotes/backslashes MUST
+  // be escaped — an unescaped name would corrupt the checkpointed
+  // offset and silently reset that shard's position on restart
   override def json(): String =
     consumed.toSeq.sortBy(_._1)
-      .map { case (s, n) => "\"" + s + "\":" + n }
+      .map { case (s, n) =>
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\":" + n
+      }
       .mkString("{", ",", "}")
 }
 
 object ShardedLogOffset {
-  private val Entry = """"([^"]+)":(-?\d+)""".r
+  private val Entry = """"((?:[^"\\]|\\.)*)":(-?\d+)""".r
   def fromJson(json: String): ShardedLogOffset =
     ShardedLogOffset(Entry.findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(2).toLong).toMap)
+      .map(m => m.group(1).replaceAll("""\\(.)""", "$1") -> m.group(2).toLong)
+      .toMap)
 }
 
 class ShardedLogProvider extends TableProvider with DataSourceRegister {
@@ -280,7 +287,13 @@ class ShardedLogMicroBatchStream(options: CaseInsensitiveStringMap)
         Some(shard -> math.max(s, to))
       }
     }
-    ShardedLogOffset(capped)
+    // a consumed position must NEVER leave the offset just because its
+    // shard is absent from this trigger's listing (transient partial
+    // listing, unmounted shard dir): dropping it would re-read the
+    // whole shard from the trim horizon when it reappears — duplicate
+    // delivery of every committed record
+    val preserved = from.filter { case (shard, _) => !maxes.contains(shard) }
+    ShardedLogOffset(preserved ++ capped)
   }
 
   /** True (uncapped) latest, so processAllAvailable keeps triggering

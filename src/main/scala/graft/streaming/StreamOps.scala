@@ -24,11 +24,14 @@ object StreamOps {
 
   /** s5: tumbling event-time window aggregate (streaming twin of e1).
     * Window key derives per-row, aggregation is partial map-side; the
-    * watermark bounds state for append-mode sinks. */
+    * watermark bounds state for append-mode sinks. Groups on the
+    * window's START TIMESTAMP (`wstart`) — a cast-to-date key would
+    * silently collapse every sub-day window of a calendar day into one
+    * bucket, ignoring `width`. */
   def tumblingCounts(df: DataFrame, tsCol: String, width: String,
                      horizon: String): DataFrame =
     df.withWatermark(tsCol, horizon)
-      .groupBy(window(col(tsCol), width).getField("start").cast("date").as("wday"))
+      .groupBy(window(col(tsCol), width).getField("start").as("wstart"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
 

@@ -207,6 +207,51 @@ class KinesisAdapterSpec extends AnyFunSuite {
     } finally FakeKinesis.drop(id)
   }
 
+  test("reflective describeStream follows HasMoreShards pagination to the full topology") {
+    val id = "kin-adapter-paging"
+    val core = FakeKinesis.create(id, numShards = 5)
+    try {
+      val port = new ReflectiveKinesisPort(
+        () => new graft.fakesdk.StubKinesisClient(id),
+        modelPackage = "graft.fakesdk")
+      // the stub pages at TWO shards per DescribeStream call: a
+      // single-call port would return 2 of the 5 and silently never
+      // read the rest (the real service pages at ~100 shards)
+      val ids = port.describeStream("stream").map(_.shardId)
+      assert(ids.toSet === (0 until 5).map(core.shardName).toSet)
+      assert(ids.size === 5)
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("closed shards stop costing iterator/record calls once discovered") {
+    val (id, core) = freshCore()
+    try {
+      core.append(core.shardName(0), "k", "v".getBytes)
+      core.closeShard(core.shardName(0))
+      var iters = 0
+      var gets = 0
+      val counting = new KinesisPort {
+        private val inner = new FakeKinesisPort(id)
+        override def describeStream(s: String) = inner.describeStream(s)
+        override def getShardIterator(s: String, sh: String, t: String,
+            sq: Option[String], ts: Option[Long]) = {
+          iters += 1; inner.getShardIterator(s, sh, t, sq, ts)
+        }
+        override def getRecords(it: String, limit: Int) = {
+          gets += 1; inner.getRecords(it, limit)
+        }
+        override def putRecords(s: String, rs: Seq[(String, Array[Byte])]) =
+          inner.putRecords(s, rs)
+      }
+      val r = new KinesisShardReader("stream", counting, sleeper = _ => ())
+      assert(r.maxSequence(core.shardName(0)) === 1)
+      val (i0, g0) = (iters, gets)
+      (1 to 5).foreach(_ => assert(r.maxSequence(core.shardName(0)) === 1))
+      assert(iters === i0 && gets === g0,
+        "every trigger re-polled a shard that can never grow")
+    } finally FakeKinesis.drop(id)
+  }
+
   test("reflective binding translates SDK-shaped exceptions into the taxonomy") {
     val (id, core) = freshCore()
     try {

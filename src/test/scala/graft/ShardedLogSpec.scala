@@ -224,4 +224,47 @@ class ShardedLogSpec extends SparkSpec {
     val aRows = back.filter(_.getString(0) == "a").sortBy(_.getLong(1))
     assert(aRows.last.getString(2) === "a3")
   }
+
+  test("latestOffset preserves committed positions for shards absent from a listing") {
+    import graft.streaming.{InMemoryTransport, ShardedLogMicroBatchStream,
+      ShardedLogOffset, Transport, TransportRegistry, ShardReader}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val mem = new InMemoryTransport("flaky-mem", numShards = 2)
+    mem.append("a", "a1"); mem.append("a", "a2"); mem.append("b", "b1")
+    // a wrapper that can transiently hide a shard from the listing —
+    // the partial-listing failure mode (unmounted dir, truncated page)
+    object Flaky extends ShardReader {
+      @volatile var hide: Set[String] = Set.empty
+      override def describeShards(): Seq[Transport.ShardInfo] =
+        mem.describeShards().filterNot(si => hide(si.shardId))
+      override def maxSequence(shard: String): Long = mem.maxSequence(shard)
+      override def sequenceAtTimestamp(shard: String, tsUs: Long): Long =
+        mem.sequenceAtTimestamp(shard, tsUs)
+      override def read(shard: String, afterSeq: Long, toSeq: Long) =
+        mem.read(shard, afterSeq, toSeq)
+    }
+    TransportRegistry.register("flaky-listing", Flaky)
+    val stream = new ShardedLogMicroBatchStream(new CaseInsensitiveStringMap(
+      java.util.Map.of("transport", "flaky-listing")))
+    val committed = ShardedLogOffset(Map("a" -> 2L, "b" -> 1L))
+    Flaky.hide = Set("b")
+    val next = stream.latestOffset(committed, ReadLimit.allAvailable())
+      .asInstanceOf[ShardedLogOffset].consumed
+    assert(next("b") === 1L,
+      "shard b's committed position must survive its absence from one listing")
+    Flaky.hide = Set.empty
+    val back = stream.latestOffset(ShardedLogOffset(next), ReadLimit.allAvailable())
+      .asInstanceOf[ShardedLogOffset].consumed
+    assert(back === Map("a" -> 2L, "b" -> 1L),
+      "reappearing shard resumes from its committed position, not the trim horizon")
+  }
+
+  test("offset JSON round-trips shard names containing quotes and backslashes") {
+    import graft.streaming.ShardedLogOffset
+    val names = Map("plain" -> 3L, "qu\"ote" -> 5L, "back\\slash" -> 7L,
+      "b\"o\\th\"" -> 9L)
+    val parsed = ShardedLogOffset.fromJson(ShardedLogOffset(names).json())
+    assert(parsed.consumed === names)
+  }
 }

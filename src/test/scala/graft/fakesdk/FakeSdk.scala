@@ -14,16 +14,21 @@ import scala.jdk.CollectionConverters._
   * behind them is the shared [[graft.FakeKinesis]] core. */
 class DescribeStreamRequest {
   private var stream: String = _
+  private var startAfter: String = _
   def setStreamName(s: String): Unit = stream = s
   def getStreamName: String = stream
+  def setExclusiveStartShardId(s: String): Unit = startAfter = s
+  def getExclusiveStartShardId: String = startAfter
 }
 class Shard(id: String, parent: String, adjacent: String) {
   def getShardId: String = id
   def getParentShardId: String = parent
   def getAdjacentParentShardId: String = adjacent
 }
-class StreamDescription(shards: java.util.List[Shard]) {
+class StreamDescription(shards: java.util.List[Shard],
+    more: java.lang.Boolean) {
   def getShards: java.util.List[Shard] = shards
+  def getHasMoreShards: java.lang.Boolean = more
 }
 class DescribeStreamResult(d: StreamDescription) {
   def getStreamDescription: StreamDescription = d
@@ -97,11 +102,18 @@ class AmazonKinesisException(msg: String, errorType: String)
 class StubKinesisClient(coreId: String) {
   private def core: FakeKinesis = FakeKinesis.get(coreId)
 
-  def describeStream(r: DescribeStreamRequest): DescribeStreamResult =
+  // paged at TWO shards per call (the real service pages ~100): the
+  // port's HasMoreShards/ExclusiveStartShardId loop is exercised on any
+  // stream with more than two shards, not just trusted to exist
+  def describeStream(r: DescribeStreamRequest): DescribeStreamResult = {
+    val all = core.describe().map(d => new Shard(
+      d.shardId, d.parentShardId.orNull, d.adjacentParentShardId.orNull))
+    val rest = Option(r.getExclusiveStartShardId)
+      .fold(all)(a => all.dropWhile(_.getShardId != a).drop(1))
+    val page = rest.take(2)
     new DescribeStreamResult(new StreamDescription(
-      core.describe().map(d => new Shard(
-        d.shardId, d.parentShardId.orNull, d.adjacentParentShardId.orNull))
-        .asJava))
+      page.asJava, java.lang.Boolean.valueOf(rest.size > page.size)))
+  }
 
   def getShardIterator(r: GetShardIteratorRequest): GetShardIteratorResult =
     new GetShardIteratorResult(core.iterator(
