@@ -108,8 +108,12 @@ object Text {
     val stop = markerCount(text, stopwords)
     val punct = punctCount(text)
     val chars = length(normalize(text)).cast("long")
+    // empty/whitespace-only text has chars = 0: an unguarded punct/chars
+    // would NULL the whole score (Spark) or fail under ANSI — score the
+    // density term 0 instead so the function is total (toks is never 0:
+    // splitting an empty trim yields one empty token on both engines)
     least(toks / 100.0, lit(1.0)) * 0.3 +
-      (lit(1.0) - punct / chars) * 0.3 +
+      when(chars > 0, lit(1.0) - punct / chars).otherwise(lit(0.0)) * 0.3 +
       (stop / toks) * 0.4
   }
 }

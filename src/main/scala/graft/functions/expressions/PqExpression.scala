@@ -43,6 +43,12 @@ case class PqAssignCodes(child: Expression, flatCb: Seq[Long], m: Int, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
+    // UnsafeArrayData.getLong does NOT bounds-check: a short/ragged
+    // vector would silently read adjacent row memory and poison the
+    // codes — fail loudly instead
+    if (q.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector has ${q.numElements()} dims, codebook expects ${m * subDim}")
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -82,6 +88,11 @@ case class PqAssignCodes(child: Expression, flatCb: Seq[Long], m: Int, k: Int)
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_codes: vector has " + $a.numElements() +
+         |    " dims, codebook expects ${m * subDim}");
+         |}
          |final int[] $codes = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  long $best = Long.MAX_VALUE;

@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: sorted distinct selected hashes (`array<long>`), so
   * fingerprint overlap is a plain array_intersect / explode-join —
-  * shuffle keys are 8-byte hashes, never text. Input shorter than k
-  * chars yields a single hash of the whole string.
+  * shuffle keys are 8-byte hashes, never text. NON-EMPTY input shorter
+  * than k chars yields a single hash of the whole string; the empty
+  * string yields no fingerprints (WinnowSpec pins both).
   */
 object Winnow {
   final val Base = 1000003L // polynomial rolling base (odd, > alphabet)

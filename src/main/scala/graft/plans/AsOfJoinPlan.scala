@@ -188,42 +188,55 @@ case class AsOfJoinExec(
         // tiebreak). Rows consumed during a probe share the probe's
         // key by construction, so the key is copied at most ONCE per
         // left row (when it matched), not per consumed right row.
+        // Null semantics (operators.AsOfJoin parity): a null-ts right
+        // row is not "at or before" anything — discard on sight (they
+        // sort nulls-first, so discarding never skips a live row); a
+        // null-ts left row matches nothing. lt needs no defensive copy:
+        // lTsProj is not re-applied while lt is in use (rTsProj has its
+        // own buffer), so the projection's buffer is stable per probe.
         var matchKey: InternalRow = null // key of the buffered match
         var matchValues: InternalRow = null
         lIter.map { l =>
           val lk = lKeyProj(l)
-          val lt = lTsProj(l).copy()
+          val lt = lTsProj(l)
+          val ltNull = lt.isNullAt(0)
           var matchedThisProbe = false
-          var advancing = true
+          var advancing = !ltNull
           while (advancing && rIter.hasNext) {
             val r = rIter.head
             val c = keyOrd.compare(rKeyProj(r), lk)
             if (c < 0) rIter.next() // stale key: no later left can match it
+            else if (c == 0 && rTsProj(r).isNullAt(0)) rIter.next() // never matchable
             else if (c == 0 && tsOrd.compare(rTsProj(r), lt) <= 0) {
               matchValues = valueProj(rIter.next()).copy()
               matchedThisProbe = true
             } else advancing = false
           }
-          val hit = matchedThisProbe ||
-            (matchKey != null && keyOrd.compare(matchKey, lk) == 0)
+          val hit = matchedThisProbe || (!ltNull &&
+            matchKey != null && keyOrd.compare(matchKey, lk) == 0)
           if (matchedThisProbe) matchKey = lk.copy()
           outProj(joined(l, if (hit) matchValues else nullValues))
         }
       } else {
         // forward: discard right rows strictly before (key, ts); the
         // HEAD, if same-key, is the match (earliest instant at/after,
-        // smallest tiebreak) — not consumed, later lefts may share it
+        // smallest tiebreak) — not consumed, later lefts may share it.
+        // Same null semantics as backward: null-ts right rows are
+        // discarded on sight, null-ts left rows match nothing.
         lIter.map { l =>
           val lk = lKeyProj(l)
-          val lt = lTsProj(l).copy()
+          val lt = lTsProj(l)
+          val ltNull = lt.isNullAt(0)
           var advancing = true
           while (advancing && rIter.hasNext) {
             val r = rIter.head
             val c = keyOrd.compare(rKeyProj(r), lk)
-            if (c < 0 || (c == 0 && tsOrd.compare(rTsProj(r), lt) < 0)) rIter.next()
+            if (c < 0 || (c == 0 && rTsProj(r).isNullAt(0)) ||
+              (c == 0 && !ltNull && tsOrd.compare(rTsProj(r), lt) < 0)) rIter.next()
             else advancing = false
           }
-          val hit = rIter.hasNext && keyOrd.compare(rKeyProj(rIter.head), lk) == 0
+          val hit = !ltNull && rIter.hasNext &&
+            keyOrd.compare(rKeyProj(rIter.head), lk) == 0
           outProj(joined(l, if (hit) valueProj(rIter.head) else nullValues))
         }
       }

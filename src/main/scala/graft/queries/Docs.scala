@@ -577,8 +577,9 @@ object Docs {
       s"""$normCte
          |SELECT doc_id,
          |  LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) / 100.0, 1.0) * 0.3
-         |  + (1.0 - CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS BIGINT)
-         |           / CAST(length(norm) AS BIGINT)) * 0.3
+         |  + (CASE WHEN length(norm) > 0
+         |     THEN 1.0 - CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+         |           / CAST(length(norm) AS BIGINT) ELSE 0.0 END) * 0.3
          |  + (CAST(len(list_filter(string_split(norm, ' '), t -> t IN ('the', 'a'))) AS BIGINT)
          |     / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) * 0.4
          |  AS quality

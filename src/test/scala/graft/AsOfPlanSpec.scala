@@ -62,6 +62,33 @@ class AsOfPlanSpec extends SparkSpec {
       Seq((2L, 5L, None), (1L, 10L, None), (1L, 20L, Some("a"))))
   }
 
+  test("null timestamps: plan-level semantics match the fixed operator (both directions)") {
+    import graft.plans.AsOfJoinPlan
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val trades = Seq(
+      (1L, Some(t(10)), "T1"), (1L, Option.empty[Timestamp], "Tnull"))
+      .toDF("acct", "trade_ts", "trade_id")
+    val quotes = Seq(
+      (1L, Some(t(5)), 100.0), (1L, Some(t(15)), 200.0),
+      (1L, Option.empty[Timestamp], 999.0))
+      .toDF("acct", "quote_ts", "px")
+    def collect(df: DataFrame) =
+      df.select($"trade_id", $"px").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val back = collect(AsOfJoinPlan.latestAtOrBefore(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px")))
+    assert(back("T1") === Some(100.0), "null-ts quote must never win a backward lookup")
+    assert(back("Tnull") === None, "a null-ts trade matches nothing")
+    val fwd = collect(AsOfJoinPlan.earliestAtOrAfter(trades, quotes,
+      keys = Seq("acct"), leftTs = "trade_ts", rightTs = "quote_ts",
+      valueCols = Seq("px")))
+    assert(fwd("T1") === Some(200.0))
+    assert(fwd("Tnull") === None, "a null-ts trade matches nothing forward either")
+  }
+
   test("physical shape: merge exec + two exchanges, no window, no union") {
     val exec = AsOfJoinPlan.latestAtOrBefore(purchases(), clicks(),
       keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts",

@@ -172,14 +172,22 @@ class HashExpressionSpec extends SparkSpec {
     }
   }
 
-  test("vec_dot matches reference fold and handles length mismatch") {
+  test("vec_dot matches reference fold; mismatched dimensions fail loudly") {
     import spark.implicits._
-    val df = Seq(
+    val ok = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
-      (Array(0.5f), Array(0.25f, 9.0f)),
       (Array.empty[Float], Array.empty[Float]))
       .toDF("a", "b")
       .select(call_function("vec_dot", $"a", $"b").as("d"))
-    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(32.0, 0.125, 0.0))
+    assert(ok.collect().map(_.getDouble(0)).toSeq === Seq(32.0, 0.0))
+    // silent truncation would turn schema drift into plausible-looking
+    // partial dot products — the expression must throw instead
+    val bad = Seq((Array(0.5f), Array(0.25f, 9.0f))).toDF("a", "b")
+      .select(call_function("vec_dot", $"a", $"b"))
+    val e = intercept[Exception] { bad.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("mismatched vector dimensions"))))
   }
 }
