@@ -124,8 +124,10 @@ object Bench {
     // Full-detail artifact (median + min/max noise band), rewritten after
     // every query so a timeout-killed run still leaves the data on disk.
     def writeLocal(complete: Boolean): Unit = {
+      // min over SUCCESSFUL reps only: the -1 failure sentinel sorts
+      // first and would otherwise corrupt the published noise band
       val body = s"""{"metric":"total","queries":${queriesJson(med)},""" +
-        s""""queries_min":${queriesJson(_.head)},"queries_max":${queriesJson(_.last)},""" +
+        s""""queries_min":${queriesJson(ts => ts.filter(_ >= 0).headOption.getOrElse(-1.0))},"queries_max":${queriesJson(_.last)},""" +
         s""""reps_batch":$repsBatch,"reps_stream":$repsStream,"complete":$complete,""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
@@ -135,7 +137,7 @@ object Bench {
     }
 
     val deadline = budget * 0.95
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
@@ -156,7 +158,7 @@ object Bench {
     // sf0.1, so coverage always lands even on a contended host.
     for ((name, fn) <- selected) {
       if (elapsed >= deadline) skipped += name
-      else record(name, timeOnce(name, fn))
+      else record(name, timeOnce(fn))
     }
     // Passes 2..N — precision: spend what's left on extra reps toward
     // the per-family rep target so the recorded figure is a median, not
@@ -178,7 +180,7 @@ object Bench {
         val have = results(name)
         if (have.length < target && have.nonEmpty && elapsed < softDeadline &&
             elapsed + have.last.max(0.0) < deadline) {
-          record(name, timeOnce(name, fn))
+          record(name, timeOnce(fn))
           madeProgress = true
         }
       }

@@ -16,9 +16,12 @@ import graft.functions.expressions.HashMix
   *    loss-free for values < 2^64); rotl is two disjoint bit ranges so
   *    `+` replaces `|`.
   *  - XXH64 (Spark's `xxhash64`, seed 42 — the shingle hash of
-  *    expressions.Shingle) needs only its < 32-byte path here: the
-  *    3-word shingles of this corpus top out at 26 bytes (the CTE
-  *    would need the 4-accumulator stripe loop past 31).
+  *    expressions.Shingle) is implemented for inputs UNDER 64 bytes:
+  *    the tail path (< 32) plus ONE 32-byte stripe (xxh64Stages) —
+  *    this corpus's 3-word shingles top out at 26 bytes and its
+  *    8-grams at 60; at >= 64 bytes the 4-accumulator stripe loop
+  *    would be needed and the CTE guards are sized to keep such
+  *    inputs out rather than hash them wrong (see shingleCte's note).
   *  - Murmur3_x86_32 (Spark's `hash()` over the 4-slot signature
   *    bands) is 32-bit wrap arithmetic: HUGEINT mod 2^32 throughout.
   *  - Mins/comparisons happen on the SIGNED reinterpretation — the
@@ -28,8 +31,8 @@ import graft.functions.expressions.HashMix
   * Validated end-to-end against the Spark outputs at sf0.01 before
   * being wired in (25/25 d6 pairs, 24/24 d7, 25/25 d8 including the
   * rounded double jaccard). Oracle scope assumes >= 3 tokens and
-  * shingles < 32 bytes per doc, both true of the driver corpus by a
-  * wide margin (min 10 tokens, max 26-byte shingle).
+  * shingles < 64 bytes per doc, both true of the driver corpus by a
+  * margin (min 10 tokens; 3-word shingles <= 26 bytes, 8-grams <= 60).
   */
 private[queries] object OracleHash {
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"

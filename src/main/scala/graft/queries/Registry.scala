@@ -36,7 +36,6 @@ private[queries] object DecontaminationFilter {
   val ExpectedItems = 10000L
   val Fpp = 0.01
   def bytes(docs: DataFrame): Array[Byte] = {
-    import org.apache.spark.sql.functions._
     val bf = docs.filter(col("doc_id") < EvalMaxDocId)
       .select(explode(
         graft.functions.Text.shingleHashes(col("text"), ShingleK)).as("g"))

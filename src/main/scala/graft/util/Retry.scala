@@ -27,7 +27,13 @@ object Retry {
     }
 
   /** 2^n-seconds backoff hook (n = remaining tries, as in the reference),
-    * capped so a full 7-try budget can't sleep past `capMs` per wait. */
+    * capped so a full 7-try budget can't sleep past `capMs` per wait.
+    * The exponent is clamped BEFORE the power: 2^n·1000 wraps negative
+    * past n=53, and min(negative, cap) would hand Thread.sleep a
+    * negative duration — an IllegalArgumentException thrown from inside
+    * the retry hook, aborting every remaining retry on large budgets. */
   def expBackoff(sleeper: Long => Unit = Thread.sleep, capMs: Long = 64000L): (Throwable, Int) => Unit =
-    (_, n) => sleeper(math.min(math.pow(2, n).toLong * 1000L, capMs))
+    (_, n) => sleeper(
+      if (n >= 20) capMs
+      else math.min(math.pow(2, n).toLong * 1000L, capMs))
 }
