@@ -25,6 +25,78 @@ object Events {
   private val evCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
+  /** Shared strictly-after funnel stage frames (view -> click ->
+    * purchase): the FIRST qualifying instant per user per stage, each
+    * stage strictly after the previous stage's instant. ONE definition
+    * — e7 counts stage completions, e31 measures their latency; the two
+    * must agree on what a completion is. */
+  private val funnelCte =
+    s"""$evCte,
+       |v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)""".stripMargin
+
+  /** Spark twin of [[funnelCte]]: the (v, c, p) stage frames, lazy. */
+  private def funnelStages(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val e = ev(s, dir)
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("vts"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"vts").groupBy($"user_id").agg(min($"ts").as("cts"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"cts").groupBy($"user_id").agg(min($"ts").as("pts"))
+    (v, c, p)
+  }
+
+  /** Shared 30-minute-gap batch sessionization prelude (m/sess CTEs):
+    * the session definition e3 reports and e26 builds concurrency over.
+    * ONE definition — a gap-threshold or tiebreak change must not fork
+    * what "a session" means between the two entries. */
+  private val sessionCte =
+    s"""$evCte,
+       |m AS (SELECT user_id, ts, event_id,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (SELECT user_id, ts,
+       |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m)""".stripMargin
+
+  /** Shared resample base for the gap-fill family (e11 carry-forward,
+    * e12 interpolate, e13 rolling mean): per-user daily counts joined
+    * onto the per-user day spine, nulls on missing days. ONE definition
+    * on each side — a spine change (truncation, join key) must not be
+    * able to fork the resample semantics between the three variants. */
+  private val spineCte =
+    s"""$evCte,
+       |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
+       |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+       |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+       |j AS (SELECT a.user_id, a.day, d.v FROM alld a
+       |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day)""".stripMargin
+
+  /** Spark twin of [[spineCte]]: (user_id, day, v) with nulls on the
+    * spine's missing days; the spine is generated PER USER (no calendar
+    * cross join), and every downstream window rides the same user_id
+    * exchange as the spine join. */
+  private def daySpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = ev(s, dir)
+      .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("v"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1",
+        expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     // ---- e1: tumbling 1-day event-time windows. Scale: window key is
@@ -64,15 +136,7 @@ object Events {
     // (new session iff gap >= 30 min, matching session_window's open
     // interval [start, start+gap)).
     GraftQuery.sql("e3_session_window",
-      s"""$evCte,
-         |m AS (SELECT user_id, ts, event_id,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |sess AS (SELECT user_id, ts,
-         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM m)
+      s"""$sessionCte
          |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
          |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -151,22 +215,12 @@ object Events {
     // ---- e7: ordered funnel view → click → purchase per user (first
     // qualifying step each stage). Three tiny aggregates + broadcast joins.
     GraftQuery.sql("e7_event_funnel",
-      s"""$evCte,
-         |v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY user_id),
-         |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
-         |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
-         |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
-         |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+      s"""$funnelCte
          |SELECT (SELECT COUNT(*) FROM v) AS viewed,
          |       (SELECT COUNT(*) FROM c) AS clicked,
          |       (SELECT COUNT(*) FROM p) AS purchased""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = ev(s, dir)
-      val v = e.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("vts"))
-      val c = e.filter($"event_type" === "click").join(v, "user_id")
-        .filter($"ts" > $"vts").groupBy($"user_id").agg(min($"ts").as("cts"))
-      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
-        .filter($"ts" > $"cts").groupBy($"user_id").agg(min($"ts").as("pts"))
+      val (v, c, p) = funnelStages(s, dir)
       v.agg(count(lit(1)).as("viewed"))
         .crossJoin(c.agg(count(lit(1)).as("clicked")))
         .crossJoin(p.agg(count(lit(1)).as("purchased")))
@@ -233,14 +287,7 @@ object Events {
     // cross join against a calendar table), the fill is one window over
     // the same user_id shuffle as the spine join.
     GraftQuery.sql("e11_gap_fill",
-      s"""$evCte,
-         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
-         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
-         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
-         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+      s"""$spineCte,
          |f AS (SELECT user_id, day, v,
          |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
@@ -250,16 +297,9 @@ object Events {
          |  CAST(SUM(fv) AS BIGINT) AS sum_filled
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = ev(s, dir)
-        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("v"))
-      val spine = daily.groupBy($"user_id")
-        .agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select($"user_id", explode(sequence($"d0", $"d1",
-          expr("INTERVAL 1 DAY"))).as("day"))
       val w = Window.partitionBy($"user_id").orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      spine.join(daily, Seq("user_id", "day"), "left")
+      daySpine(s, dir)
         .withColumn("fv", last($"v", ignoreNulls = true).over(w))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_days"),
@@ -280,14 +320,7 @@ object Events {
     // the forward and backward windows reuse the same exchange, and the
     // spine is generated per user (no calendar cross join).
     GraftQuery.sql("e12_gap_interpolate",
-      s"""$evCte,
-         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
-         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
-         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
-         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+      s"""$spineCte,
          |f AS (SELECT user_id, day, v,
          |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pd,
          |    last_value(v IGNORE NULLS) OVER wb AS pv,
@@ -308,19 +341,12 @@ object Events {
          |       ELSE date_diff('day', pd, nd) END AS BIGINT) AS den
          |FROM f ORDER BY user_id, day""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = ev(s, dir)
-        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("v"))
-      val spine = daily.groupBy($"user_id")
-        .agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select($"user_id", explode(sequence($"d0", $"d1",
-          expr("INTERVAL 1 DAY"))).as("day"))
       val wb = Window.partitionBy($"user_id").orderBy($"day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wf = Window.partitionBy($"user_id").orderBy($"day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val obs = when($"v".isNotNull, struct($"day", $"v"))
-      spine.join(daily, Seq("user_id", "day"), "left")
+      daySpine(s, dir)
         .withColumn("p", last(obs, ignoreNulls = true).over(wb))
         .withColumn("nx", first(obs, ignoreNulls = true).over(wf))
         .select($"user_id", $"day",
@@ -347,14 +373,7 @@ object Events {
     // frame, so both aggregates ride the SAME user_id exchange as the
     // spine join — one shuffle total.
     GraftQuery.sql("e13_gap_fill_mean",
-      s"""$evCte,
-         |daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    COUNT(*) AS v FROM ev GROUP BY 1, 2),
-         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
-         |alld AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
-         |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
-         |j AS (SELECT a.user_id, a.day, d.v FROM alld a
-         |  LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day),
+      s"""$spineCte,
          |f AS (SELECT user_id, day,
          |    CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
          |    COALESCE(SUM(v) OVER wc, 0) AS num,
@@ -366,16 +385,9 @@ object Events {
          |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
          |FROM f ORDER BY user_id, day""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = ev(s, dir)
-        .groupBy($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("v"))
-      val spine = daily.groupBy($"user_id")
-        .agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select($"user_id", explode(sequence($"d0", $"d1",
-          expr("INTERVAL 1 DAY"))).as("day"))
       val wc = Window.partitionBy($"user_id").orderBy($"day")
         .rowsBetween(-3, 3)
-      spine.join(daily, Seq("user_id", "day"), "left")
+      daySpine(s, dir)
         .select($"user_id", $"day",
           when($"v".isNotNull, 1L).otherwise(0L).as("observed"),
           coalesce(sum($"v").over(wc), lit(0L)).cast("long").as("num"),
@@ -967,15 +979,7 @@ object Events {
     // single-partition sort anywhere. Top-10 busiest instants leave as
     // a TakeOrdered.
     GraftQuery.sql("e26_peak_concurrency",
-      s"""$evCte,
-         |m AS (SELECT user_id, ts, event_id,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |sess AS (SELECT user_id,
-         |    SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, ts
-         |  FROM m),
+      s"""$sessionCte,
          |iv AS (SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
          |       FROM sess GROUP BY user_id, sid),
          |b AS (SELECT t_us, SUM(s_n) AS s_n, SUM(e_n) AS e_n FROM (
@@ -1232,12 +1236,7 @@ object Events {
     // idiom — the quantile window sorts the histogram, never users).
     // All integer µs → floor-divided seconds.
     GraftQuery.sql("e31_funnel_time",
-      s"""$evCte,
-         |v AS (SELECT user_id, MIN(ts) AS vts FROM ev WHERE event_type = 'view' GROUP BY 1),
-         |c AS (SELECT e.user_id, MIN(e.ts) AS cts FROM ev e JOIN v ON e.user_id = v.user_id
-         |  WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1),
-         |p AS (SELECT e.user_id, MIN(e.ts) AS pts FROM ev e JOIN c ON e.user_id = c.user_id
-         |  WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1),
+      s"""$funnelCte,
          |d AS (SELECT 'view_to_click' AS stage,
          |    (epoch_us(c.cts) - epoch_us(v.vts)) // 1000000 AS delay_s
          |  FROM v JOIN c ON v.user_id = c.user_id
@@ -1254,14 +1253,8 @@ object Events {
          |  CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN delay_s END) AS BIGINT) AS p90_s
          |FROM q GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = ev(s, dir)
-      val v = e.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("vts"))
-      val c = e.filter($"event_type" === "click").join(v, "user_id")
-        .filter($"ts" > $"vts").groupBy($"user_id").agg(min($"ts").as("cts"))
-        .persist() // feeds both stages
-      val p = e.filter($"event_type" === "purchase").join(c, "user_id")
-        .filter($"ts" > $"cts").groupBy($"user_id").agg(min($"ts").as("pts"))
+      val (v, c, p) = funnelStages(s, dir)
+      c.persist() // feeds the purchase frame AND both delay branches
       val d = v.join(c, "user_id")
         .select(lit("view_to_click").as("stage"),
           expr("(unix_micros(cts) - unix_micros(vts)) div 1000000").as("delay_s"))

@@ -16,28 +16,38 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
 
-  /** The co-purchase graph shared by q33 (PageRank) and q36 (onion
-    * peeling): part pairs co-occurring in ≥2 orders, symmetric. ONE
-    * definition on each side — a threshold tweak must not be able to
-    * fork the graph between its consumers. */
-  private val coPurchaseSql =
-    """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+  /** The UN-symmetrized co-purchase pair CTE body (a < b, support >= 2)
+    * — the e0 every graph entry (q32-q36) builds on. ONE definition on
+    * each side: a threshold tweak must not be able to fork the graph
+    * between its consumers (q33/q36 consume it via [[coPurchaseSql]];
+    * q34/q35 splice it under their own WITH/WITH RECURSIVE prefix). */
+  private val coPurchaseE0Cte =
+    """e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)""".stripMargin
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
 
-  /** Spark twin of [[coPurchaseSql]]: the symmetric (src, dst) edge set. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private val coPurchaseSql =
+    s"""WITH $coPurchaseE0Cte,
+       |ed AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0)""".stripMargin
+
+  /** Spark twin of [[coPurchaseE0Cte]]: (a, b) pairs, a < b. Lazy —
+    * consumers add their own persist/localCheckpoint. */
+  private def coPurchaseE0(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    val a = li.select($"l_orderkey", $"l_partkey".as("a"))
-    val b = li.select($"l_orderkey", $"l_partkey".as("b"))
-    val e0 = a.join(b, Seq("l_orderkey"))
+    li.select($"l_orderkey", $"l_partkey".as("a"))
+      .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
       .filter($"a" < $"b")
       .groupBy($"a", $"b").agg(count(lit(1)).as("m"))
       .filter($"m" >= 2)
       .select($"a", $"b")
+  }
+
+  /** Spark twin of [[coPurchaseSql]]: the symmetric (src, dst) edge set. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = coPurchaseE0(s, dir)
     e0.select($"a".as("src"), $"b".as("dst"))
       .unionByName(e0.select($"b".as("src"), $"a".as("dst")))
   }
@@ -521,7 +531,7 @@ object Relational {
       t(s, dir, "orders")
         .filter($"o_custkey" < 50)
         .select($"o_custkey", $"o_orderkey",
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           lag($"o_orderkey", 1).over(w).as("prev_order"),
           lead($"o_orderkey", 1).over(w).as("next_order"),
           percent_rank().over(w).as("pr"),
@@ -739,10 +749,7 @@ object Relational {
     // only (DedupClusters' bound); size + label join ride one
     // component_id exchange.
     GraftQuery.sql("q35_part_components",
-      """WITH RECURSIVE e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH RECURSIVE $coPurchaseE0Cte,
         |nodes AS (SELECT a AS u FROM e0 UNION SELECT b FROM e0),
         |e AS (SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b, a FROM e0),
@@ -754,17 +761,10 @@ object Relational {
         |SELECT lab.part_key, lab.component_id, CAST(sz.n AS BIGINT) AS comp_size
         |FROM lab JOIN sz USING (component_id) ORDER BY part_key""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
       // localCheckpoint: the edge set feeds BOTH the node derivation and
       // the contraction — without it the lineitem self-join runs twice
       // (same materialize-once rule DedupClusters applies internally)
-      val e0 = li.select($"l_orderkey", $"l_partkey".as("a"))
-        .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("np"))
-        .filter($"np" >= 2)
-        .select($"a", $"b")
-        .localCheckpoint(true)
+      val e0 = coPurchaseE0(s, dir).localCheckpoint(true)
       val nodes = e0.select($"a".as("doc_id"))
         .unionByName(e0.select($"b".as("doc_id"))).distinct()
       val lab = graft.operators.DedupClusters
@@ -788,10 +788,7 @@ object Relational {
     // exactly once); per-part participation via a 3-way explode +
     // partial-aggregated count; top-15 is TakeOrdered.
     GraftQuery.sql("q34_triangles",
-      """WITH e0 AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseE0Cte,
         |und AS (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0),
         |deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
         |o AS (SELECT
@@ -814,13 +811,7 @@ object Relational {
         |SELECT part_key, CAST(n_tri AS BIGINT) AS n_tri
         |FROM n ORDER BY n_tri DESC, part_key LIMIT 15""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-      val e0 = li.select($"l_orderkey", $"l_partkey".as("a"))
-        .join(li.select($"l_orderkey", $"l_partkey".as("b")), Seq("l_orderkey"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("np"))
-        .filter($"np" >= 2)
-        .select($"a", $"b")
+      val e0 = coPurchaseE0(s, dir)
       val deg = e0.select($"a".as("u")).unionByName(e0.select($"b".as("u")))
         .groupBy($"u").agg(count(lit(1)).as("d"))
       val fwd = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
@@ -909,8 +900,14 @@ object Relational {
           .select($"node",
             (lit(0.15 / n) + lit(0.85) * coalesce($"cont", lit(0.0))).as("rank"))
       }
-      val out = rank.orderBy($"rank".desc, $"node").limit(15)
-        .select($"node", round($"rank", 6).as("rank"))
+      // round BEFORE ordering: the oracle's ORDER BY resolves to the
+      // ROUND(...,6) output alias (alias shadows the input column in
+      // DuckDB), so both engines must pick the top 15 by the ROUNDED
+      // value with the node tiebreak — sorting unrounded here would let
+      // a ~1e-15 cross-engine rank difference near the cutoff seat a
+      // different node set
+      val out = rank.select($"node", round($"rank", 6).as("rank"))
+        .orderBy($"rank".desc, $"node").limit(15)
       // Same eager-then-unpersist discipline as q34: the iteration caches
       // must not outlive the answer.
       val rows = try out.collect() finally { ed.unpersist(); deg.unpersist() }
