@@ -250,19 +250,14 @@ object Docs {
 
   private val stopwords = Seq("the", "a")
 
-  // ---- MinHash-LSH parameters (d6/d8): 64 perms = 16 bands × 4 rows.
-  // P(candidate | jaccard j) = 1-(1-j^4)^16: ≈1.0 at j=0.9, 0.64 at
-  // j=0.5, ~1e-4 at j=0.05 — tuned to catch the near-dup tail without
-  // flooding buckets.
-  private val MinhashPerms = 64
-  private val MinhashBands = 16
-  private val MinhashRows = 4
-  private val MinhashSeed = 42L
+  // ---- MinHash-LSH parameters (d6/d8): see LshParams (Registry.scala)
+  // — shared with the s11 streaming gate so the two cannot drift.
+  private val MinhashPerms = LshParams.Perms
+  private val MinhashBands = LshParams.Bands
+  private val MinhashRows = LshParams.Rows
+  private val MinhashSeed = LshParams.Seed
   private val ShingleK = 3
-  /** LSH bucket-width cap: buckets above this are degenerate (boilerplate
-    * shingles) and would otherwise quadratically blow up the pair join at
-    * scale; standard LSH skew control is to drop them. */
-  private val MaxBucket = 1000L
+  private val MaxBucket = LshParams.MaxBucket
 
   /** doc_id → sorted distinct xxhash64'd word-3-shingle set (the unit
     * of Jaccard — counts over distinct hashes equal counts over the
@@ -2348,7 +2343,7 @@ object Docs {
          |  WHERE length(norm) > 0),
          |dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+8], ' ') AS g
          |  FROM tk, LATERAL (SELECT unnest(range(0,
-         |    greatest(len(toks) - 7, 0))) AS i) u),
+         |    greatest(len(toks) - 8, 0) + 1)) AS i) u),
          |f AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g)
          |SELECT dg.doc_id, COUNT(*) AS n_grams,
          |  CAST(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
@@ -2359,7 +2354,13 @@ object Docs {
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // same clamp convention as d20/d24/d69: a short doc contributes its
+      // ONE partial shingle (the shingleHashes contract), and empty-norm
+      // docs are excluded on both sides — without this the oracle's
+      // zero-gram short-doc arm and Spark's one-partial-shingle arm
+      // diverge on any corpus with sub-8-token documents
       val dg = docs(s, dir).repartition(p) // the local corpus arrives as ONE split
+        .filter(length(Text.normalize($"text")) > 0)
         .select($"doc_id", explode(Text.shingleHashes($"text", 8)).as("g"))
       val firsts = dg.groupBy($"g").agg(min($"doc_id").as("first_doc"))
       dg.join(firsts, "g")
@@ -2574,7 +2575,11 @@ object Docs {
       val cuts = (1 to 7).map(j =>
         min(when($"cum" * 8 >= $"n" * j, $"n_tok")).as(s"c$j"))
       val cutRow = cum.agg(cuts.head, cuts.tail: _*).head()
-      val cutVals = (0 until 7).map(cutRow.getLong)
+      // null cuts (empty histogram → degenerate corpus) collapse every
+      // boundary to 0: all docs land in bin 0, as the oracle's empty
+      // aggregate does, instead of NPEing in the driver
+      val cutVals = (0 until 7).map(i =>
+        if (cutRow.isNullAt(i)) 0L else cutRow.getLong(i))
       val bin = cutVals.foldLeft(lit(0L)) { (acc, cv) =>
         acc + ($"n_tok" > cv).cast("long")
       }
@@ -2766,7 +2771,11 @@ object Docs {
          |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
       val q = qualityScores(s, dir)
-      val budget = q.agg(expr("sum(n_tok) * 2 div 5")).head().getLong(0)
+      // null-safe on a degenerate corpus (every doc filtered out →
+      // sum is NULL): budget 0 admits nothing, matching the oracle's
+      // empty result instead of NPEing in the driver
+      val budgetRow = q.agg(expr("sum(n_tok) * 2 div 5")).head()
+      val budget = if (budgetRow.isNullAt(0)) 0L else budgetRow.getLong(0)
       val bins = q.groupBy($"q_bp").agg(sum($"n_tok").as("btok"))
       // cumulative mass of strictly-better bins: window over the TINY
       // histogram only (distinct q_bp values), then broadcast back
@@ -3508,7 +3517,10 @@ object Docs {
       import s.implicits._
       // one scalar to the driver — the decile RULE, not data (d61's
       // budget-scalar discipline)
-      val nTotal = docs(s, dir).agg((max($"doc_id") + 1).as("n")).head().getLong(0)
+      val nTotalRow = docs(s, dir).agg((max($"doc_id") + 1).as("n")).head()
+      // null-safe on an empty table (max → NULL): any positive divisor
+      // works, as no row exists to assign a decile to
+      val nTotal = if (nTotalRow.isNullAt(0)) 1L else nTotalRow.getLong(0)
       val dec = least(lit(9L), expr(s"doc_id * 10 div $nTotal"))
       // persisted: the token table feeds the per-decile mass AND the
       // first-occurrence aggregate — one tokenization scan, as claimed

@@ -30,6 +30,20 @@ object GraftQuery {
   * value is partitioning- and order-independent — both gates MUST
   * build through this one helper: the s23↔d62 bit-parity contract
   * (StreamingSpec) holds exactly as long as they cannot drift. */
+/** MinHash-LSH family parameters: 64 perms = 16 bands x 4 rows,
+  * P(candidate | jaccard j) = 1-(1-j^4)^16, plus the degenerate-bucket
+  * cap (boilerplate shingles would otherwise blow up the pair join
+  * quadratically). ONE definition shared by the batch family (d6/d7/d8,
+  * Docs.minhashCandidates) and the streaming gate (s11) — the stream
+  * twin must not be able to drift to a different candidate set. */
+private[queries] object LshParams {
+  val Perms = 64
+  val Bands = 16
+  val Rows = 4
+  val Seed = 42L
+  val MaxBucket = 1000L
+}
+
 private[queries] object DecontaminationFilter {
   val EvalMaxDocId = 25L
   val ShingleK = 8

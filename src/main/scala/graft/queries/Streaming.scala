@@ -91,7 +91,9 @@ object Streaming {
 
   /** Bench-tunable micro-batch chunking: split `rows` into
     * `graft.stream.chunks` successive feeds (default 4, floor 2 so the
-    * cross-batch merge path ALWAYS executes). Every entry's final table
+    * cross-batch merge path executes whenever the feed has >= 2 rows —
+    * a 0/1-row feed cannot split and runs a single batch). Every
+    * entry's final table
     * is chunk-count-invariant — that is exactly the streaming/batch
     * parity the oracles and StreamingSpec pin — so the knob trades only
     * drain cost (state-store commits × batches, the harness floor)
@@ -121,6 +123,15 @@ object Streaming {
       }
     root
   }
+
+  /** The batch twin's oracle string, shared VERBATIM: stream/batch
+    * parity means ONE oracle — a fix to the batch entry's oracle must
+    * reach its streaming twin, never drift past a stale byte-copy
+    * (the d62/s23 and d73/s25 sharing rule, applied to every twin). */
+  private def batchOracle(name: String): String =
+    (Events.queries ++ Docs.queries).find(_.name == name)
+      .flatMap(_.oracle)
+      .getOrElse(throw new IllegalArgumentException(s"no batch oracle: $name"))
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -343,16 +354,7 @@ object Streaming {
     // (doc, eval_doc) pair aggregate is stateful. Same oracle as batch
     // d20; exact stream/batch parity is asserted in StreamingSpec.
     GraftQuery.sql("s10_stream_decontaminate",
-      s"""WITH nd AS (SELECT doc_id,
-         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
-         |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM nd),
-         |s8 AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(0, greatest(len(toks) - 8, 0) + 1),
-         |    i -> array_to_string(toks[i+1:i+8], ' '))) AS sh FROM tk)
-         |SELECT c.doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs
-         |FROM s8 c JOIN s8 e ON e.doc_id < 25 AND c.doc_id >= 25
-         |  AND len(list_intersect(c.sh, e.sh)) > 0
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      batchOracle("d20_decontaminate")) { (s, dir) =>
       import s.implicits._
       import graft.functions.Text
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -401,12 +403,12 @@ object Streaming {
     // separately pinned in StreamingSpec.
     GraftQuery.sql("s11_stream_neardup_gate",
       "WITH " + OracleHash.shingleCte(3) + ",\n" +
-        OracleHash.minhashCte(64, 42L) + ",\n" +
-        OracleHash.bandsCte(4) + ",\n" +
-        """refb AS (SELECT doc_id AS ref_id, band_idx, band_hash
+        OracleHash.minhashCte(LshParams.Perms, LshParams.Seed) + ",\n" +
+        OracleHash.bandsCte(LshParams.Rows) + ",\n" +
+        s"""refb AS (SELECT doc_id AS ref_id, band_idx, band_hash
           |  FROM bh WHERE doc_id < 250),
           |kept AS (SELECT band_idx, band_hash FROM refb
-          |  GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |  GROUP BY 1, 2 HAVING count(*) <= ${LshParams.MaxBucket}),
           |ref AS (SELECT refb.ref_id, refb.band_idx, refb.band_hash
           |  FROM refb JOIN kept USING (band_idx, band_hash)),
           |strm AS (SELECT doc_id, band_idx, band_hash FROM bh WHERE doc_id >= 250),
@@ -417,8 +419,9 @@ object Streaming {
       import s.implicits._
       import graft.functions.Text
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val (perms, bands, rows, seed) = (64, 16, 4, 42L)
-      val maxBucket = 1000L
+      val (perms, bands, rows, seed) =
+        (LshParams.Perms, LshParams.Bands, LshParams.Rows, LshParams.Seed)
+      val maxBucket = LshParams.MaxBucket
       def bandHashes(df: DataFrame): DataFrame = {
         val sig = df.select($"doc_id",
           call_function("minhash_sig", Text.shingleHashes($"text", 3),
@@ -496,19 +499,7 @@ object Streaming {
     // mis-merges any batch, the quantile thresholds shift and the hash
     // breaks.
     GraftQuery.sql("s13_stream_histogram_quantiles",
-      s"""$evCte,
-         |b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         |    CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS c
-         |  FROM ev GROUP BY 1, 2),
-         |cum AS (SELECT day, bin, c,
-         |    SUM(c) OVER (PARTITION BY day ORDER BY bin
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |    SUM(c) OVER (PARTITION BY day) AS n
-         |  FROM b)
-         |SELECT day, CAST(MAX(n) AS BIGINT) AS n,
-         |  CAST(MIN(CASE WHEN 2 * cum >= n THEN bin * 10 END) AS BIGINT) AS p50_lo,
-         |  CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN bin * 10 END) AS BIGINT) AS p95_lo
-         |FROM cum GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      batchOracle("e15_mergeable_quantiles")) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
@@ -545,20 +536,7 @@ object Streaming {
     // integer-cents algebra, same oracle; StreamingSpec asserts the
     // stream/batch parity row for row.
     GraftQuery.sql("s14_stream_running_outliers",
-      s"""$evCte,
-         |b AS (SELECT user_id, event_id, ts, value,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
-         |w AS (SELECT user_id, event_id, value, vi,
-         |    COUNT(*) OVER pre AS n,
-         |    COALESCE(SUM(vi) OVER pre, 0) AS s,
-         |    COALESCE(SUM(vi * vi) OVER pre, 0) AS q
-         |  FROM b
-         |  WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_prior
-         |FROM w
-         |WHERE n >= 30 AND (n * vi - s) * (n * vi - s) > 9 * (n * q - s * s)
-         |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      batchOracle("e18_running_outliers")) { (s, dir) =>
       import s.implicits._
       import graft.streaming.StreamOps.StatEvent
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -585,20 +563,7 @@ object Streaming {
     // (argmin/argmax summaries, constant state per bar). Identical
     // oracle to e16 — a mis-merge of any component breaks the hash.
     GraftQuery.sql("s15_stream_ohlc_bars",
-      s"""$evCte,
-         |o AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
-         |    ROW_NUMBER() OVER w AS rn_open,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
-         |      ORDER BY ts DESC, event_id DESC) AS rn_close
-         |  FROM ev
-         |  WINDOW w AS (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
-         |    ORDER BY ts, event_id))
-         |SELECT user_id, day,
-         |  MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
-         |  MAX(value) AS high, MIN(value) AS low,
-         |  MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
-         |  COUNT(*) AS n
-         |FROM o GROUP BY user_id, day ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      batchOracle("e16_ohlc_bars")) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val rows = Tables.events(s, dir)
@@ -624,20 +589,7 @@ object Streaming {
     // batch window does. Identical oracle to e19 — a mis-merged week
     // cell breaks the hash.
     GraftQuery.sql("s16_stream_weekly_drift",
-      s"""$evCte,
-         |b AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
-         |wk AS (SELECT user_id, week, COUNT(*) AS n, SUM(vi) AS s
-         |  FROM b GROUP BY 1, 2),
-         |lagd AS (SELECT user_id, week, n, s,
-         |    LAG(n) OVER w AS pn, LAG(s) OVER w AS ps
-         |  FROM wk WINDOW w AS (PARTITION BY user_id ORDER BY week))
-         |SELECT user_id, week, CAST(n AS BIGINT) AS n_events,
-         |  CAST(s AS BIGINT) AS sum_cents,
-         |  CAST(CASE WHEN pn IS NOT NULL
-         |       AND abs(s * pn - ps * n) * 2 > ps * n
-         |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
-         |FROM lagd ORDER BY user_id, week""".stripMargin) { (s, dir) =>
+      batchOracle("e19_weekly_drift")) { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
@@ -850,21 +802,7 @@ object Streaming {
     // transport's per-shard order), which the time-split harness feeds
     // and the shared oracle hash-checks.
     GraftQuery.sql("s20_stream_ewma",
-      s"""$evCte,
-         |b AS (SELECT user_id, event_id, ts,
-         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi FROM ev),
-         |l AS (SELECT user_id, event_id, vi,
-         |    COALESCE(LAG(vi, 1) OVER w, 0) AS l1,
-         |    COALESCE(LAG(vi, 2) OVER w, 0) AS l2,
-         |    COALESCE(LAG(vi, 3) OVER w, 0) AS l3,
-         |    COALESCE(LAG(vi, 4) OVER w, 0) AS l4,
-         |    COALESCE(LAG(vi, 5) OVER w, 0) AS l5,
-         |    COALESCE(LAG(vi, 6) OVER w, 0) AS l6,
-         |    COALESCE(LAG(vi, 7) OVER w, 0) AS l7
-         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, event_id,
-         |  vi*128 + l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7 AS ewma_x256
-         |FROM l ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      batchOracle("e22_ewma_smooth")) { (s, dir) =>
       import s.implicits._
       import graft.streaming.StreamOps.StatEvent
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1023,17 +961,7 @@ object Streaming {
     // multi-batch state is exercised in StreamingSpec). Oracle identical
     // to e3's session_window reconstruction.
     GraftQuery.sql("s6_stateful_session",
-      s"""$evCte,
-         |m AS (SELECT user_id, ts, event_id,
-         |  CASE WHEN lag(ts) OVER w IS NULL
-         |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS news
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |sess AS (SELECT user_id, ts,
-         |  SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM m)
-         |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
-         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      batchOracle("e3_session_window")) { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
         .select($"user_id", $"event_id", $"ts")
@@ -1091,16 +1019,7 @@ object Streaming {
     // at any batch boundary breaks the hash; StreamingSpec pins the
     // edge-level stream/batch parity besides.
     GraftQuery.sql("s24_stream_transitions",
-      s"""$evCte,
-         |tr AS (SELECT lag(event_type) OVER
-         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-         |    event_type AS next_type
-         |  FROM ev),
-         |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM tr
-         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-         |SELECT prev_type, next_type, n,
-         |  CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bps
-         |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+      batchOracle("e27_transition_matrix")) { (s, dir) =>
       import s.implicits._
       import StreamOps.TypedEvent
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
