@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Why this scales where the naive inverted index does not:
   *   - ordering: every set is sorted by GLOBAL token frequency,
-  *     rarest first. Only the first |s| - ceil(t*|s|) + 1 tokens (the
-  *     "prefix") are indexed — two sets with J >= t MUST share a prefix
+  *     rarest first. Only the first |s| - ceil(t*|s|) + 2 tokens (the
+  *     theoretical +1 prefix widened by the one-unit float-rounding
+  *     guard band justified at the prefix filter in `jaccard`) are
+  *     indexed — two sets with J >= t MUST share a prefix
   *     token (pigeonhole on the overlap bound), so recall stays exact
   *     while boilerplate tokens (the quadratic buckets) land in the
   *     un-indexed tail of nearly every document.

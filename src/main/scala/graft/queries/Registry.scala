@@ -83,7 +83,7 @@ private[queries] object DecontaminationFilter {
          |  LEFT JOIN bits b ON b.pos = gp.pos
          |  GROUP BY 1, 2),
          |dc AS (SELECT doc_id, COUNT(*) AS n_grams,
-         |    SUM(CASE WHEN nb = $k THEN 1 ELSE 0 END) AS n_hits
+         |    CAST(SUM(CASE WHEN nb = $k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
          |  FROM ghit GROUP BY 1)
          |SELECT doc_id, n_grams, n_hits FROM dc WHERE n_hits > 0
          |ORDER BY doc_id""".stripMargin
