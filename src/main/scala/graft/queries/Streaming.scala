@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.{BatchingSink, ShardedLog, StreamOps}
+import graft.streaming.{BatchingSink, FileRecordWriter, ShardedLog, StreamOps, ToRecord}
 import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1060,6 +1060,51 @@ object Streaming {
         .detectVoice(media, frame = 160, meanSqThresh = 900L)
       drainChunksToTable(s, vad.toDF(), "append", in, mbChunks(s, rows))
         .orderBy($"doc_id")
+    },
+
+    // ---- s26: binary payload fidelity END-TO-END through the
+    // transport — the reference is serialization-format agnostic and
+    // streams raw ByteBuffers (reference KinesisSource.scala:68-70).
+    // Every document becomes a NON-UTF-8 17-byte payload (0xFF guard
+    // byte + its raw md5 digest — 0xFF is never a valid UTF-8 lead, so
+    // the text line layout cannot carry it), pushed DISTRIBUTED through
+    // the real batching sink into the file transport's binary layout
+    // (.recb), then drained back through the DSv2 source's value_bin
+    // column. The oracle recomputes base64(0xFF || md5) per document
+    // straight from the table: one flipped, dropped, or re-encoded BYTE
+    // anywhere in sink → log → source breaks the hash, and duplicate
+    // texts must come back with exact multiplicity.
+    GraftQuery.sql("s26_binary_roundtrip",
+      """SELECT to_base64(unhex('ff' || md5(text))) AS b64,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        graft.util.TempDirs.freshUnder("/dev/shm", "graft-binlog"))
+      try {
+        val writerRoot = root.toString
+        Tables.load(s, dir, "documents")
+          .select($"doc_id".cast("string").as("k"),
+            concat(lit(Array(0xFF.toByte)), unhex(md5($"text"))).as("p"))
+          .as[(String, Array[Byte])]
+          .foreachPartition { (it: Iterator[(String, Array[Byte])]) =>
+            implicit val rec: ToRecord[(String, Array[Byte])] =
+              ToRecord.instance(_._1, _._2)
+            val sink = BatchingSink.over[(String, Array[Byte])](
+              new FileRecordWriter(writerRoot, 4), sleeper = _ => ())
+            sink.run(it).foreach { r =>
+              if (r.isLeft)
+                throw new IllegalStateException(s"binary put failed: $r")
+            }
+          }
+        val stream = s.readStream.format(ShardedLog.Format)
+          .option("path", writerRoot)
+          .option("startingPosition", "trim_horizon")
+          .load()
+          .select(base64($"value_bin").as("b64"))
+          .groupBy($"b64").agg(count(lit(1)).as("n"))
+        drainToTable(s, stream, "complete").orderBy($"b64")
+      } finally graft.util.TempDirs.delete(root.toString)
     }
   )
 }

@@ -325,9 +325,10 @@ final class KinesisShardReader(
         if (!hasNext) throw new NoSuchElementException
         val r = buf.dequeue()
         pos += 1; remaining -= 1; lastSeq = Some(r.sequenceNumber)
-        Transport.Rec(shard, pos,
-          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8),
-          r.arrivalUs)
+        // byte-preserving: the reference delivers raw ByteBuffers
+        // (KinesisSource.scala:68-70) — non-UTF-8 payloads keep their
+        // exact bytes in Rec.bin, `value` is only the text view
+        Transport.Rec.ofBytes(shard, pos, r.payload, r.arrivalUs)
       }
     }
   }

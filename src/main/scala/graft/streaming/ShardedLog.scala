@@ -19,9 +19,12 @@ import scala.jdk.CollectionConverters._
   * source — the Spark-native re-expression of the reference's
   * backpressured sharded-stream reader (reference KinesisSource.scala).
   *
-  * Layout: `<path>/<shard>/<seq>.rec`, each file a batch of UTF-8 line
-  * records appended atomically; `<seq>` is a zero-padded per-shard
-  * sequence number. Mapping of reference semantics:
+  * Layout: `<path>/<shard>/<seq>.rec` (a batch of UTF-8 line records)
+  * or `<seq>.recb` (length-prefixed binary payloads — the reference is
+  * serialization-format agnostic and streams raw ByteBuffers, reference
+  * KinesisSource.scala:68-70), appended atomically; `<seq>` is a
+  * zero-padded per-shard sequence number. Mapping of reference
+  * semantics:
   *
   *   - iterator types (KinesisSource.scala:29-35) → `startingPosition`
   *     option: `trim_horizon` (oldest retained), `latest` (only records
@@ -49,6 +52,10 @@ object ShardedLog {
     StructField("shard", StringType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("value", StringType, nullable = false),
+    // the byte-exact payload (the reference delivers raw ByteBuffers,
+    // KinesisSource.scala:68-70); `value` is its UTF-8 text view, lossy
+    // for non-UTF-8 records — binary consumers select value_bin
+    StructField("value_bin", BinaryType, nullable = false),
     StructField("ts", TimestampType, nullable = false)))
 
   val Format = "graft.streaming.ShardedLogProvider"
@@ -69,6 +76,28 @@ object ShardedLog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Binary sibling of [[append]] for payloads that do not survive the
+    * line-oriented UTF-8 layout (the reference's stream is raw
+    * ByteBuffers, KinesisSource.scala:68-70): `<seq>.recb`, each record a
+    * 4-byte big-endian length followed by its exact bytes. Same
+    * atomicity and idempotent-replace contract as the text form; one
+    * file holds one flush, so the per-shard sequence space is shared
+    * with `.rec` files. */
+  def appendBinary(root: Path, shard: String, seq: Long,
+                   payloads: Seq[Array[Byte]]): Path = {
+    require(ShardName.matches(shard),
+      s"shard name '$shard' must match ${ShardName.regex} (it is a directory name and a JSON offset key)")
+    val dir = root.resolve(shard)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".tmp", ".recb")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(tmp)))
+    try payloads.foreach { p => out.writeInt(p.length); out.write(p) }
+    finally out.close()
+    Files.move(tmp, dir.resolve(f"$seq%08d.recb"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Files.list returns an open directory stream that MUST be closed:
     * these listings run on the driver every micro-batch (initialOffset,
     * latestOffset, planInputPartitions), so leaking them until GC walks
@@ -83,15 +112,20 @@ object ShardedLog {
     else withDirStream(root)(_.filter(Files.isDirectory(_)).toSeq)
       .sortBy(_.getFileName.toString)
 
-  /** (seq, path, mtimeMicros) of record files in a shard, seq-ascending. */
+  /** (seq, path, mtimeMicros) of record files in a shard, seq-ascending.
+    * Covers both layouts: `.rec` (UTF-8 lines) and `.recb`
+    * (length-prefixed binary payloads, [[appendBinary]]). */
   private[streaming] def listFiles(shardDir: Path): Seq[(Long, Path, Long)] =
     withDirStream(shardDir) {
       _.flatMap { p =>
         val n = p.getFileName.toString
-        if (n.endsWith(".rec") && !n.startsWith("."))
-          n.stripSuffix(".rec").toLongOption.map(seq =>
-            (seq, p, Files.getLastModifiedTime(p).toMillis * 1000L))
-        else None
+        val stem =
+          if (n.startsWith(".")) None
+          else if (n.endsWith(".recb")) Some(n.stripSuffix(".recb"))
+          else if (n.endsWith(".rec")) Some(n.stripSuffix(".rec"))
+          else None
+        stem.flatMap(_.toLongOption).map(seq =>
+          (seq, p, Files.getLastModifiedTime(p).toMillis * 1000L))
       }.toSeq
     }.sortBy(_._1)
 
@@ -141,6 +175,40 @@ object ShardedLog {
       case _: java.io.IOException => true
       case _ => false
     })(Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
+
+  /** Read one record file as byte-exact payloads, whichever layout it
+    * uses: `.recb` → length-prefixed frames; `.rec` → UTF-8 lines
+    * re-encoded (lossless for that layout — its writer only accepts
+    * round-trippable text). Same retry taxonomy as [[readRecLines]]. */
+  def readRecPayloads(
+      p: Path, tries: Int = 7,
+      onError: (Throwable, Int) => Unit = graft.util.Retry.expBackoff()): Seq[Array[Byte]] =
+    if (!p.getFileName.toString.endsWith(".recb"))
+      readRecLines(p, tries, onError).map(_.getBytes(StandardCharsets.UTF_8))
+    else graft.util.Retry.withRetries(tries, onError, retryable = {
+      case _: java.nio.file.NoSuchFileException => false
+      case _: java.nio.file.AccessDeniedException => false
+      case _: java.io.IOException => true
+      case _ => false
+    }) {
+      val bytes = Files.readAllBytes(p)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val out = Seq.newBuilder[Array[Byte]]
+      while (bb.remaining() >= 4) {
+        val n = bb.getInt()
+        if (n < 0 || n > bb.remaining())
+          // a torn frame cannot happen under the atomic-move write
+          // contract — a malformed file is corruption, the fail-fast arm
+          // (IllegalStateException is non-retryable in the taxonomy)
+          throw new IllegalStateException(
+            s"$p: corrupt binary record frame (len=$n, remaining=${bb.remaining()})")
+        val a = new Array[Byte](n); bb.get(a); out += a
+      }
+      if (bb.remaining() != 0)
+        throw new IllegalStateException(
+          s"$p: trailing ${bb.remaining()} bytes after last frame")
+      out.result()
+    }
 }
 
 /** Per-shard consumed-sequence offset ("everything up to and including
@@ -345,7 +413,8 @@ class ShardedLogReader(partition: ShardedLogPartition) extends PartitionReader[I
   private val rows: Iterator[InternalRow] =
     partition.reader.read(partition.shard, partition.afterSeq, partition.toSeq).map { r =>
       new GenericInternalRow(Array[Any](
-        UTF8String.fromString(r.shard), r.seq, UTF8String.fromString(r.value), r.tsUs))
+        UTF8String.fromString(r.shard), r.seq, UTF8String.fromString(r.value),
+        r.payload, r.tsUs))
     }
   private var current: InternalRow = _
   override def next(): Boolean = { if (rows.hasNext) { current = rows.next(); true } else false }

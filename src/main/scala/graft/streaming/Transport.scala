@@ -47,8 +47,35 @@ object Transport {
   /** One delivered record: per-shard sequence + arrival timestamp — the
     * fields the reference reads off its Record (sequence number,
     * KinesisSource.scala:59-63; ApproximateArrivalTimestamp analog,
-    * see ShardedLog's at_timestamp note). */
-  final case class Rec(shard: String, seq: Long, value: String, tsUs: Long)
+    * see ShardedLog's at_timestamp note).
+    *
+    * Payload fidelity: the reference is "serialisation format agnostic"
+    * and delivers raw ByteBuffers (reference KinesisSource.scala:68-70).
+    * `value` is the UTF-8 TEXT VIEW (lossy for non-UTF-8 bytes — the
+    * convenient column for the overwhelmingly-text pipelines); the
+    * byte-exact payload is [[payload]], which `bin` carries explicitly
+    * whenever the text view would not round-trip. Construct through
+    * [[Rec.ofBytes]] so the invariant (bin set iff the text view is
+    * lossy) holds. */
+  final case class Rec(shard: String, seq: Long, value: String, tsUs: Long,
+                       bin: Option[Array[Byte]] = None) {
+    /** The exact delivered bytes, whatever the encoding. */
+    def payload: Array[Byte] =
+      bin.getOrElse(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  object Rec {
+    /** Byte-preserving constructor: keeps the raw payload alongside the
+      * text view only when UTF-8 decode+re-encode would not reproduce
+      * it (so text records pay no duplicate storage). */
+    def ofBytes(shard: String, seq: Long, payload: Array[Byte], tsUs: Long): Rec = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      if (java.util.Arrays.equals(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8), payload))
+        Rec(shard, seq, s, tsUs)
+      else Rec(shard, seq, s, tsUs, bin = Some(payload))
+    }
+  }
 
   /** Shard identity with reshard parentage — the reference's
     * parentShardId + adjacentParentShardId pair
@@ -159,7 +186,8 @@ final class FileShardReader(rootStr: String) extends ShardReader {
     ShardedLog.listFiles(root.resolve(shard)).iterator
       .filter { case (seq, _, _) => seq > afterSeq && seq <= toSeq }
       .flatMap { case (seq, p, mtUs) =>
-        ShardedLog.readRecLines(p).map(line => Transport.Rec(shard, seq, line, mtUs))
+        ShardedLog.readRecPayloads(p).map(payload =>
+          Transport.Rec.ofBytes(shard, seq, payload, mtUs))
       }
 }
 
@@ -177,34 +205,38 @@ final class FileShardReader(rootStr: String) extends ShardReader {
   * of a local[n] job cannot allocate the same file sequence and
   * replace each other's flushes (multi-JVM writers to one root would
   * still race — that deployment belongs on a real shared-log
-  * transport, not local files). Payload contract: the sharded log is
-  * LINE-oriented text; a payload that does not survive the UTF-8
-  * line round-trip (embedded newlines, non-UTF-8 bytes) would be
-  * silently split or mangled into a different record count, so it is
-  * rejected as a [[BatchingSink.ClientException]] — the caller-bug arm
-  * of the taxonomy. */
+  * transport, not local files). Payload contract: a flush whose
+  * payloads are all newline-free UTF-8 text lands in the
+  * human-readable line layout (`.rec`); any flush carrying a payload
+  * that would not survive that round-trip (embedded newlines,
+  * non-UTF-8 bytes) is written whole as a length-prefixed binary file
+  * (`.recb`, [[ShardedLog.appendBinary]]) — byte-exact either way, the
+  * reference's format-agnostic ByteBuffer contract (reference
+  * KinesisSource.scala:68-70). */
 final class FileRecordWriter(rootStr: String, numShards: Int = 4) extends RecordWriter {
   import FileRecordWriter.lockFor
   override def putRecords(records: Seq[(String, Array[Byte])]): Seq[BatchingSink.PutResult] = {
     val root = Paths.get(rootStr)
     records.groupBy { case (k, _) => "shard-" + math.floorMod(k.hashCode, numShards) }
       .foreach { case (shard, recs) =>
-        val lines = recs.map { case (_, p) =>
-          val line = new String(p, StandardCharsets.UTF_8)
-          if (line.exists(c => c == '\n' || c == '\r') ||
-              !java.util.Arrays.equals(line.getBytes(StandardCharsets.UTF_8), p)) {
-            throw new BatchingSink.ClientException(
-              "file transport payloads must be newline-free UTF-8 text " +
-                "(the sharded log is line-oriented)")
-          }
-          line
+        val payloads = recs.map(_._2)
+        val asLines: Option[Seq[String]] = {
+          val decoded = payloads.map(p => new String(p, StandardCharsets.UTF_8))
+          if (decoded.lazyZip(payloads).forall { (line, p) =>
+              !line.exists(c => c == '\n' || c == '\r') &&
+                java.util.Arrays.equals(line.getBytes(StandardCharsets.UTF_8), p)
+            }) Some(decoded)
+          else None
         }
         lockFor(rootStr, shard).synchronized {
           val dir = root.resolve(shard)
           val next = (if (Files.isDirectory(dir))
             ShardedLog.listFiles(dir).lastOption.map(_._1).getOrElse(0L)
           else 0L) + 1L
-          ShardedLog.append(root, shard, next, lines)
+          asLines match {
+            case Some(lines) => ShardedLog.append(root, shard, next, lines)
+            case None => ShardedLog.appendBinary(root, shard, next, payloads)
+          }
         }
       }
     records.map(_ => BatchingSink.PutResult(None))
@@ -267,9 +299,8 @@ final class InMemoryTransport(
       records.foreach { case (key, payload) =>
         val shard = "shard-" + math.floorMod(key.hashCode, numShards)
         val cur = log.shards.getOrElse(shard, Vector.empty)
-        log.shards(shard) = cur :+ Transport.Rec(
-          shard, cur.length + 1L,
-          new String(payload, StandardCharsets.UTF_8), clock())
+        log.shards(shard) = cur :+ Transport.Rec.ofBytes(
+          shard, cur.length + 1L, payload, clock())
       }
     }
     records.map(_ => BatchingSink.PutResult(None))

@@ -199,6 +199,45 @@ trait TransportConformanceKit extends SparkSpec {
     }
   }
 
+  test(s"[$transportName] non-UTF-8 binary payloads round-trip byte-exactly") {
+    withFixture2 { f =>
+      implicit val rec: ToRecord[(String, Array[Byte])] =
+        ToRecord.instance(_._1, _._2)
+      val sink = BatchingSink.over[(String, Array[Byte])](f.writer, sleeper = _ => ())
+      // payloads no UTF-8 line layout can carry: an invalid lead byte,
+      // an embedded newline, NULs and a high-bit sweep — plus one plain
+      // text record to prove the two kinds coexist in one stream
+      val payloads: Seq[Array[Byte]] = Seq(
+        Array(0xFF, 0x00, 0x80, 0xC3).map(_.toByte),
+        "text-with\nnewline".getBytes("UTF-8"),
+        Array.tabulate(64)(i => (i * 7 % 256).toByte),
+        "plain-text".getBytes("UTF-8"))
+      val input = payloads.zipWithIndex.map { case (p, i) => (s"bin-key-$i", p) }
+      val out = sink.run(input.iterator).toSeq
+      assert(out.forall(_.isRight), "all binary puts succeed")
+
+      val buf = mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      val q = spark.readStream.format(ShardedLog.Format).option("transport", f.id)
+        .load().selectExpr("value", "value_bin").writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.collect()
+          buf.synchronized {
+            rows.foreach(x => buf += ((x.getString(0), x.getAs[Array[Byte]](1))))
+          }
+          ()
+        }
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+
+      def b64(a: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(a)
+      assert(buf.map(r => b64(r._2)).sorted === payloads.map(b64).sorted,
+        "every payload's exact bytes come back through value_bin")
+      assert(buf.exists(_._1 == "plain-text"),
+        "text payloads keep their readable value view")
+    }
+  }
+
   test(s"[$transportName] at_timestamp starts from the first record at/after the timestamp") {
     withFixture2 { f =>
       f.setClockUs(1000L * 1000L)
