@@ -134,7 +134,8 @@ final class KinesisShardReader(
     port: KinesisPort,
     pollLimit: Int = 10000,
     maxTries: Int = 7,
-    sleeper: Long => Unit = Thread.sleep) extends ShardReader {
+    sleeper: Long => Unit = Thread.sleep,
+    pollParallelism: Int = 8) extends ShardReader {
   import KinesisPort._
 
   /** entries(i) = (sequence string, arrival µs) of dense position
@@ -155,6 +156,29 @@ final class KinesisShardReader(
     * cache only — safe to lose on restart (one re-poll rediscovers). */
   @transient private lazy val closedShards =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-shard mutual exclusion for ledger/cursor mutation: shards are
+    * independent streams, so locking the whole reader (as advance once
+    * did) would serialize the per-trigger frontier poll — the N-shard
+    * linear planning latency the reference avoids by pumping each shard
+    * concurrently (one stage per shard, KinesisSource.scala:255-258). */
+  @transient private lazy val shardLocks = TrieMap.empty[String, Object]
+  private def lockFor(shard: String): Object =
+    shardLocks.getOrElseUpdate(shard, new Object)
+
+  /** Driver-side frontier-poll pool (daemon threads — the reader has no
+    * close() in its lifecycle; idle threads cost nothing and never block
+    * JVM exit). Only describeShards fans out on it; executor-side read()
+    * paths never touch it. */
+  @transient private lazy val pollPool = {
+    val n = math.max(1, pollParallelism)
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-kinesis-poll")
+        t.setDaemon(true)
+        t
+      })
+  }
 
   /** The retryable arm of the taxonomy, shared by getRecords AND
     * getShardIterator — the latter has its own 5-calls/s/shard service
@@ -189,8 +213,10 @@ final class KinesisShardReader(
   /** Poll the shard's tail into the ledger (sequence metadata only) and
     * return the dense frontier. One getRecords loop per trigger per
     * shard, resumed from the cached cursor — the reference's continuous
-    * getRecords pump (KinesisSource.scala:255-258) in pull form. */
-  private def advance(shard: String): Long = synchronized {
+    * getRecords pump (KinesisSource.scala:255-258) in pull form.
+    * Locked PER SHARD, so concurrent polls of different shards (the
+    * describeShards fan-out) never serialize. */
+  private def advance(shard: String): Long = lockFor(shard).synchronized {
     // a closed shard can never grow: remember closure and stop paying
     // GetShardIterator + GetRecords for it on every trigger (closed
     // parents linger in DescribeStream for the whole retention period —
@@ -224,16 +250,47 @@ final class KinesisShardReader(
     led.end
   }
 
-  override def describeShards(): Seq[Transport.ShardInfo] =
-    port.describeStream(stream).map { d =>
+  /** One topology call, then the per-shard frontier polls fan out over
+    * [[pollPool]]: at hundreds of shards a serial poll makes per-trigger
+    * planning latency linear in shard count (and the adapter's former
+    * whole-reader lock pinned it there); the reference instead pumps
+    * every shard concurrently (KinesisSource.scala:255-258). Order of
+    * completion is irrelevant — each shard's frontier is independent. */
+  override def describeShards(): Seq[Transport.ShardInfo] = {
+    val descs = port.describeStream(stream)
+    val futures = descs.map { d =>
+      d.shardId -> pollPool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = advance(d.shardId)
+      })
+    }.toMap
+    descs.map { d =>
+      val frontier =
+        try futures(d.shardId).get()
+        catch {
+          // surface the poll's own failure type (the taxonomy), not the
+          // executor wrapper
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
       Transport.ShardInfo(d.shardId,
         (d.parentShardId.toSeq ++ d.adjacentParentShardId).distinct,
-        maxSeq = Some(advance(d.shardId)))
+        maxSeq = Some(frontier))
     }
+  }
 
   override def maxSequence(shard: String): Long = advance(shard)
 
-  override def sequenceAtTimestamp(shard: String, tsUs: Long): Long = {
+  /** Cached (shard, tsUs) → anchor position: per-shard arrival is
+    * monotone, so once the stream has reached tsUs (the source caps the
+    * timestamp at "now" before asking, reference KinesisSource.scala:
+    * 99-102) the leading run of arrivals < tsUs is FINAL — re-scanning
+    * sequence metadata from TRIM_HORIZON on every call made the anchor
+    * O(retained history) per call at long retention. */
+  @transient private lazy val tsAnchors = TrieMap.empty[(String, Long), Long]
+
+  override def sequenceAtTimestamp(shard: String, tsUs: Long): Long =
+    tsAnchors.getOrElseUpdate((shard, tsUs), scanAtTimestamp(shard, tsUs))
+
+  private def scanAtTimestamp(shard: String, tsUs: Long): Long = {
     // independent sequence-metadata scan from the trim horizon, so the
     // answer is correct whatever the ledger's prune state (a reader
     // that has already served commits keeps only the unconsumed
@@ -333,7 +390,7 @@ final class KinesisShardReader(
     }
   }
 
-  override def prune(shard: String, upTo: Long): Unit = synchronized {
+  override def prune(shard: String, upTo: Long): Unit = lockFor(shard).synchronized {
     ledger.get(shard).foreach { led =>
       if (upTo > led.base + 1) {
         val keepFrom = math.min(upTo, led.end) // keep `upTo` as the anchor

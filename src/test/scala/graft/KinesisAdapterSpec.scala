@@ -276,4 +276,59 @@ class KinesisAdapterSpec extends AnyFunSuite {
       }
     } finally FakeKinesis.drop(id)
   }
+
+  test("describeShards polls shard frontiers concurrently, not serially") {
+    val id = "kin-parallel-poll"
+    val shardCount = 4
+    val core = FakeKinesis.create(id, numShards = shardCount)
+    try {
+      (0 until shardCount).foreach(i =>
+        core.append(core.shardName(i), "k", s"v$i".getBytes))
+      // every shard's FIRST getRecords blocks on a barrier sized to the
+      // shard count: a serial poll (the old whole-reader lock) would
+      // park the first caller alone until the 10 s timeout broke the
+      // barrier — only a genuinely concurrent fan-out can trip it
+      val barrier = new java.util.concurrent.CyclicBarrier(shardCount)
+      val seenFirst = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val inner = new FakeKinesisPort(id)
+      val gating = new KinesisPort {
+        override def describeStream(s: String) = inner.describeStream(s)
+        override def getShardIterator(s: String, sh: String, t: String,
+            q: Option[String], ts: Option[Long]) =
+          inner.getShardIterator(s, sh, t, q, ts)
+        override def putRecords(s: String, r: Seq[(String, Array[Byte])]) =
+          inner.putRecords(s, r)
+        override def getRecords(it: String, limit: Int) = {
+          val shard = it.split('|')(2)
+          if (seenFirst.add(shard))
+            barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          inner.getRecords(it, limit)
+        }
+      }
+      val r = new KinesisShardReader("stream", gating, sleeper = _ => (),
+        pollParallelism = shardCount)
+      val infos = r.describeShards()
+      assert(infos.size === shardCount)
+      assert(infos.flatMap(_.maxSeq).sum === shardCount.toLong,
+        "every shard's frontier was polled to its one record")
+    } finally FakeKinesis.drop(id)
+  }
+
+  test("sequenceAtTimestamp caches the anchor instead of re-scanning history") {
+    val (id, core) = freshCore()
+    try {
+      core.nowUs = 1000L
+      (1 to 5).foreach(i => core.append(core.shardName(0), "k", s"a$i".getBytes))
+      core.nowUs = 9000L
+      (1 to 3).foreach(i => core.append(core.shardName(0), "k", s"b$i".getBytes))
+      val r = reader(id)
+      val calls0 = core.getCalls
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 5L)
+      val callsAfterFirst = core.getCalls
+      assert(callsAfterFirst > calls0, "first call scans")
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 5L)
+      assert(core.getCalls === callsAfterFirst,
+        "second call is served from the anchor cache — zero client calls")
+    } finally FakeKinesis.drop(id)
+  }
 }
