@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{GraftFunctions, Vectors}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,14 +10,22 @@ import org.apache.spark.sql.functions._
   * search (SURVEY.md §2.4 d11), recall-tested against the brute-force
   * baseline (d10) in AnnSpec.
   *
+  * The index-side math (centroid build, assignment, probe ranking)
+  * runs on KMeans' 2^-20 integer lattice over NORMALIZED coordinates:
+  * on the unit sphere |a−b|² = 2−2·cosθ, so integer squared-L2 order
+  * tracks the cosine order the scorer ranks by, while every build step
+  * (floor-quantize, BIGINT argmin, round-half-up centroid update) is
+  * bit-exact across engines — which is what lets the d11 DuckDB oracle
+  * replay the WHOLE pipeline (the former float-mean Lloyd step was the
+  * one engine-ordering-dependent stage and kept d11 rows-only).
+  * Candidate SCORING stays true double cosine on the original floats.
+  *
   * Shape, and why it survives 100 TB:
   *   1. centroid build: C seed vectors (deterministic: lowest vec_ids),
-  *      one Lloyd refinement — assignment is a broadcast C-way compare
-  *      per vector (one pass over the data, no shuffle of embeddings);
-  *      the element-wise centroid mean is a (cluster, dim) partial
-  *      aggregate, shuffling C×dim doubles, not vectors.
+  *      one integer-Lloyd refinement (KMeans.fitCentroidsQ) — the
+  *      update shuffles (cluster, dim) partial sums, never vectors.
   *   2. index: each vector is assigned to its nearest centroid as a
-  *      MAP-SIDE argmax over a literal array of the C centroids — a
+  *      MAP-SIDE argmin over a literal array of the C centroids — a
   *      pure projection with NO exchange (the r2 crossJoin+window form
   *      shuffled n×C rows each carrying the full embedding; at 100 TB
   *      with C=16 that was a 16× amplified shuffle of the corpus).
@@ -30,73 +38,57 @@ import org.apache.spark.sql.functions._
   *      top-k via one window — TakeOrdered semantics, no full sort of
   *      the corpus.
   *
-  * All cosine math is the codegen'd vec_dot expression; centroid norms
-  * are folded in as driver-side literals (same index-ascending double
-  * accumulation as vec_dot, so scores agree to the last ulp).
+  * Output cosines are the codegen'd vec_dot expression over the
+  * original float vectors (same index-ascending double accumulation
+  * the d9/d10 oracles replay).
   */
 object AnnIvf {
 
-  /** Collect the (small: C rows) centroid table into a literal
-    * `array<struct<cid,centroid,cnorm>>` column, ascending cluster_id,
-    * norms precomputed driver-side. This is what makes assignment and
-    * probing exchange-free: the centroids ride into every task as a
-    * codegen'd literal, like a broadcast without a join. */
-  private def centroidLiteral(cents: DataFrame): Column = {
-    val rows: Array[Row] = cents
-      .select(col("cluster_id").cast("long"), col("centroid"))
-      .orderBy(col("cluster_id"))
-      .collect()
-    require(rows.nonEmpty, "centroid table is empty")
-    array(rows.map { r =>
-      val vec = r.getSeq[Float](1)
-      val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-      struct(
-        lit(r.getLong(0)).as("cid"),
-        typedLit(vec).as("centroid"),
-        lit(nrm).as("cnorm"))
-    }.toSeq: _*)
+  private val Scale = 1L << 20
+
+  /** Normalized-lattice quantization: q_i = floor((x_i/|x| + 1)·2^20).
+    * |x| is the index-ascending double fold (Vectors.norm) the d9/d10
+    * oracles already replay; divide, +1 shift and power-of-two scale
+    * are exact IEEE ops, so both engines land on identical integers.
+    * The single-element outer transform binds the norm ONCE per row —
+    * inlining Vectors.norm into the per-element lambda would recompute
+    * the O(dim) fold dim times (an O(dim²) projection). */
+  def quantizeNorm(emb: Column): Column =
+    element_at(
+      transform(array(Vectors.norm(emb)), nrm =>
+        transform(emb, x =>
+          floor((x.cast("double") / nrm + lit(1.0)) * lit(Scale.toDouble))
+            .cast("long"))),
+      1)
+
+  private def qdf(embs: DataFrame): DataFrame = {
+    import embs.sparkSession.implicits._
+    embs.select($"vec_id", quantizeNorm($"embedding").as("q"))
   }
 
-  /** (cluster_id, centroid: array<float>) after one Lloyd step. */
-  def centroids(spark: SparkSession, embeddings: DataFrame, numClusters: Int): DataFrame = {
-    import spark.implicits._
+  /** C lattice centroids after `iters` integer-Lloyd refinements from
+    * the deterministic lowest-vec_id seeds. Driver-side: C×dim longs. */
+  def centroids(spark: SparkSession, embeddings: DataFrame,
+                numClusters: Int, iters: Int = 1): Array[Array[Long]] = {
     GraftFunctions.register(spark)
-    val seeds = embeddings.orderBy($"vec_id").limit(numClusters)
-      .orderBy($"vec_id")
-      .select(
-        row_number().over(Window.orderBy($"vec_id")).cast("long").minus(1).as("cluster_id"),
-        $"embedding".as("centroid"))
-    val assigned = assign(spark, embeddings, seeds)
-    // element-wise mean: (cluster, dim) partial agg, then rebuild arrays
-    val mean = assigned
-      .select($"cluster_id", posexplode($"embedding"))
-      .groupBy($"cluster_id", $"pos")
-      .agg(avg($"col").as("m"))
-      .groupBy($"cluster_id")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-        e => e.getField("m").cast("float")).as("centroid"))
-    mean
+    KMeans.fitCentroidsQ(spark, qdf(embeddings), numClusters, iters)
   }
 
-  /** Nearest-centroid assignment: a single projection — fold over the
-    * literal centroid array, keep the argmax. Ascending cid with a
-    * strict `>` keeps the lowest cluster_id on ties (same tie-break as
-    * the r2 row_number form). No Exchange anywhere in this stage. */
-  def assign(spark: SparkSession, embeddings: DataFrame, cents: DataFrame): DataFrame = {
+  /** Nearest-centroid assignment: a single projection — the lattice
+    * argmin over the centroid literal, ties to the lowest cluster_id.
+    * No Exchange anywhere in this stage. */
+  def assign(spark: SparkSession, embeddings: DataFrame,
+             cents: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val centArr = centroidLiteral(cents)
-    val best = aggregate(
-      centArr,
-      struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val sim = Vectors.dot($"embedding", c.getField("centroid")) /
-          (Vectors.norm($"embedding") * c.getField("cnorm"))
-        when(sim > acc.getField("sim"),
-          struct(sim.as("sim"), c.getField("cid").as("cid")))
-          .otherwise(acc)
-      })
-    embeddings.select($"vec_id", $"embedding", best.getField("cid").as("cluster_id"))
+    // bind q once per row (the same single-element-transform hoist as
+    // quantizeNorm's own norm): bestOf expands to one dist2 per
+    // centroid, which would otherwise re-quantize the row C times
+    val best = element_at(
+      transform(array(quantizeNorm($"embedding")), q => KMeans.bestOf(q, cents)),
+      1)
+    embeddings.select($"vec_id", $"embedding",
+      best.getField("cid").as("cluster_id"))
   }
 
   /** Multi-probe index: every vector assigned to its `nprobe` nearest
@@ -105,19 +97,21 @@ object AnnIvf {
     * (SemDedup.annEdges): two vectors can meet only inside a shared
     * probed cluster, so the quadratic pair/verify work is bounded per
     * bucket instead of per corpus. Same map-side literal-sort shape as
-    * [[search]]'s probe stage — no Exchange. */
-  def assignTop(spark: SparkSession, embeddings: DataFrame, cents: DataFrame,
-                nprobe: Int): DataFrame = {
+    * [[search]]'s probe stage — no Exchange. Ranking is (dist2 asc,
+    * cid asc) on the lattice — pure integer sort, engine-exact. */
+  def assignTop(spark: SparkSession, embeddings: DataFrame,
+                cents: Array[Array[Long]], nprobe: Int): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val centArr = centroidLiteral(cents)
-    val scored = transform(centArr, c => struct(
-      (Vectors.dot($"embedding", c.getField("centroid")) * lit(-1.0) /
-        (Vectors.norm($"embedding") * c.getField("cnorm"))).as("neg_csim"),
-      c.getField("cid").as("cid")))
+    // q bound once per row (see assign) before the per-centroid fan-out
+    val probes = element_at(
+      transform(array(quantizeNorm($"embedding")), q =>
+        slice(array_sort(transform(KMeans.centroidLiteral(cents), c => struct(
+          KMeans.dist2(q, c.getField("c")).as("d"),
+          c.getField("cid").as("cid")))), 1, nprobe)),
+      1)
     embeddings
-      .select($"vec_id", $"embedding",
-        explode(slice(array_sort(scored), 1, nprobe)).as("pc"))
+      .select($"vec_id", $"embedding", explode(probes).as("pc"))
       .select($"vec_id", $"embedding", $"pc.cid".as("cluster_id"))
   }
 
@@ -130,10 +124,10 @@ object AnnIvf {
     val indexed = assign(spark, embeddings, cents)
 
     // rank centroids per query map-side via the ONE probe-ranking
-    // implementation (assignTop) — csim desc with cid-asc ties,
-    // matching the r2 window tie-break; no exchange on the query side.
-    // A second inlined copy of the scoring block once lived here; any
-    // tie-break fix would have had to land twice.
+    // implementation (assignTop) — dist2 asc with cid-asc ties; no
+    // exchange on the query side. A second inlined copy of the scoring
+    // block once lived here; any tie-break fix would have had to land
+    // twice.
     val probed = assignTop(spark, queries.select($"vec_id", $"embedding"),
         cents, nprobe)
       .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"cluster_id")

@@ -49,56 +49,64 @@ object KMeans {
   def quantize(emb: Column): Column =
     transform(emb, x => floor((x.cast("double") + lit(1.0)) * lit(Scale.toDouble)).cast("long"))
 
-  /** Seed centroids: the k lowest-vec_id vectors (deterministic, the
-    * AnnIvf seeding), quantized. */
-  private def seedCentroids(embs: DataFrame, k: Int): Array[Array[Long]] = {
-    import embs.sparkSession.implicits._
-    embs.orderBy($"vec_id").limit(k)
-      .select(quantize($"embedding").as("q"))
+  /** Seed centroids: the k lowest-vec_id rows of a pre-quantized
+    * (vec_id, q) table (deterministic, the AnnIvf seeding). */
+  private def seedsQ(qdf: DataFrame, k: Int): Array[Array[Long]] = {
+    import qdf.sparkSession.implicits._
+    qdf.orderBy($"vec_id").limit(k)
+      .select($"q")
       .collect()
       .map(_.getSeq[Long](0).toArray)
   }
 
-  private def centroidLiteral(cents: Array[Array[Long]]): Column =
+  private[operators] def centroidLiteral(cents: Array[Array[Long]]): Column =
     array(cents.zipWithIndex.map { case (c, k) =>
       struct(lit(k.toLong).as("cid"), typedLit(c.toSeq).as("c"))
     }.toIndexedSeq: _*)
 
-  /** One assignment pass against a centroid literal: (vec_id, q,
-    * cluster_id, dist2). array_min over (d, cid) structs — struct
-    * ordering is field-lexicographic, so the minimum IS the argmin
-    * with the lowest-cid tie-break, and each distance is evaluated
-    * exactly once (a conditional fold would expand every distance
-    * twice: once in the compare, once in the kept struct). No Exchange
-    * in this stage. */
-  private def assignDf(embs: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    import embs.sparkSession.implicits._
-    val dist2 = (q: Column, c: Column) =>
-      aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    val best = array_min(transform(
+  /** Exact integer squared-L2 between two BIGINT lattice arrays. */
+  private[operators] def dist2(q: Column, c: Column): Column =
+    aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The lattice argmin as one struct(d, cid) expression: array_min
+    * over (d, cid) structs — struct ordering is field-lexicographic,
+    * so the minimum IS the argmin with the lowest-cid tie-break, and
+    * each distance is evaluated exactly once (a conditional fold would
+    * expand every distance twice: once in the compare, once in the
+    * kept struct). A pure projection — no Exchange. */
+  private[operators] def bestOf(q: Column, cents: Array[Array[Long]]): Column =
+    array_min(transform(
       centroidLiteral(cents),
-      e => struct(dist2($"q", e.getField("c")).as("d"), e.getField("cid").as("cid"))))
-    embs.select($"vec_id", quantize($"embedding").as("q"))
-      .withColumn("best", best)
+      e => struct(dist2(q, e.getField("c")).as("d"), e.getField("cid").as("cid"))))
+
+  /** One assignment pass of a (vec_id, q) table against a centroid
+    * literal: (vec_id, q, cluster_id, dist2). */
+  private[operators] def assignQ(qdf: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    import qdf.sparkSession.implicits._
+    qdf.select($"vec_id", $"q")
+      .withColumn("best", bestOf($"q", cents))
       .select($"vec_id", $"q",
         $"best".getField("cid").as("cluster_id"), $"best".getField("d").as("dist2"))
   }
 
-  /** `iters` rounds of quantized Lloyd from the deterministic seeds;
-    * returns the final assignment (vec_id, cluster_id, dist2). */
-  def fit(spark: SparkSession, embs: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** `iters` lattice-Lloyd update rounds from the deterministic seeds
+    * over a pre-quantized (vec_id, q) table; returns the centroids.
+    * Shared by [[fit]] and AnnIvf's IVF build (which quantizes the
+    * NORMALIZED coordinates so lattice L2 tracks cosine geometry). */
+  private[operators] def fitCentroidsQ(spark: SparkSession, qdf: DataFrame,
+                                       k: Int, iters: Int): Array[Array[Long]] = {
     import spark.implicits._
     GraftFunctions.register(spark)
     require(k >= 1 && iters >= 1, s"k=$k iters=$iters: need k>=1, iters>=1")
-    var cents = seedCentroids(embs, k)
+    var cents = seedsQ(qdf, k)
     require(cents.length == k,
       s"k-means needs at least k=$k vectors to seed, input provided ${cents.length}")
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       // (cluster, dim) partial aggregate: k·dim (sum, count) cells —
       // the only exchange per round, vectors never shuffle
-      val sums = assignDf(embs, cents)
+      val sums = assignQ(qdf, cents)
         .select($"cluster_id", posexplode($"q"))
         .groupBy($"cluster_id", $"pos")
         .agg(sum($"col").as("s"), count(lit(1)).as("n"))
@@ -112,6 +120,16 @@ object KMeans {
       cents = next
       require(cents.forall(_.length == dim))
     }
-    assignDf(embs, cents).select($"vec_id", $"cluster_id", $"dist2")
+    cents
+  }
+
+  /** `iters` rounds of quantized Lloyd from the deterministic seeds;
+    * returns the final assignment (vec_id, cluster_id, dist2). */
+  def fit(spark: SparkSession, embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val qdf = embs.select($"vec_id", quantize($"embedding").as("q"))
+    val cents = fitCentroidsQ(spark, qdf, k, iters)
+    assignQ(qdf, cents).select($"vec_id", $"cluster_id", $"dist2")
   }
 }

@@ -173,15 +173,33 @@ object Docs {
     * consumers exponentially on small tables). */
   /** The shared Lloyd WITH-chain (qv, c0, a1..a{iters+1}, c1..c{iters});
     * `a${iters+1}` (rn=1) is the final assignment — consumed by d46's
-    * oracle directly and by d68's cluster-balanced sampler. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+    * oracle directly and by d68's cluster-balanced sampler. With
+    * `normalized = true` the lattice quantizes x/|x| instead of x
+    * (AnnIvf's build: on the unit sphere integer L2 order tracks cosine
+    * order) — the norm is the same index-ascending double fold as nv's.
+    * `recursive = true` emits WITH RECURSIVE so a consumer (d44) can
+    * append a connected-components CTE. */
+  private def kmeansCtes(k: Int, iters: Int, normalized: Boolean = false,
+                         recursive: Boolean = false): String = {
     val sb = new StringBuilder
-    sb.append(
-      s"""WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, q AS c
-         |  FROM qv ORDER BY vec_id LIMIT $k)""".stripMargin)
+    val rec = if (recursive) "RECURSIVE " else ""
+    if (normalized)
+      sb.append(
+        s"""WITH ${rec}qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor((CAST(x AS DOUBLE) / nrm + 1.0) * 1048576.0) AS BIGINT)) AS q
+           |  FROM (SELECT vec_id, embedding,
+           |      sqrt(list_sum(list_transform(range(len(embedding)),
+           |        i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+           |    FROM embeddings) z),
+           |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, q AS c
+           |  FROM qv ORDER BY vec_id LIMIT $k)""".stripMargin)
+    else
+      sb.append(
+        s"""WITH ${rec}qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, q AS c
+           |  FROM qv ORDER BY vec_id LIMIT $k)""".stripMargin)
     // round r: a$r assigns against c${r-1}; c$r is the lattice-rounded
     // update; one extra assignment a${iters+1} produces the output
     for (r <- 1 to iters + 1) {
@@ -210,6 +228,65 @@ object Docs {
     kmeansCtes(k, iters) + s"""
       |SELECT vec_id, CAST(k AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
       |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** Inline (vec_id, embedding, nrm) fragment for the ANN oracles —
+    * the nv prelude re-stated as an appendable CTE body. */
+  private val nvBody =
+    """(SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(range(len(embedding)),
+      |      i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** d11's oracle: the WHOLE IVF pipeline replayed bit-for-bit —
+    * normalized-lattice seeds + `iters` integer Lloyd rounds
+    * (kmeansCtes), integer-argmin index (a{iters+1} rn=1), integer
+    * probe ranking (rn <= nprobe; the rn order (d2, k) IS assignTop's
+    * (dist2, cid) sort), then exact double cosine top-k over the
+    * probed clusters — the d10 scorer on the candidate subset. */
+  private def ivfOracleSql(k: Int, iters: Int, nprobe: Int, topK: Int): String = {
+    val fin = s"a${iters + 1}"
+    kmeansCtes(k, iters, normalized = true) + s""",
+      |nv2 AS $nvBody,
+      |idx AS (SELECT vec_id, k FROM $fin WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, k FROM $fin
+      |  WHERE vec_id < 10 AND rn <= $nprobe),
+      |cand AS (SELECT p.q_id, i.vec_id AS neighbor_id
+      |  FROM probes p JOIN idx i ON i.k = p.k AND i.vec_id <> p.q_id),
+      |sc AS (SELECT c.q_id, c.neighbor_id,
+      |    ${dotSql("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos
+      |  FROM cand c JOIN nv2 q ON q.vec_id = c.q_id
+      |  JOIN nv2 n ON n.vec_id = c.neighbor_id),
+      |rkd AS (SELECT q_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+      |  FROM sc)
+      |SELECT q_id, neighbor_id, ROUND(cos, 6) AS cos, rk
+      |FROM rkd WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** d44's oracle: SemDedup's ANN scale path replayed — multi-probe
+    * lattice buckets (a{iters+1} rn <= nprobe), candidate pairs only
+    * inside a shared bucket, exact double cosine verify, then the
+    * d38-style transitive-closure componentization (min reachable id). */
+  private def semdedupAnnOracleSql(k: Int, iters: Int, nprobe: Int,
+                                   threshold: Double): String = {
+    val fin = s"a${iters + 1}"
+    kmeansCtes(k, iters, normalized = true, recursive = true) + s""",
+      |nv2 AS $nvBody,
+      |tops AS (SELECT vec_id, k FROM $fin WHERE rn <= $nprobe),
+      |pr AS (SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+      |  FROM tops l JOIN tops r ON r.k = l.k AND l.vec_id < r.vec_id
+      |  JOIN nv2 a ON a.vec_id = l.vec_id JOIN nv2 b ON b.vec_id = r.vec_id
+      |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $threshold),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM pr
+      |  UNION ALL SELECT b_id, a_id FROM pr),
+      |reach AS (SELECT vec_id AS a, vec_id AS b FROM nv2
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      |lab AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT vec_id, cluster_id,
+      |  CAST(CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+      |FROM lab ORDER BY vec_id""".stripMargin
+  }
 
   /** Oracle prelude: embeddings with exact double norms. */
   private val nvCte =
@@ -848,7 +925,13 @@ object Docs {
     // 16 centroid clusters per query (~25% of the corpus) instead of
     // scanning everything; recall vs the exact d10 is asserted in
     // AnnSpec. Same (cos desc, neighbor_id) tie-break as d10.
-    GraftQuery.rowsOnly("d11_ann_ivf") { (s, dir) =>
+    // HASH-ORACLE since the build moved to the normalized integer
+    // lattice (KMeans' discipline): seeds, the Lloyd round, assignment
+    // and probe ranking are all BIGINT-exact, and the cosine scorer was
+    // always replayable (d10) — so DuckDB recomputes the entire
+    // pipeline, approximation included.
+    GraftQuery.sql("d11_ann_ivf",
+      ivfOracleSql(k = 16, iters = 1, nprobe = 4, topK = 5)) { (s, dir) =>
       import s.implicits._
       val nv = embs(s, dir)
       val queries = nv.filter($"vec_id" < 10)
@@ -1885,11 +1968,16 @@ object Docs {
     // exact cosine verify → the identical DedupClusters call). The
     // quadratic pair generation is bounded per bucket (~nprobe·n/C
     // vectors), which is what survives 100 TB where d38's all-pairs
-    // baseline cannot. rows-only by design (a qualifying pair whose
-    // probe sets are disjoint is missed — probabilistic, like d11/d16);
-    // AnnSpec pins the measured edge recall and component parity
-    // against the exact path on this corpus.
-    GraftQuery.rowsOnly("d44_semdedup_ann") { (s, dir) =>
+    // baseline cannot. A qualifying pair whose probe sets are disjoint
+    // is missed — probabilistic BY DESIGN — but since the lattice
+    // rebase the approximation itself is deterministic and the oracle
+    // replays it exactly (buckets → cosine verify → components);
+    // AnnSpec separately pins edge recall and component-label
+    // agreement against the exact d38 path. The oracle pins C=16,
+    // which is what adaptiveClusters resolves to at the driver gate
+    // SFs (n·nprobe/1000 under the floor of 16 for n ≤ 4000).
+    GraftQuery.sql("d44_semdedup_ann",
+      semdedupAnnOracleSql(k = 16, iters = 1, nprobe = 4, threshold = 0.4)) { (s, dir) =>
       import s.implicits._
       import graft.operators.SemDedup
       // numClusters adapts to constant bucket occupancy (C ∝ n above
