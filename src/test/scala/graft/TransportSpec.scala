@@ -83,16 +83,26 @@ class TransportSpec extends SparkSpec {
     } finally TransportRegistry.unregister(id)
   }
 
-  test("FileRecordWriter rejects payloads that break the line contract (taxonomy: caller bug)") {
-    import graft.streaming.FileRecordWriter
-    val w = new FileRecordWriter(
-      Files.createTempDirectory("fw-rej").toString, numShards = 1)
-    intercept[BatchingSink.ClientException] {
-      w.putRecords(Seq(("k", "a\nb".getBytes("UTF-8"))))
-    }
-    intercept[BatchingSink.ClientException] {
-      w.putRecords(Seq(("k", Array[Byte](-1, -2, -3)))) // not UTF-8
-    }
+  test("FileRecordWriter carries line-breaking payloads via the binary layout, byte-exact") {
+    // Formerly a ClientException rejection; since the binary-fidelity
+    // change the writer is serialization-format agnostic (the reference
+    // streams raw ByteBuffers, KinesisSource.scala:68-70): a flush that
+    // is not newline-free UTF-8 falls back to the length-prefixed
+    // `.recb` layout and must round-trip the exact bytes.
+    import graft.streaming.{FileRecordWriter, FileShardReader}
+    val root = Files.createTempDirectory("fw-bin")
+    val w = new FileRecordWriter(root.toString, numShards = 1)
+    val payloads = Seq(
+      "a\nb".getBytes("UTF-8"),      // embedded newline
+      Array[Byte](-1, -2, -3))       // not UTF-8
+    w.putRecords(payloads.map(("k", _)))
+    val id = freshId()
+    TransportRegistry.register(id, new FileShardReader(root.toString))
+    try {
+      val got = drain(id).select("value_bin").collect().map(_.getAs[Array[Byte]](0))
+      assert(got.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]) ===
+        payloads.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]))
+    } finally TransportRegistry.unregister(id)
   }
 
   test("unregistered transport name fails fast with a clear error") {
