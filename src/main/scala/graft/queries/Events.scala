@@ -1303,6 +1303,72 @@ object Events {
       g.withColumn("share_bps",
           expr("(n * 10000) div sum(n) over (partition by event_type)"))
         .orderBy($"event_type", $"dow")
+    },
+
+    // ---- e33: sequential-pattern mining — the most frequent
+    // consecutive event-type TRIGRAMS across user sessions, scored by
+    // lift against unigram independence (does view→click→purchase
+    // happen more often than its pieces predict?). Trigrams come from
+    // TWO lags over ONE (ts, event_id)-ordered user-keyed window — the
+    // e27 shape one step deeper, no self-join — and partial-aggregate
+    // to an ALPHABET³-bounded count table (125 rows here), so
+    // everything after the first exchange is arithmetic over a tiny
+    // relation. Lift is exact integer basis points via DECIMAL(38,0)
+    // cross-products (d65's discipline): lift_bp =
+    // (10000·n·N³) div (T·c_a·c_b·c_c), where N/c_* are corpus unigram
+    // stats and T the trigram-position total — floor on positives in
+    // both engines. At extreme corpus counts (N³ past 38 digits) the
+    // same ranking is computed in log space over the SAME tiny table;
+    // the exchange shape is unchanged.
+    GraftQuery.sql("e33_event_trigrams",
+      s"""$evCte,
+         |tr AS (SELECT user_id,
+         |    lag(event_type, 2) OVER w AS t1,
+         |    lag(event_type, 1) OVER w AS t2,
+         |    event_type AS t3
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |c AS (SELECT t1, t2, t3, COUNT(*) AS n FROM tr
+         |  WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+         |u AS (SELECT event_type, COUNT(*) AS cu FROM ev GROUP BY 1),
+         |st AS (SELECT (SELECT COUNT(*) FROM ev) AS nu,
+         |              (SELECT SUM(n) FROM c) AS t),
+         |l AS (SELECT c.t1, c.t2, c.t3, c.n,
+         |    CAST((CAST(10000 AS HUGEINT) * c.n * st.nu * st.nu * st.nu)
+         |      // (CAST(st.t AS HUGEINT) * u1.cu * u2.cu * u3.cu) AS BIGINT)
+         |      AS lift_bp
+         |  FROM c CROSS JOIN st
+         |  JOIN u u1 ON u1.event_type = c.t1
+         |  JOIN u u2 ON u2.event_type = c.t2
+         |  JOIN u u3 ON u3.event_type = c.t3)
+         |SELECT t1, t2, t3, n, lift_bp FROM l
+         |ORDER BY n DESC, t1, t2, t3 LIMIT 15""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val e = ev(s, dir).select($"user_id", $"ts", $"event_id", $"event_type")
+      val c = e
+        .withColumn("t1", lag($"event_type", 2).over(wUser))
+        .withColumn("t2", lag($"event_type", 1).over(wUser))
+        .filter($"t1".isNotNull)
+        .groupBy($"t1", $"t2", $"event_type".as("t3"))
+        .agg(count(lit(1)).as("n"))
+        // both the trigram-total scalar and the lift join read it; the
+        // pin keeps the (tiny) count table from recomputing the
+        // corpus-wide window twice
+        .persist()
+      val u = e.groupBy($"event_type").agg(count(lit(1)).as("cu"))
+      val st = e.agg(count(lit(1)).as("nu"))
+        .crossJoin(c.agg(sum($"n").as("t")))
+      c.crossJoin(broadcast(st))
+        .join(broadcast(u.select($"event_type".as("t1"), $"cu".as("c1"))), "t1")
+        .join(broadcast(u.select($"event_type".as("t2"), $"cu".as("c2"))), "t2")
+        .join(broadcast(u.select($"event_type".as("t3"), $"cu".as("c3"))), "t3")
+        .withColumn("lift_bp",
+          expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * n * nu * nu * nu)
+                 | div (CAST(t AS DECIMAL(38,0)) * c1 * c2 * c3) AS BIGINT)"""
+            .stripMargin))
+        .select($"t1", $"t2", $"t3", $"n", $"lift_bp")
+        .orderBy($"n".desc, $"t1", $"t2", $"t3")
+        .limit(15)
     }
   )
 }
