@@ -3757,6 +3757,119 @@ object Docs {
           expr("cnt_lt * 10000 div n_s").as("cal_bp"),
           ($"cnt_lt" * 2 >= $"n_s").cast("long").as("top_half"))
         .orderBy($"doc_id")
+    },
+
+    // ---- d80: PERCEPTUAL-hash image near-dup — the multimodal member
+    // of the dedup matrix (d1 exact bytes, d6/d7 lexical, d38 semantic;
+    // this one catches re-encoded/resized images whose bytes differ but
+    // whose content doesn't). Pipeline: payload → square thumbnail
+    // (side = ceil(√n), exact integer sqrt with a defensive ±1 fixup so
+    // both engines agree at perfect squares; the wrap is the codec
+    // stand-in — a real deployment decodes pixels; d60's header-derived
+    // rectangle leaves 95%+ of tall frames zero-padding, which
+    // collapses every hash to "black image") → d60's area-interpolated
+    // 8×8 pooling (Multimodal.resizeToGrid, ONE shared pooling
+    // definition) → aHash (bit i = 64·cell_i > Σcells, the
+    // division-free mean compare) → 8 bands × 8 bits, pairs sharing a
+    // band verified at exact hamming ≤ 10 via bit_count(xor) —
+    // pigeonhole guarantees every pair at hamming ≤ 7 shares a band
+    // (d7's contract), 8–10 found with high probability. Scale shape:
+    // the hash is 8 bytes/image, the candidate join shuffles band
+    // bytes, never pixels; degenerate buckets (flat images all hashing
+    // alike) are capped at MaxBucket=1000 like d6, so the pair join is
+    // bucketed, not all-pairs. Fully deterministic ⇒ the oracle
+    // replays thumbnail, hash, banding, cap, and verify bit-for-bit.
+    GraftQuery.sql("d80_phash_neardup",
+      """WITH img AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CASE WHEN (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1)
+        |              * (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1) >= length(text)
+        |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1
+        |         WHEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
+        |              * CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) >= length(text)
+        |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
+        |         ELSE CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)+1 END AS s
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v,
+        |         p // s AS prow, p % s AS pcol
+        |  FROM img, UNNEST(generate_series(0, length(text)-1)) AS t(p)),
+        |ri AS (SELECT doc_id, i, i*s//8 AS r0, GREATEST(i*s//8+1,(i+1)*s//8) AS r1
+        |       FROM img, UNNEST(generate_series(0,7)) AS gi(i)),
+        |ci AS (SELECT doc_id, j, j*s//8 AS c0, GREATEST(j*s//8+1,(j+1)*s//8) AS c1
+        |       FROM img, UNNEST(generate_series(0,7)) AS gj(j)),
+        |cellsum AS (
+        |  SELECT px.doc_id, ri.i, ci.j, SUM(px.v) AS sm
+        |  FROM px
+        |  JOIN ri ON px.doc_id=ri.doc_id AND px.prow>=ri.r0 AND px.prow<ri.r1
+        |  JOIN ci ON px.doc_id=ci.doc_id AND px.pcol>=ci.c0 AND px.pcol<ci.c1
+        |  GROUP BY 1,2,3),
+        |cells AS (
+        |  SELECT img.doc_id, ri.i*8+ci.j AS cell,
+        |    COALESCE(cs.sm,0) // ((ri.r1-ri.r0)*(ci.c1-ci.c0)) AS value
+        |  FROM img JOIN ri USING(doc_id) JOIN ci USING(doc_id)
+        |  LEFT JOIN cellsum cs ON cs.doc_id=img.doc_id AND cs.i=ri.i AND cs.j=ci.j),
+        |tot AS (SELECT doc_id, SUM(value) AS tot FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id, c.cell,
+        |    CASE WHEN 64*c.value > t.tot THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING(doc_id)),
+        |bands AS (SELECT doc_id, cell//8 AS band_idx,
+        |    CAST(SUM(bit << (cell % 8)) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1,2),
+        |bsz AS (SELECT band_idx, band_val, COUNT(*) AS sz FROM bands GROUP BY 1,2),
+        |ok AS (SELECT b.* FROM bands b JOIN bsz USING(band_idx, band_val)
+        |       WHERE sz <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+        |    AND a.band_idx = b.band_idx AND a.band_val = b.band_val),
+        |ham AS (SELECT c.a_id, c.b_id,
+        |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN bands a ON a.doc_id = c.a_id
+        |  JOIN bands b ON b.doc_id = c.b_id AND b.band_idx = a.band_idx
+        |  GROUP BY 1,2)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 10
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      // square codec stub: side = ceil(sqrt(bytes)), the same ±1-fixed
+      // integer sqrt as the oracle (corpus is ASCII: chars == bytes)
+      val n = length($"text")
+      val s0 = floor(sqrt(n.cast("double"))).cast("long")
+      val side = when((s0 - 1) * (s0 - 1) >= n, s0 - 1)
+        .when(s0 * s0 >= n, s0)
+        .otherwise(s0 + 1)
+        .cast("int")
+      val sq = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id", lit("image").as("media_type"),
+          side.as("width"), side.as("height"),
+          encode($"text", "UTF-8").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val grid = Multimodal.resizeToGrid(sq, side = 8).toDF()
+      // aHash bits from the pooled grid; bands = 8 bytes of the hash.
+      // From here on only (doc_id, band_idx, band_val) rows move — the
+      // 8-byte fingerprint discipline of d7.
+      val bands = grid
+        .select($"doc_id", aggregate($"grid", lit(0L), _ + _).as("tot"),
+          posexplode($"grid").as(Seq("cell", "v")))
+        .withColumn("bit", when(lit(64) * $"v" > $"tot", 1L).otherwise(0L))
+        .groupBy($"doc_id", expr("cell div 8").as("band_idx"))
+        .agg(expr("sum(shiftleft(bit, CAST(cell % 8 AS INT)))").as("band_val"))
+        .persist() // feeds the cap census, the pair join, and the verify
+      val bsz = bands.groupBy($"band_idx", $"band_val")
+        .agg(count(lit(1)).as("sz"))
+      val ok = bands.join(bsz.filter($"sz" <= 1000), Seq("band_idx", "band_val"))
+      val cand = ok.select($"band_idx", $"band_val", $"doc_id".as("a_id"))
+        .join(ok.select($"band_idx", $"band_val", $"doc_id".as("b_id")),
+          Seq("band_idx", "band_val"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      val ba = bands.select($"doc_id".as("a_id"), $"band_idx", $"band_val".as("va"))
+      val bb = bands.select($"doc_id".as("b_id"), $"band_idx", $"band_val".as("vb"))
+      cand.join(ba, "a_id").join(bb, Seq("b_id", "band_idx"))
+        .groupBy($"a_id", $"b_id")
+        .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
+        .filter($"hamming" <= 10)
+        .orderBy($"a_id", $"b_id")
     }
   )
 
