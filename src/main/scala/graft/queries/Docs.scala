@@ -3870,6 +3870,100 @@ object Docs {
         .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
         .filter($"hamming" <= 10)
         .orderBy($"a_id", $"b_id")
+    },
+
+    // ---- d81: HYBRID retrieval — reciprocal-rank fusion (RRF,
+    // Cormack et al. SIGIR'09) of a lexical ranking and a dense
+    // ranking, the serving-side shape every RAG/retrieval pipeline
+    // runs: per query, top-20 by unigram-set Jaccard and top-20 by
+    // embedding cosine (vec_id ≡ doc_id on this corpus) fuse as
+    // score = Σ 1/(60+rank), a doc absent from one list contributing
+    // 0 from it. Ranks are integer-exact (jaccard ties compare as
+    // identical doubles from identical int ratios, then doc_id; cosine
+    // is d10's scorer); the fused score is a two-term double from a
+    // tiny discrete set — deterministic in both engines. Scale shape:
+    // the query side is tiny and BROADCAST to both modality scans (one
+    // token-postings join, one vector scan — each one corpus pass);
+    // ranks window per-query over per-query-bounded candidate sets;
+    // nothing global sorts. The windows' input is capped by the
+    // broadcast postings join (lexical) and the top-20 truncation.
+    GraftQuery.sql("d81_hybrid_rrf",
+      s"""$normCte,
+         |tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS t FROM nd),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         |inter AS (SELECT q.doc_id AS q_id, d.doc_id AS doc_id, COUNT(*) AS i
+         |  FROM tok q JOIN tok d ON q.t = d.t AND q.doc_id < 10
+         |    AND d.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |jr AS (SELECT inter.q_id, inter.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY inter.q_id ORDER BY
+         |      CAST(i AS DOUBLE) / (sq.n + sd.n - i) DESC, inter.doc_id) AS rl
+         |  FROM inter JOIN sz sq ON sq.doc_id = inter.q_id
+         |  JOIN sz sd ON sd.doc_id = inter.doc_id),
+         |lex AS (SELECT q_id, doc_id, rl FROM jr WHERE rl <= 20),
+         |nv AS (SELECT vec_id, embedding,
+         |  sqrt(list_sum(list_transform(range(len(embedding)),
+         |       i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+         |  FROM embeddings),
+         |vp AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM nv q JOIN nv c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |vr AS (SELECT q_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rv
+         |  FROM vp),
+         |vec AS (SELECT q_id, doc_id, rv FROM vr WHERE rv <= 20),
+         |fused AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(l.rl, 0) AS r_lex, COALESCE(v.rv, 0) AS r_vec,
+         |    COALESCE(1.0 / (60 + l.rl), 0) + COALESCE(1.0 / (60 + v.rv), 0) AS rrf
+         |  FROM lex l FULL JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+         |rk AS (SELECT q_id, doc_id, r_lex, r_vec, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT q_id, doc_id, r_lex, r_vec, ROUND(rrf, 9) AS rrf, rk
+         |FROM rk WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", explode(Text.tokens($"text")).as("t")).distinct()
+        .persist() // query side AND corpus side of the postings join
+      val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val qtok = tok.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"t")
+      val inter = broadcast(qtok)
+        .join(tok.withColumnRenamed("doc_id", "d_id"), "t")
+        .filter($"d_id" =!= $"q_id")
+        .groupBy($"q_id", $"d_id").agg(count(lit(1)).as("i"))
+      val wLex = Window.partitionBy($"q_id")
+        .orderBy(($"i".cast("double") / ($"nq" + $"nd" - $"i")).desc, $"d_id")
+      val lex = inter
+        .join(broadcast(sz.select($"doc_id".as("q_id"), $"n".as("nq"))), "q_id")
+        .join(sz.select($"doc_id".as("d_id"), $"n".as("nd")), "d_id")
+        .withColumn("rl", row_number().over(wLex).cast("long"))
+        .filter($"rl" <= 20)
+        .select($"q_id", $"d_id".as("doc_id"), $"rl")
+      val nv = embs(s, dir)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val qv = nv.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("eq"), $"nrm".as("nq"))
+      val cv = nv.select($"vec_id".as("doc_id"), $"embedding".as("ec"), $"nrm".as("nc"))
+      val wVec = Window.partitionBy($"q_id").orderBy($"cos".desc, $"doc_id")
+      val vec = broadcast(qv).join(cv, $"q_id" =!= $"doc_id")
+        .withColumn("cos", Vectors.cosineWithNorms($"eq", $"ec", $"nq", $"nc"))
+        .withColumn("rv", row_number().over(wVec).cast("long"))
+        .filter($"rv" <= 20)
+        .select($"q_id", $"doc_id", $"rv")
+      val wFuse = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+      lex.join(vec, Seq("q_id", "doc_id"), "full")
+        .select($"q_id", $"doc_id",
+          coalesce($"rl", lit(0L)).as("r_lex"),
+          coalesce($"rv", lit(0L)).as("r_vec"),
+          (coalesce(lit(1.0) / (lit(60) + $"rl"), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + $"rv"), lit(0.0))).as("rrf"))
+        .withColumn("rk", row_number().over(wFuse).cast("long"))
+        .filter($"rk" <= 10)
+        .select($"q_id", $"doc_id", $"r_lex", $"r_vec",
+          round($"rrf", 9).as("rrf"), $"rk")
+        .orderBy($"q_id", $"rk")
     }
   )
 
