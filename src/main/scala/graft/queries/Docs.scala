@@ -3964,6 +3964,114 @@ object Docs {
         .select($"q_id", $"doc_id", $"r_lex", $"r_vec",
           round($"rrf", 9).as("rrf"), $"rk")
         .orderBy($"q_id", $"rk")
+    },
+
+    // ---- d82: trigram-LM fluency scoring — the KenLM-style "does a
+    // small LM find this text plausible" filter (CCNet's wikipedia-LM
+    // perplexity gate, d66's rarity cousin one order deeper), EXACT:
+    // an interpolated trigram model (λ = 0.7/0.2/0.1, add-1 unigram
+    // floor so P > 0 always) trains on the doc_id ≥ 100 slice and
+    // scores doc_id < 100. Per position, P = (7·P3 + 2·P2 + P1)/10
+    // goes over the common denominator D = 10·c2ctx·c1prev·(N+V+1) so
+    // the per-position INVERSE probability is one HUGEINT/DECIMAL(38,0)
+    // floor-division inv = D div Num — no log, no float (d72's
+    // discipline; log-perplexity would hash-diverge on libm). Doc
+    // score = mean inverse probability (arithmetic-mean proxy for
+    // perplexity — monotone in the same filtering decision). c3 ≤ c2ctx
+    // and c2 ≤ c1prev make the GREATEST(…,1) denominators exact:
+    // a zeroed context zeroes its numerator term with it. Scale shape:
+    // count tables are vocab-bounded (unigram/bigram/trigram keyed by
+    // token strings — the 100 TB join key is the gram, not the doc);
+    // eval positions join them by gram key (partial-agg map side), and
+    // the per-doc rollup is one doc_id-keyed exchange.
+    GraftQuery.sql("d82_trigram_lm",
+      s"""$normCte,
+         |tk AS (SELECT doc_id, p - 1 AS pos, tok FROM (
+         |    SELECT doc_id, unnest(string_split(norm, ' ')) AS tok,
+         |           generate_subscripts(string_split(norm, ' '), 1) AS p
+         |    FROM nd)),
+         |tr AS (SELECT doc_id, pos, tok FROM tk WHERE doc_id >= 100),
+         |c1 AS (SELECT tok, COUNT(*) AS c FROM tr GROUP BY 1),
+         |st AS (SELECT (SELECT COUNT(*) FROM tr)
+         |            + (SELECT COUNT(DISTINCT tok) FROM tr) + 1 AS m),
+         |big AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c FROM tr a
+         |  JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY 1, 2),
+         |tri AS (SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3, COUNT(*) AS c
+         |  FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 GROUP BY 1, 2, 3),
+         |ev AS (SELECT doc_id, pos,
+         |    lag(tok, 2) OVER w AS w1, lag(tok, 1) OVER w AS w2, tok AS w3
+         |  FROM tk WHERE doc_id < 100
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |pos3 AS (SELECT * FROM ev WHERE w1 IS NOT NULL),
+         |sc AS (SELECT p.doc_id,
+         |    GREATEST(COALESCE(bc.c, 0), 1) AS c2ctx,
+         |    GREATEST(COALESCE(c1p.c, 0), 1) AS c1prev,
+         |    COALESCE(tc.c, 0) AS c3, COALESCE(bn.c, 0) AS c2,
+         |    COALESCE(c1w.c, 0) AS c1w, st.m AS m
+         |  FROM pos3 p CROSS JOIN st
+         |  LEFT JOIN tri tc ON tc.t1 = p.w1 AND tc.t2 = p.w2 AND tc.t3 = p.w3
+         |  LEFT JOIN big bc ON bc.t1 = p.w1 AND bc.t2 = p.w2
+         |  LEFT JOIN big bn ON bn.t1 = p.w2 AND bn.t2 = p.w3
+         |  LEFT JOIN c1 c1p ON c1p.tok = p.w2
+         |  LEFT JOIN c1 c1w ON c1w.tok = p.w3),
+         |iv AS (SELECT doc_id,
+         |    (CAST(10 AS HUGEINT) * c2ctx * c1prev * m)
+         |      // (CAST(7 AS HUGEINT) * c3 * c1prev * m
+         |        + CAST(2 AS HUGEINT) * c2 * c2ctx * m
+         |        + CAST(c1w + 1 AS HUGEINT) * c2ctx * c1prev) AS inv
+         |  FROM sc)
+         |SELECT doc_id, COUNT(*) AS n_pos,
+         |  CAST(SUM(inv) // COUNT(*) AS BIGINT) AS mean_inv
+         |FROM iv GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tk = docs(s, dir)
+        .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+      val tr = tk.filter($"doc_id" >= 100).persist() // 3 count scans + stats
+      val c1 = tr.groupBy($"tok").agg(count(lit(1)).as("c"))
+      val st = tr.agg((count(lit(1)) + countDistinct($"tok") + 1).as("m"))
+      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+      // bigram/trigram counts from lags over the SAME window (one
+      // doc-keyed exchange feeds both, no positional self-joins)
+      val trLag = tr
+        .withColumn("p1", lag($"tok", 1).over(wDoc))
+        .withColumn("p2", lag($"tok", 2).over(wDoc))
+        .persist()
+      val big = trLag.filter($"p1".isNotNull)
+        .groupBy($"p1".as("t1"), $"tok".as("t2")).agg(count(lit(1)).as("c"))
+      val tri = trLag.filter($"p2".isNotNull)
+        .groupBy($"p2".as("t1"), $"p1".as("t2"), $"tok".as("t3"))
+        .agg(count(lit(1)).as("c"))
+      val ev = tk.filter($"doc_id" < 100)
+        .withColumn("w1", lag($"tok", 2).over(wDoc))
+        .withColumn("w2", lag($"tok", 1).over(wDoc))
+        .filter($"w1".isNotNull)
+        .select($"doc_id", $"w1", $"w2", $"tok".as("w3"))
+      val sc = ev.crossJoin(broadcast(st))
+        .join(tri.select($"t1".as("w1"), $"t2".as("w2"), $"t3".as("w3"),
+          $"c".as("c3")), Seq("w1", "w2", "w3"), "left")
+        .join(big.select($"t1".as("w1"), $"t2".as("w2"), $"c".as("cb")),
+          Seq("w1", "w2"), "left")
+        .join(big.select($"t1".as("w2"), $"t2".as("w3"), $"c".as("cn")),
+          Seq("w2", "w3"), "left")
+        .join(c1.select($"tok".as("w2"), $"c".as("cp")), Seq("w2"), "left")
+        .join(c1.select($"tok".as("w3"), $"c".as("cw")), Seq("w3"), "left")
+        .select($"doc_id",
+          greatest(coalesce($"cb", lit(0L)), lit(1L)).as("c2ctx"),
+          greatest(coalesce($"cp", lit(0L)), lit(1L)).as("c1prev"),
+          coalesce($"c3", lit(0L)).as("c3"),
+          coalesce($"cn", lit(0L)).as("c2"),
+          coalesce($"cw", lit(0L)).as("c1w"), $"m")
+      sc.withColumn("inv",
+          expr("""(CAST(10 AS DECIMAL(38,0)) * c2ctx * c1prev * m)
+                 | div (CAST(7 AS DECIMAL(38,0)) * c3 * c1prev * m
+                 |   + CAST(2 AS DECIMAL(38,0)) * c2 * c2ctx * m
+                 |   + CAST(c1w + 1 AS DECIMAL(38,0)) * c2ctx * c1prev)"""
+            .stripMargin))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pos"),
+          expr("CAST(sum(inv) div count(1) AS BIGINT)").as("mean_inv"))
+        .orderBy($"doc_id")
     }
   )
 
