@@ -4072,6 +4072,64 @@ object Docs {
         .agg(count(lit(1)).as("n_pos"),
           expr("CAST(sum(inv) div count(1) AS BIGINT)").as("mean_inv"))
         .orderBy($"doc_id")
+    },
+
+    // ---- d83: top principal component by integer-lattice POWER
+    // ITERATION (operators.PowerIteration) — the spectral step of
+    // embedding hygiene (d78's cousin): the corpus' dominant direction
+    // plus each vector's exact projection onto it, with the top-2%
+    // |projection| tail flagged as dominant-direction outliers (the
+    // "all-but-the-top" diagnostic). Every iterate lives on KMeans'
+    // 2^-20 lattice (exact rounded-mean centering, BIGINT matvec,
+    // DECIMAL(38,0)/HUGEINT second pass, shift-based floor division
+    // that agrees on negatives in both engines), so the oracle unrolls
+    // all 3 rounds and hash-checks the full spectral computation.
+    // The global |proj| rank runs over vec-cardinality rows (e28's
+    // caveat: at 1000-executor vector counts swap in d57's
+    // histogram-cut for the same 2% boundary).
+    GraftQuery.sql("d83_pca_outliers", {
+      val rounds = (1 to 3).map { r =>
+        val dPrev = if (r == 1) "SUM(cv * 1048576)"
+                    else s"SUM(cv * v${r - 1}.v)"
+        val dJoin = if (r == 1) "" else s" JOIN v${r - 1} USING(pos)"
+        s"""d$r AS (SELECT vec_id, $dPrev AS d FROM c$dJoin GROUP BY 1),
+           |w$r AS (SELECT pos, SUM(CAST(cv AS HUGEINT) * d) AS w
+           |  FROM c JOIN d$r USING(vec_id) GROUP BY 1),
+           |m$r AS (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w$r),
+           |v$r AS (SELECT pos,
+           |    (1048576*w + 2097152*m) // m - 2097152 AS v FROM w$r, m$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |px AS (SELECT vec_id, i AS pos, q[i+1] AS qval
+         |  FROM qv, UNNEST(generate_series(0, len(q)-1)) AS t(i)),
+         |mu AS (SELECT pos, (2*SUM(qval)+COUNT(*)) // (2*COUNT(*)) AS mu
+         |  FROM px GROUP BY 1),
+         |c AS MATERIALIZED (SELECT vec_id, px.pos, qval - mu AS cv
+         |  FROM px JOIN mu USING(pos)),
+         |$rounds,
+         |proj AS (SELECT c.vec_id, CAST(SUM(c.cv * v3.v) AS BIGINT) AS proj
+         |  FROM c JOIN v3 USING(pos) GROUP BY 1),
+         |rk AS (SELECT vec_id, proj,
+         |    ROW_NUMBER() OVER (ORDER BY ABS(proj) DESC, vec_id) AS r,
+         |    COUNT(*) OVER () AS n FROM proj)
+         |SELECT vec_id, proj,
+         |  CAST(CASE WHEN r <= n // 50 THEN 1 ELSE 0 END AS BIGINT) AS is_tail
+         |FROM rk ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val (_, proj) = graft.operators.PowerIteration
+        .topComponent(s, embs(s, dir), iters = 3)
+      val wAbs = Window.orderBy(abs($"proj").desc, $"vec_id")
+      val wAll = Window.partitionBy()
+      proj
+        .withColumn("r", row_number().over(wAbs))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select($"vec_id", $"proj",
+          ($"r" <= expr("n div 50")).cast("long").as("is_tail"))
+        .orderBy($"vec_id")
     }
   )
 
