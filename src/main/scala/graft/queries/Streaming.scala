@@ -1105,6 +1105,67 @@ object Streaming {
           .groupBy($"b64").agg(count(lit(1)).as("n"))
         drainToTable(s, stream, "complete").orderBy($"b64")
       } finally graft.util.TempDirs.delete(root.toString)
+    },
+
+    // ---- s27: shard-skew monitor — the transport-operations twin of
+    // the s12/s21 per-source gates: records drain from the sharded log
+    // carrying (event_id | epoch_µs) payloads, and the STREAM maintains
+    // per (shard, event-day) counts under a 1-hour watermark (ingest is
+    // per-shard time-ordered — the transport's own order guarantee, the
+    // s5 argument). The hot-shard report — each shard's share of its
+    // day in exact basis points, flagged when it exceeds 2× fair share
+    // of the 4 shards — is a batch projection over the TINY
+    // (days × shards) drained table, so the skew math never touches
+    // the stream's state. This is the reshard-decision input a real
+    // deployment derives from per-shard throughput (the reference's
+    // operational concern in shard discovery/resharding,
+    // KinesisSource.scala:175-258, re-expressed as a query).
+    GraftQuery.sql("s27_shard_skew",
+      s"""$evCte,
+         |d AS (SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS shard,
+         |    CAST(date_trunc('day', ts) AS DATE) AS wday FROM ev),
+         |g AS (SELECT wday, shard, COUNT(*) AS n FROM d GROUP BY 1, 2)
+         |SELECT wday, shard, n,
+         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY wday) AS BIGINT) AS share_bp,
+         |  CAST(CASE WHEN n * 10000 > 5000 * SUM(n) OVER (PARTITION BY wday)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS hot
+         |FROM g ORDER BY wday, shard""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = java.nio.file.Paths.get(
+        graft.util.TempDirs.freshUnder("/dev/shm", "graft-skewlog"))
+      try {
+        // the s1 harness layout with the event time riding in the
+        // payload: per-shard files in (event_id ≡ time) order
+        Tables.events(s, dir)
+          .select($"event_id", unix_micros($"ts").as("us"),
+            pmod($"user_id", lit(4)).as("shard"))
+          .collect()
+          .groupBy(_.getLong(2))
+          .foreach { case (shard, rows) =>
+            rows.sortBy(_.getLong(0)).toSeq.grouped(2000).zipWithIndex.foreach {
+              case (rs, i) =>
+                ShardedLog.append(root, s"s$shard", i + 1L,
+                  rs.map(r => s"${r.getLong(0)}|${r.getLong(1)}"))
+            }
+          }
+        val counts = s.readStream.format(ShardedLog.Format)
+          .option("path", root.toString)
+          .option("startingPosition", "trim_horizon")
+          .load()
+          .select($"shard",
+            timestamp_micros(split($"value", "\\|")(1).cast("long")).as("ts"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window($"ts", "1 day").as("w"), $"shard")
+          .agg(count(lit(1)).as("n"))
+        val wDay = org.apache.spark.sql.expressions.Window.partitionBy($"wday")
+        drainToTable(s, counts, "complete")
+          .select($"w.start".cast("date").as("wday"), $"shard", $"n")
+          .withColumn("tot", sum($"n").over(wDay))
+          .select($"wday", $"shard", $"n",
+            expr("n * 10000 div tot").as("share_bp"),
+            ($"n" * 10000 > $"tot" * 5000).cast("long").as("hot"))
+          .orderBy($"wday", $"shard")
+      } finally graft.util.TempDirs.delete(root.toString)
     }
   )
 }
