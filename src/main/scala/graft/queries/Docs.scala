@@ -79,6 +79,69 @@ object Docs {
           expr("stop * 4000 div n_tok")).as("q_bp"))
   }
 
+  /** d82's trigram-LM count tables, trained on the doc_id ≥ 100 slice:
+    * (unigram c1, bigram big, trigram tri, the 1-row add-1 mass M =
+    * N+V+1). ONE definition shared by the batch scorer (d82) and the
+    * streaming gate (s28) — the model the stream scores against must
+    * be bit-identical to the batch one. Bigram/trigram counts come
+    * from lags over the SAME doc-keyed window (one exchange feeds
+    * both, no positional self-joins). */
+  private[queries] def lmCounts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tr = docs(s, dir).filter($"doc_id" >= 100)
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+      .persist() // unigram count, the stats row, and the lag pass
+    val c1 = tr.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val st = tr.agg((count(lit(1)) + countDistinct($"tok") + 1).as("m"))
+    val trLag = tr
+      .withColumn("p1", lag($"tok", 1).over(wDoc))
+      .withColumn("p2", lag($"tok", 2).over(wDoc))
+      .persist()
+    val big = trLag.filter($"p1".isNotNull)
+      .groupBy($"p1".as("t1"), $"tok".as("t2")).agg(count(lit(1)).as("c"))
+    val tri = trLag.filter($"p2".isNotNull)
+      .groupBy($"p2".as("t1"), $"p1".as("t2"), $"tok".as("t3"))
+      .agg(count(lit(1)).as("c"))
+    (c1, big, tri, st)
+  }
+
+  /** d82's per-doc scorer over (doc_id, w1, w2, w3) trigram-position
+    * rows: joins the [[lmCounts]] tables by gram key and folds each
+    * position's exact inverse probability (ONE DECIMAL(38,0) floor
+    * division over the interpolation's common denominator) into
+    * (doc_id, n_pos, mean_inv). Shared verbatim by d82 and s28 — the
+    * arithmetic cannot drift between batch and stream. */
+  private[queries] def lmScore(positions: DataFrame, c1: DataFrame,
+      big: DataFrame, tri: DataFrame, st: DataFrame): DataFrame = {
+    import positions.sparkSession.implicits._
+    positions.crossJoin(broadcast(st))
+      .join(tri.select($"t1".as("w1"), $"t2".as("w2"), $"t3".as("w3"),
+        $"c".as("c3")), Seq("w1", "w2", "w3"), "left")
+      .join(big.select($"t1".as("w1"), $"t2".as("w2"), $"c".as("cb")),
+        Seq("w1", "w2"), "left")
+      .join(big.select($"t1".as("w2"), $"t2".as("w3"), $"c".as("cn")),
+        Seq("w2", "w3"), "left")
+      .join(c1.select($"tok".as("w2"), $"c".as("cp")), Seq("w2"), "left")
+      .join(c1.select($"tok".as("w3"), $"c".as("cw")), Seq("w3"), "left")
+      .select($"doc_id",
+        greatest(coalesce($"cb", lit(0L)), lit(1L)).as("c2ctx"),
+        greatest(coalesce($"cp", lit(0L)), lit(1L)).as("c1prev"),
+        coalesce($"c3", lit(0L)).as("c3"),
+        coalesce($"cn", lit(0L)).as("c2"),
+        coalesce($"cw", lit(0L)).as("c1w"), $"m")
+      .withColumn("inv",
+        expr("""(CAST(10 AS DECIMAL(38,0)) * c2ctx * c1prev * m)
+               | div (CAST(7 AS DECIMAL(38,0)) * c3 * c1prev * m
+               |   + CAST(2 AS DECIMAL(38,0)) * c2 * c2ctx * m
+               |   + CAST(c1w + 1 AS DECIMAL(38,0)) * c2ctx * c1prev)"""
+          .stripMargin))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        expr("CAST(sum(inv) div count(1) AS BIGINT)").as("mean_inv"))
+  }
+
   /** Spark twin of [[cdcCte]]: the per-chunk rollup (doc_id, chunk_idx,
     * start, len, txt) both CDC consumers build on. Boundary flags are a
     * map-side md5 projection; the chunk index is one prefix-sum window
@@ -4025,53 +4088,15 @@ object Docs {
          |  CAST(SUM(inv) // COUNT(*) AS BIGINT) AS mean_inv
          |FROM iv GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val tk = docs(s, dir)
-        .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
-      val tr = tk.filter($"doc_id" >= 100).persist() // 3 count scans + stats
-      val c1 = tr.groupBy($"tok").agg(count(lit(1)).as("c"))
-      val st = tr.agg((count(lit(1)) + countDistinct($"tok") + 1).as("m"))
+      val (c1, big, tri, st) = lmCounts(s, dir)
       val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      // bigram/trigram counts from lags over the SAME window (one
-      // doc-keyed exchange feeds both, no positional self-joins)
-      val trLag = tr
-        .withColumn("p1", lag($"tok", 1).over(wDoc))
-        .withColumn("p2", lag($"tok", 2).over(wDoc))
-        .persist()
-      val big = trLag.filter($"p1".isNotNull)
-        .groupBy($"p1".as("t1"), $"tok".as("t2")).agg(count(lit(1)).as("c"))
-      val tri = trLag.filter($"p2".isNotNull)
-        .groupBy($"p2".as("t1"), $"p1".as("t2"), $"tok".as("t3"))
-        .agg(count(lit(1)).as("c"))
-      val ev = tk.filter($"doc_id" < 100)
+      val ev = docs(s, dir).filter($"doc_id" < 100)
+        .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
         .withColumn("w1", lag($"tok", 2).over(wDoc))
         .withColumn("w2", lag($"tok", 1).over(wDoc))
         .filter($"w1".isNotNull)
         .select($"doc_id", $"w1", $"w2", $"tok".as("w3"))
-      val sc = ev.crossJoin(broadcast(st))
-        .join(tri.select($"t1".as("w1"), $"t2".as("w2"), $"t3".as("w3"),
-          $"c".as("c3")), Seq("w1", "w2", "w3"), "left")
-        .join(big.select($"t1".as("w1"), $"t2".as("w2"), $"c".as("cb")),
-          Seq("w1", "w2"), "left")
-        .join(big.select($"t1".as("w2"), $"t2".as("w3"), $"c".as("cn")),
-          Seq("w2", "w3"), "left")
-        .join(c1.select($"tok".as("w2"), $"c".as("cp")), Seq("w2"), "left")
-        .join(c1.select($"tok".as("w3"), $"c".as("cw")), Seq("w3"), "left")
-        .select($"doc_id",
-          greatest(coalesce($"cb", lit(0L)), lit(1L)).as("c2ctx"),
-          greatest(coalesce($"cp", lit(0L)), lit(1L)).as("c1prev"),
-          coalesce($"c3", lit(0L)).as("c3"),
-          coalesce($"cn", lit(0L)).as("c2"),
-          coalesce($"cw", lit(0L)).as("c1w"), $"m")
-      sc.withColumn("inv",
-          expr("""(CAST(10 AS DECIMAL(38,0)) * c2ctx * c1prev * m)
-                 | div (CAST(7 AS DECIMAL(38,0)) * c3 * c1prev * m
-                 |   + CAST(2 AS DECIMAL(38,0)) * c2 * c2ctx * m
-                 |   + CAST(c1w + 1 AS DECIMAL(38,0)) * c2ctx * c1prev)"""
-            .stripMargin))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_pos"),
-          expr("CAST(sum(inv) div count(1) AS BIGINT)").as("mean_inv"))
-        .orderBy($"doc_id")
+      lmScore(ev, c1, big, tri, st).orderBy($"doc_id")
     },
 
     // ---- d83: top principal component by integer-lattice POWER

@@ -1166,6 +1166,43 @@ object Streaming {
             ($"n" * 10000 > $"tot" * 5000).cast("long").as("hot"))
           .orderBy($"wday", $"shard")
       } finally graft.util.TempDirs.delete(root.toString)
+    },
+
+    // ---- s28: the trigram-LM fluency gate run ON THE STREAM — d82's
+    // scorer as an ingest filter: the model (unigram/bigram/trigram
+    // counts, Docs.lmCounts — ONE definition with the batch entry)
+    // trains batch-side on the static doc_id ≥ 100 slice, and incoming
+    // docs score against it in-stream. Trigram positions come from a
+    // STATELESS projection (arrays_zip of three shifted slices — the
+    // stream-legal form of d82's lag windows; identical triples),
+    // stream-static joins attach the counts by gram key, and the
+    // per-doc rollup + exact inverse-probability arithmetic is
+    // Docs.lmScore VERBATIM — the d62/s23 sharing rule: batch and
+    // stream cannot drift, and both replay against the SAME oracle
+    // string. Scale shape: the scorer is a projection + gram-keyed
+    // joins per micro-batch; per-doc state lives only within the
+    // batch that carries the doc.
+    GraftQuery.sql("s28_stream_lm_gate",
+      batchOracle("d82_trigram_lm")) { (s, dir) =>
+      import s.implicits._
+      val (c1, big, tri, st) = Docs.lmCounts(s, dir)
+      val rows = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 100)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val in = MemoryStream[(Long, String)](s)
+      val toks = graft.functions.Text.tokens($"text")
+      val positions = in.toDF().toDF("doc_id", "text")
+        .select($"doc_id", toks.as("tk"))
+        .filter(size($"tk") >= 3)
+        .select($"doc_id", explode(arrays_zip(
+          slice($"tk", lit(1), size($"tk") - 2).as("w1"),
+          slice($"tk", lit(2), size($"tk") - 2).as("w2"),
+          slice($"tk", lit(3), size($"tk") - 2).as("w3"))).as("t"))
+        .select($"doc_id", $"t.w1", $"t.w2", $"t.w3")
+      val scored = Docs.lmScore(positions, c1, big, tri, st)
+      drainChunksToTable(s, scored, "complete", in, mbChunks(s, rows))
+        .orderBy($"doc_id")
     }
   )
 }
