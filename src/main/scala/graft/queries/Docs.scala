@@ -4155,6 +4155,73 @@ object Docs {
         .select($"vec_id", $"proj",
           ($"r" <= expr("n div 50")).cast("long").as("is_tail"))
         .orderBy($"vec_id")
+    },
+
+    // ---- d84: the per-source DATASET CARD — the corpus-level report a
+    // curation run publishes alongside the data (datasheet/data-card
+    // practice): per source, doc and token counts, language breadth,
+    // the exact-duplicate count under d1's corpus-wide fingerprint
+    // (ONE definition — Text.fingerprint/md5(norm)), and exact quality
+    // quartiles of d61's score. Quartiles come from the (source, q_bp)
+    // HISTOGRAM (d56's cum·4 ≥ k·n pick — sort-free, exchange key
+    // bounded by score domain × sources); the duplicate census joins
+    // the corpus-wide fingerprint counts back by 16-byte hash, never
+    // text. Counts n_docs/n_langs/n_dup run over ALL docs; token and
+    // quartile columns over the scoreable (nonempty-norm) slice —
+    // the same split qualityCte itself draws.
+    GraftQuery.sql("d84_corpus_report",
+      s"""$qualityCte,
+         |fpc AS (SELECT md5(norm) AS f, COUNT(*) AS nc FROM nd GROUP BY 1),
+         |dups AS (SELECT nd.source, COUNT(*) AS n_dup
+         |  FROM nd JOIN fpc ON md5(nd.norm) = fpc.f WHERE fpc.nc > 1
+         |  GROUP BY 1),
+         |allc AS (SELECT source, COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lang) AS n_langs FROM nd GROUP BY 1),
+         |h AS (SELECT source, q_bp, COUNT(*) AS c FROM q GROUP BY 1, 2),
+         |cq AS (SELECT source, q_bp,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY q_bp) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
+         |qs AS (SELECT source,
+         |    MIN(CASE WHEN cum*4 >= n THEN q_bp END) AS q25,
+         |    MIN(CASE WHEN cum*2 >= n THEN q_bp END) AS q50,
+         |    MIN(CASE WHEN cum*4 >= 3*n THEN q_bp END) AS q75 FROM cq GROUP BY 1),
+         |tk AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tok FROM q GROUP BY 1)
+         |SELECT allc.source AS source, n_docs, n_langs,
+         |  COALESCE(n_dup, 0) AS n_dup, tk.n_tok, qs.q25, qs.q50, qs.q75
+         |FROM allc JOIN tk ON allc.source = tk.source
+         |LEFT JOIN dups ON allc.source = dups.source
+         |JOIN qs ON allc.source = qs.source
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+      val fpd = d.select($"doc_id", $"source", $"lang",
+        Text.fingerprint($"text").as("f"))
+        .persist() // the corpus census and the duplicate join
+      val fpc = fpd.groupBy($"f").agg(count(lit(1)).as("nc"))
+      val dups = fpd.join(fpc.filter($"nc" > 1), "f")
+        .groupBy($"source").agg(count(lit(1)).as("n_dup"))
+      val allc = fpd.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"))
+      val q = qualityScores(s, dir)
+      val wCum = Window.partitionBy($"source").orderBy($"q_bp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wSrc = Window.partitionBy($"source")
+      // quartiles over the tiny (source, q_bp) histogram only
+      val qs = q.groupBy($"source", $"q_bp").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wSrc))
+        .groupBy($"source")
+        .agg(min(when($"cum" * 4 >= $"n", $"q_bp")).as("q25"),
+          min(when($"cum" * 2 >= $"n", $"q_bp")).as("q50"),
+          min(when($"cum" * 4 >= $"n" * 3, $"q_bp")).as("q75"))
+      val tk = q.groupBy($"source").agg(sum($"n_tok").as("n_tok"))
+      allc.join(tk, "source")
+        .join(dups, Seq("source"), "left")
+        .join(qs, "source")
+        .select($"source", $"n_docs", $"n_langs",
+          coalesce($"n_dup", lit(0L)).as("n_dup"),
+          $"n_tok", $"q25", $"q50", $"q75")
+        .orderBy($"source")
     }
   )
 

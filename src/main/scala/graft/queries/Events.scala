@@ -1369,6 +1369,57 @@ object Events {
         .select($"t1", $"t2", $"t3", $"n", $"lift_bp")
         .orderBy($"n".desc, $"t1", $"t2", $"t3")
         .limit(15)
+    },
+
+    // ---- e34: burst detection — days where an event type runs HOT
+    // against its own trailing week (the ops-alerting cousin of e19's
+    // week-over-week drift): a day bursts when n·7 > 2·(trailing-7-day
+    // sum), the division-free cross-multiplied compare. The daily grid
+    // is DENSIFIED first (e11's gap-fill: sequence over the corpus'
+    // [min, max] day span × the type alphabet, missing days = 0) so
+    // "trailing 7 rows" means seven CALENDAR days, not seven observed
+    // rows — on a sparse type the undensified window would silently
+    // span months. Only days with a full prior week report. Scale
+    // shape: one (type, day) partial aggregate off the corpus, then
+    // windows over the alphabet × span grid — bounded by the calendar,
+    // not the event count.
+    GraftQuery.sql("e34_burst_days",
+      s"""$evCte,
+         |g AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS wday,
+         |    COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         |b AS (SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS mn,
+         |    CAST(MAX(date_trunc('day', ts)) AS DATE) AS mx FROM ev),
+         |days AS (SELECT CAST(unnest(generate_series(mn, mx,
+         |    INTERVAL 1 DAY)) AS DATE) AS wday FROM b),
+         |grid AS (SELECT t.event_type, d.wday, COALESCE(g.n, 0) AS n
+         |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN days d
+         |  LEFT JOIN g ON g.event_type = t.event_type AND g.wday = d.wday),
+         |w AS (SELECT event_type, wday, n,
+         |    SUM(n) OVER tw AS trail7, COUNT(*) OVER tw AS c7
+         |  FROM grid WINDOW tw AS (PARTITION BY event_type ORDER BY wday
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, wday, n, trail7,
+         |  CAST(CASE WHEN n * 7 > 2 * trail7 THEN 1 ELSE 0 END AS BIGINT) AS burst
+         |FROM w WHERE c7 = 7 ORDER BY event_type, wday""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val g = e.groupBy($"event_type", to_date($"ts").as("wday"))
+        .agg(count(lit(1)).as("n"))
+      val days = e.agg(min(to_date($"ts")).as("mn"), max(to_date($"ts")).as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("wday"))
+      val grid = e.select($"event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(g, Seq("event_type", "wday"), "left")
+        .na.fill(0L, Seq("n"))
+      val tw = Window.partitionBy($"event_type").orderBy($"wday")
+        .rowsBetween(-7, -1)
+      grid
+        .withColumn("trail7", sum($"n").over(tw))
+        .withColumn("c7", count(lit(1)).over(tw))
+        .filter($"c7" === 7)
+        .select($"event_type", $"wday", $"n", $"trail7",
+          ($"n" * 7 > $"trail7" * 2).cast("long").as("burst"))
+        .orderBy($"event_type", $"wday")
     }
   )
 }
