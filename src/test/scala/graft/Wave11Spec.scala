@@ -205,6 +205,75 @@ class Wave11Spec extends SparkSpec {
     assert(got === model)
   }
 
+  test("s28: the streamed LM gate emits bit-identical rows to batch d82") {
+    // the d62/s23 bit-parity contract applied to the LM gate: same
+    // model (shared lmCounts), same arithmetic (shared lmScore), and
+    // the trigram extraction (stream slices vs batch lags) must agree
+    val batch = SparkEntry.queries("d82_trigram_lm")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = SparkEntry.queries("s28_stream_lm_gate")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream === batch)
+  }
+
+  test("d84: the dataset card matches a plain-Scala census") {
+    val got = SparkEntry.queries("d84_corpus_report")(spark, Sf0001)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val raw = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select($"doc_id", $"source", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    val fpAll = raw.groupBy(r => norm(r._4)).view.mapValues(_.size).toMap
+    val stop = Set("the", "a")
+    val scored = raw.filter(r => norm(r._4).nonEmpty).map { case (_, src, _, t) =>
+      val nm = norm(t)
+      val toks = nm.split(" ").toVector
+      val punct = nm.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z')))
+      val q = 30L * math.min(toks.size, 100) +
+        (nm.length - punct) * 3000L / nm.length +
+        toks.count(stop) * 4000L / toks.size
+      (src, toks.size.toLong, q)
+    }
+    raw.groupBy(_._2).foreach { case (src, rs) =>
+      val qs = scored.filter(_._1 == src)
+      val hist = qs.map(_._3).sorted
+      def pick(k: Int, of: Int): Long = {
+        val n = hist.size
+        hist.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toLong * of >= k.toLong * n => v
+        }.get
+      }
+      val model = (rs.size.toLong, rs.map(_._3).distinct.size.toLong,
+        rs.count(r => fpAll(norm(r._4)) > 1).toLong,
+        qs.map(_._2).sum, pick(1, 4), pick(1, 2), pick(3, 4))
+      assert(got(src) === model, s"source $src")
+    }
+  }
+
+  test("e34: burst flags match a densified-grid Scala model") {
+    val got = SparkEntry.queries("e34_burst_days")(spark, Sf0001)
+      .collect().map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byDay = eventRows.groupBy { e =>
+      (e._4, java.time.Instant.ofEpochSecond(Math.floorDiv(e._2, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }.view.mapValues(_.size.toLong).toMap
+    val days = byDay.keys.map(_._2).toSeq
+    val (mn, mx) = (days.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      days.max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val span = (mn.toEpochDay to mx.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+    val types = eventRows.map(_._4).distinct
+    val model = (for {
+      t <- types
+      (d, i) <- span.zipWithIndex if i >= 7
+      n = byDay.getOrElse((t, d), 0L)
+      trail = (1 to 7).map(k => byDay.getOrElse((t, span(i - k)), 0L)).sum
+    } yield ((t, d.toString), (n, trail, if (n * 7 > 2 * trail) 1L else 0L))).toMap
+    assert(got === model)
+  }
+
   test("s27: the streamed skew report equals the batch computation") {
     val got = SparkEntry.queries("s27_shard_skew")(spark, Sf0001)
       .collect()
