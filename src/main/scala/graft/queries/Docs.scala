@@ -142,6 +142,108 @@ object Docs {
         expr("CAST(sum(inv) div count(1) AS BIGINT)").as("mean_inv"))
   }
 
+  /** d80's oracle pipeline through the verified hamming pairs (`ham`):
+    * square thumbnail (exact ±1-fixed integer sqrt side), the d60 8×8
+    * area pooling, aHash bits, 8×8-bit bands, the MaxBucket=1000
+    * degenerate cap, and bit_count(xor) hamming per band-sharing pair.
+    * Declared RECURSIVE so d85 can append its componentization CTE.
+    * ONE definition shared by d80 (pairs) and d85 (clusters). */
+  private val phashCtes =
+    """WITH RECURSIVE img AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    CASE WHEN (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1)
+      |              * (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1) >= length(text)
+      |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1
+      |         WHEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
+      |              * CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) >= length(text)
+      |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
+      |         ELSE CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)+1 END AS s
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v,
+      |         p // s AS prow, p % s AS pcol
+      |  FROM img, UNNEST(generate_series(0, length(text)-1)) AS t(p)),
+      |ri AS (SELECT doc_id, i, i*s//8 AS r0, GREATEST(i*s//8+1,(i+1)*s//8) AS r1
+      |       FROM img, UNNEST(generate_series(0,7)) AS gi(i)),
+      |ci AS (SELECT doc_id, j, j*s//8 AS c0, GREATEST(j*s//8+1,(j+1)*s//8) AS c1
+      |       FROM img, UNNEST(generate_series(0,7)) AS gj(j)),
+      |cellsum AS (
+      |  SELECT px.doc_id, ri.i, ci.j, SUM(px.v) AS sm
+      |  FROM px
+      |  JOIN ri ON px.doc_id=ri.doc_id AND px.prow>=ri.r0 AND px.prow<ri.r1
+      |  JOIN ci ON px.doc_id=ci.doc_id AND px.pcol>=ci.c0 AND px.pcol<ci.c1
+      |  GROUP BY 1,2,3),
+      |cells AS (
+      |  SELECT img.doc_id, ri.i*8+ci.j AS cell,
+      |    COALESCE(cs.sm,0) // ((ri.r1-ri.r0)*(ci.c1-ci.c0)) AS value
+      |  FROM img JOIN ri USING(doc_id) JOIN ci USING(doc_id)
+      |  LEFT JOIN cellsum cs ON cs.doc_id=img.doc_id AND cs.i=ri.i AND cs.j=ci.j),
+      |tot AS (SELECT doc_id, SUM(value) AS tot FROM cells GROUP BY 1),
+      |bits AS (SELECT c.doc_id, c.cell,
+      |    CASE WHEN 64*c.value > t.tot THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING(doc_id)),
+      |bands AS (SELECT doc_id, cell//8 AS band_idx,
+      |    CAST(SUM(bit << (cell % 8)) AS BIGINT) AS band_val
+      |  FROM bits GROUP BY 1,2),
+      |bsz AS (SELECT band_idx, band_val, COUNT(*) AS sz FROM bands GROUP BY 1,2),
+      |ok AS (SELECT b.* FROM bands b JOIN bsz USING(band_idx, band_val)
+      |       WHERE sz <= 1000),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
+      |    AND a.band_idx = b.band_idx AND a.band_val = b.band_val),
+      |ham AS (SELECT c.a_id, c.b_id,
+      |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
+      |  FROM cand c JOIN bands a ON a.doc_id = c.a_id
+      |  JOIN bands b ON b.doc_id = c.b_id AND b.band_idx = a.band_idx
+      |  GROUP BY 1,2)""".stripMargin
+
+  /** Spark twin of [[phashCtes]]: the verified near-dup image pairs
+    * (a_id, b_id, hamming ≤ 10). Square codec stub (side = ceil(√bytes),
+    * the same ±1-fixed integer sqrt as the oracle; the corpus is ASCII
+    * so chars == bytes), d60's shared pooling, aHash, banding under the
+    * d6-style degenerate cap, exact bit_count(xor) verify. Only the
+    * 8-byte fingerprints shuffle — never pixels. */
+  private def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val n = length($"text")
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val side = when((s0 - 1) * (s0 - 1) >= n, s0 - 1)
+      .when(s0 * s0 >= n, s0)
+      .otherwise(s0 + 1)
+      .cast("int")
+    val sq = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id", lit("image").as("media_type"),
+        side.as("width"), side.as("height"),
+        encode($"text", "UTF-8").as("payload"))
+      .as[Multimodal.MediaRecord]
+    val grid = Multimodal.resizeToGrid(sq, side = 8).toDF()
+    // aHash bits from the pooled grid; bands = 8 bytes of the hash.
+    // From here on only (doc_id, band_idx, band_val) rows move — the
+    // 8-byte fingerprint discipline of d7.
+    val bands = grid
+      .select($"doc_id", aggregate($"grid", lit(0L), _ + _).as("tot"),
+        posexplode($"grid").as(Seq("cell", "v")))
+      .withColumn("bit", when(lit(64) * $"v" > $"tot", 1L).otherwise(0L))
+      .groupBy($"doc_id", expr("cell div 8").as("band_idx"))
+      .agg(expr("sum(shiftleft(bit, CAST(cell % 8 AS INT)))").as("band_val"))
+      .persist() // feeds the cap census, the pair join, and the verify
+    val bsz = bands.groupBy($"band_idx", $"band_val")
+      .agg(count(lit(1)).as("sz"))
+    val ok = bands.join(bsz.filter($"sz" <= 1000), Seq("band_idx", "band_val"))
+    val cand = ok.select($"band_idx", $"band_val", $"doc_id".as("a_id"))
+      .join(ok.select($"band_idx", $"band_val", $"doc_id".as("b_id")),
+        Seq("band_idx", "band_val"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val ba = bands.select($"doc_id".as("a_id"), $"band_idx", $"band_val".as("va"))
+    val bb = bands.select($"doc_id".as("b_id"), $"band_idx", $"band_val".as("vb"))
+    cand.join(ba, "a_id").join(bb, Seq("b_id", "band_idx"))
+      .groupBy($"a_id", $"b_id")
+      .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
+      .filter($"hamming" <= 10)
+  }
+
   /** Spark twin of [[cdcCte]]: the per-chunk rollup (doc_id, chunk_idx,
     * start, len, txt) both CDC consumers build on. Boundary flags are a
     * map-side md5 projection; the chunk index is one prefix-sum window
@@ -3843,97 +3945,88 @@ object Docs {
     // bucketed, not all-pairs. Fully deterministic ⇒ the oracle
     // replays thumbnail, hash, banding, cap, and verify bit-for-bit.
     GraftQuery.sql("d80_phash_neardup",
-      """WITH img AS (
-        |  SELECT doc_id, text, length(text) AS n,
-        |    CASE WHEN (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1)
-        |              * (CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1) >= length(text)
-        |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)-1
-        |         WHEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
-        |              * CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) >= length(text)
-        |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
-        |         ELSE CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)+1 END AS s
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |px AS (
-        |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v,
-        |         p // s AS prow, p % s AS pcol
-        |  FROM img, UNNEST(generate_series(0, length(text)-1)) AS t(p)),
-        |ri AS (SELECT doc_id, i, i*s//8 AS r0, GREATEST(i*s//8+1,(i+1)*s//8) AS r1
-        |       FROM img, UNNEST(generate_series(0,7)) AS gi(i)),
-        |ci AS (SELECT doc_id, j, j*s//8 AS c0, GREATEST(j*s//8+1,(j+1)*s//8) AS c1
-        |       FROM img, UNNEST(generate_series(0,7)) AS gj(j)),
-        |cellsum AS (
-        |  SELECT px.doc_id, ri.i, ci.j, SUM(px.v) AS sm
-        |  FROM px
-        |  JOIN ri ON px.doc_id=ri.doc_id AND px.prow>=ri.r0 AND px.prow<ri.r1
-        |  JOIN ci ON px.doc_id=ci.doc_id AND px.pcol>=ci.c0 AND px.pcol<ci.c1
-        |  GROUP BY 1,2,3),
-        |cells AS (
-        |  SELECT img.doc_id, ri.i*8+ci.j AS cell,
-        |    COALESCE(cs.sm,0) // ((ri.r1-ri.r0)*(ci.c1-ci.c0)) AS value
-        |  FROM img JOIN ri USING(doc_id) JOIN ci USING(doc_id)
-        |  LEFT JOIN cellsum cs ON cs.doc_id=img.doc_id AND cs.i=ri.i AND cs.j=ci.j),
-        |tot AS (SELECT doc_id, SUM(value) AS tot FROM cells GROUP BY 1),
-        |bits AS (SELECT c.doc_id, c.cell,
-        |    CASE WHEN 64*c.value > t.tot THEN 1 ELSE 0 END AS bit
-        |  FROM cells c JOIN tot t USING(doc_id)),
-        |bands AS (SELECT doc_id, cell//8 AS band_idx,
-        |    CAST(SUM(bit << (cell % 8)) AS BIGINT) AS band_val
-        |  FROM bits GROUP BY 1,2),
-        |bsz AS (SELECT band_idx, band_val, COUNT(*) AS sz FROM bands GROUP BY 1,2),
-        |ok AS (SELECT b.* FROM bands b JOIN bsz USING(band_idx, band_val)
-        |       WHERE sz <= 1000),
-        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM ok a JOIN ok b ON a.doc_id < b.doc_id
-        |    AND a.band_idx = b.band_idx AND a.band_val = b.band_val),
-        |ham AS (SELECT c.a_id, c.b_id,
-        |    CAST(SUM(bit_count(xor(a.band_val, b.band_val))) AS BIGINT) AS hamming
-        |  FROM cand c JOIN bands a ON a.doc_id = c.a_id
-        |  JOIN bands b ON b.doc_id = c.b_id AND b.band_idx = a.band_idx
-        |  GROUP BY 1,2)
-        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 10
-        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      phashCtes +
+        "\nSELECT a_id, b_id, hamming FROM ham WHERE hamming <= 10" +
+        "\nORDER BY a_id, b_id") { (s, dir) =>
       import s.implicits._
-      import graft.operators.Multimodal
-      // square codec stub: side = ceil(sqrt(bytes)), the same ±1-fixed
-      // integer sqrt as the oracle (corpus is ASCII: chars == bytes)
-      val n = length($"text")
-      val s0 = floor(sqrt(n.cast("double"))).cast("long")
-      val side = when((s0 - 1) * (s0 - 1) >= n, s0 - 1)
-        .when(s0 * s0 >= n, s0)
-        .otherwise(s0 + 1)
-        .cast("int")
-      val sq = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
-        .select($"doc_id", lit("image").as("media_type"),
-          side.as("width"), side.as("height"),
-          encode($"text", "UTF-8").as("payload"))
-        .as[Multimodal.MediaRecord]
-      val grid = Multimodal.resizeToGrid(sq, side = 8).toDF()
-      // aHash bits from the pooled grid; bands = 8 bytes of the hash.
-      // From here on only (doc_id, band_idx, band_val) rows move — the
-      // 8-byte fingerprint discipline of d7.
-      val bands = grid
-        .select($"doc_id", aggregate($"grid", lit(0L), _ + _).as("tot"),
-          posexplode($"grid").as(Seq("cell", "v")))
-        .withColumn("bit", when(lit(64) * $"v" > $"tot", 1L).otherwise(0L))
-        .groupBy($"doc_id", expr("cell div 8").as("band_idx"))
-        .agg(expr("sum(shiftleft(bit, CAST(cell % 8 AS INT)))").as("band_val"))
-        .persist() // feeds the cap census, the pair join, and the verify
-      val bsz = bands.groupBy($"band_idx", $"band_val")
-        .agg(count(lit(1)).as("sz"))
-      val ok = bands.join(bsz.filter($"sz" <= 1000), Seq("band_idx", "band_val"))
-      val cand = ok.select($"band_idx", $"band_val", $"doc_id".as("a_id"))
-        .join(ok.select($"band_idx", $"band_val", $"doc_id".as("b_id")),
-          Seq("band_idx", "band_val"))
-        .filter($"a_id" < $"b_id")
-        .select($"a_id", $"b_id").distinct()
-      val ba = bands.select($"doc_id".as("a_id"), $"band_idx", $"band_val".as("va"))
-      val bb = bands.select($"doc_id".as("b_id"), $"band_idx", $"band_val".as("vb"))
-      cand.join(ba, "a_id").join(bb, Seq("b_id", "band_idx"))
-        .groupBy($"a_id", $"b_id")
-        .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
-        .filter($"hamming" <= 10)
-        .orderBy($"a_id", $"b_id")
+      phashPairs(s, dir).orderBy($"a_id", $"b_id")
     },
+
+    // ---- d85: perceptual-hash DEDUP CLUSTERS — d80's near-dup pairs
+    // contracted to connected components (the d13 step for the image
+    // modality): cluster assignment via DedupClusters' large-star/
+    // small-star contraction (O(log² n), layout-independent), keeper =
+    // the cluster's minimum doc_id (min-id survivorship, d13's
+    // convention), plus each cluster's member count. ONE pair
+    // definition (phashPairs/phashCtes shared with d80) — the
+    // clustering entry cannot drift from the pair entry. The oracle
+    // appends the recursive-CTE componentization to the SAME replayed
+    // pipeline.
+    GraftQuery.sql("d85_phash_clusters",
+      phashCtes + """,
+        |e AS (SELECT a_id AS src, b_id AS dst FROM ham WHERE hamming <= 10
+        |  UNION ALL SELECT b_id, a_id FROM ham WHERE hamming <= 10),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM img
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        |lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT lab.doc_id, lab.cluster_id, sz.n_members,
+        |  CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keeper
+        |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id
+        |ORDER BY lab.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nodes = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
+        .select($"doc_id")
+      val pairs = phashPairs(s, dir).select($"a_id", $"b_id")
+      val lab = graft.operators.DedupClusters.assign(nodes, pairs)
+      val sz = lab.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+      lab.join(sz, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"n_members",
+          ($"doc_id" === $"cluster_id").cast("long").as("keeper"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- d86: quality-cutoff YIELD CURVE — d75's threshold-sweep
+    // artifact for the quality axis (the "choose the gate" input a
+    // curation run reads before fixing d61's budget or d79's
+    // calibration): for each candidate cutoff on a fixed grid, the
+    // docs and tokens admitted at q_bp ≥ cutoff and the token share in
+    // exact basis points. Everything reads off the (q_bp) HISTOGRAM
+    // (d56/d61 discipline): one partial aggregate over the corpus,
+    // then an 11×|bins| join over tiny relations — sweeping a
+    // threshold costs nothing more than reading the histogram again,
+    // and the corpus is scanned ONCE for all 11 cutoffs.
+    GraftQuery.sql("d86_quality_yield",
+      s"""$qualityCte,
+         |h AS (SELECT q_bp, COUNT(*) AS c, SUM(n_tok) AS t FROM q GROUP BY 1),
+         |tot AS (SELECT SUM(c) AS cd, SUM(t) AS td FROM h),
+         |cuts AS (SELECT unnest(generate_series(2000, 7000, 500)) AS cutoff),
+         |y AS (SELECT cuts.cutoff,
+         |    CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(h.t), 0) AS BIGINT) AS n_tok
+         |  FROM cuts LEFT JOIN h ON h.q_bp >= cuts.cutoff GROUP BY 1)
+         |SELECT CAST(cutoff AS BIGINT) AS cutoff, n_docs, n_tok,
+         |  CAST(n_tok * 10000 // tot.td AS BIGINT) AS tok_share_bp
+         |FROM y CROSS JOIN tot ORDER BY cutoff""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val h = qualityScores(s, dir)
+        .groupBy($"q_bp")
+        .agg(count(lit(1)).as("c"), sum($"n_tok").as("t"))
+        .persist() // the total row and the sweep join
+      val tot = h.agg(sum($"c").as("cd"), sum($"t").as("td"))
+      val cuts = (2000L to 7000L by 500L).toDF("cutoff")
+      cuts.join(h, $"q_bp" >= $"cutoff", "left")
+        .groupBy($"cutoff")
+        .agg(coalesce(sum($"c"), lit(0L)).as("n_docs"),
+          coalesce(sum($"t"), lit(0L)).as("n_tok"))
+        .crossJoin(broadcast(tot))
+        .select($"cutoff", $"n_docs", $"n_tok",
+          expr("n_tok * 10000 div td").as("tok_share_bp"))
+        .orderBy($"cutoff")
+    },
+
 
     // ---- d81: HYBRID retrieval — reciprocal-rank fusion (RRF,
     // Cormack et al. SIGIR'09) of a lexical ranking and a dense

@@ -1402,24 +1402,36 @@ object Events {
          |  CAST(CASE WHEN n * 7 > 2 * trail7 THEN 1 ELSE 0 END AS BIGINT) AS burst
          |FROM w WHERE c7 = 7 ORDER BY event_type, wday""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = ev(s, dir)
-      val g = e.groupBy($"event_type", to_date($"ts").as("wday"))
+      val g = ev(s, dir)
+        .groupBy($"event_type", to_date($"ts").as("wday"))
         .agg(count(lit(1)).as("n"))
-      val days = e.agg(min(to_date($"ts")).as("mn"), max(to_date($"ts")).as("mx"))
-        .select(explode(sequence($"mn", $"mx")).as("wday"))
-      val grid = e.select($"event_type").distinct()
-        .crossJoin(broadcast(days))
-        .join(g, Seq("event_type", "wday"), "left")
-        .na.fill(0L, Seq("n"))
-      val tw = Window.partitionBy($"event_type").orderBy($"wday")
-        .rowsBetween(-7, -1)
-      grid
-        .withColumn("trail7", sum($"n").over(tw))
-        .withColumn("c7", count(lit(1)).over(tw))
-        .filter($"c7" === 7)
-        .select($"event_type", $"wday", $"n", $"trail7",
-          ($"n" * 7 > $"trail7" * 2).cast("long").as("burst"))
-        .orderBy($"event_type", $"wday")
+      burstFromDaily(g).orderBy($"event_type", $"wday")
     }
   )
+
+  /** e34's report tail over a (event_type, wday, n) daily count table:
+    * densify to the full [min, max] day span × type alphabet, then the
+    * trailing-7-calendar-day window and the cross-multiplied burst
+    * flag. ONE definition shared with the streaming twin s29 (which
+    * maintains the daily counts incrementally) — the alerting rule
+    * cannot drift between batch and stream. The day-span bounds come
+    * from the count table itself (its min/max day IS the corpus's:
+    * every day with events has a row). */
+  private[queries] def burstFromDaily(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
+    val days = g.agg(min($"wday").as("mn"), max($"wday").as("mx"))
+      .select(explode(sequence($"mn", $"mx")).as("wday"))
+    val grid = g.select($"event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(g, Seq("event_type", "wday"), "left")
+      .na.fill(0L, Seq("n"))
+    val tw = Window.partitionBy($"event_type").orderBy($"wday")
+      .rowsBetween(-7, -1)
+    grid
+      .withColumn("trail7", sum($"n").over(tw))
+      .withColumn("c7", count(lit(1)).over(tw))
+      .filter($"c7" === 7)
+      .select($"event_type", $"wday", $"n", $"trail7",
+        ($"n" * 7 > $"trail7" * 2).cast("long").as("burst"))
+  }
 }

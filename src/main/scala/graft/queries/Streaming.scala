@@ -1203,6 +1203,37 @@ object Streaming {
       val scored = Docs.lmScore(positions, c1, big, tri, st)
       drainChunksToTable(s, scored, "complete", in, mbChunks(s, rows))
         .orderBy($"doc_id")
+    },
+
+    // ---- s29: the burst monitor ON THE STREAM — e34's daily per-type
+    // counts maintained incrementally across micro-batches (the s16
+    // weekly-drift pattern: the STREAM owns the count cells, whose
+    // state is bounded by the type alphabet × day span, never the
+    // event count), then the alerting tail — densify, trailing
+    // 7-calendar-day window, cross-multiplied burst flag — runs as a
+    // batch projection over the drained grid via Events.burstFromDaily
+    // VERBATIM (the d62/s23 sharing rule): stream and batch replay the
+    // SAME oracle string, so the alerting rule cannot drift.
+    GraftQuery.sql("s29_stream_burst", batchOracle("e34_burst_days")) {
+      (s, dir) =>
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .select($"ts", $"event_type")
+        .as[(java.sql.Timestamp, String)]
+        .collect().sortBy(_._1.getTime).toSeq
+      val in = MemoryStream[(java.sql.Timestamp, String)](s)
+      val counts = in.toDF().toDF("ts", "event_type")
+        .withWatermark("ts", "1 hour")
+        .groupBy($"event_type", window($"ts", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+      // localCheckpoint: burstFromDaily reads the drained grid three
+      // ways (type alphabet, day bounds, the left join) — self-joining
+      // the memory-sink view trips conflicting-reference resolution,
+      // and the grid is alphabet × span tiny anyway
+      val g = drainChunksToTable(s, counts, "complete", in, mbChunks(s, rows))
+        .select($"event_type", $"w.start".cast("date").as("wday"), $"n")
+        .localCheckpoint(true)
+      Events.burstFromDaily(g).orderBy($"event_type", $"wday")
     }
   )
 }
