@@ -274,6 +274,66 @@ class Wave11Spec extends SparkSpec {
     assert(got === model)
   }
 
+  test("d85: phash clusters are exactly the connected components of d80's pairs") {
+    val pairs = SparkEntry.queries("d80_phash_neardup")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = docRows.map(_._1).filter(_ % 3 == 0)
+    // driver-side union-find over the pair list
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = nodes.map(n => n -> find(n)).toMap
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("d85_phash_clusters")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val model = nodes.map { n =>
+      n -> (label(n), sizes(label(n)), if (n == label(n)) 1L else 0L)
+    }.toMap
+    assert(got === model)
+  }
+
+  test("d86: the yield curve is monotone and ends at the histogram totals") {
+    val rows = SparkEntry.queries("d86_quality_yield")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (2000L to 7000L by 500L))
+    // admitted mass can only shrink as the cutoff rises
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4)
+    }
+    // model the sweep directly from the scored docs
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    val stop = Set("the", "a")
+    val scored = docRows.map(_._2).map(norm).filter(_.nonEmpty).map { nm =>
+      val toks = nm.split(" ").toVector
+      val punct = nm.count(c => !(c.isDigit || c == ' ' || (c >= 'a' && c <= 'z')))
+      (toks.size.toLong,
+        30L * math.min(toks.size, 100) + (nm.length - punct) * 3000L / nm.length +
+          toks.count(stop) * 4000L / toks.size)
+    }
+    val totTok = scored.map(_._1).sum
+    rows.foreach { case (c, nd, nt, bp) =>
+      val kept = scored.filter(_._2 >= c)
+      assert((nd, nt, bp) ===
+        ((kept.size.toLong, kept.map(_._1).sum, kept.map(_._1).sum * 10000 / totTok)),
+        s"cutoff $c")
+    }
+  }
+
+  test("s29: the streamed burst report is bit-identical to batch e34") {
+    val batch = SparkEntry.queries("e34_burst_days")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val stream = SparkEntry.queries("s29_stream_burst")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(stream === batch)
+  }
+
   test("s27: the streamed skew report equals the batch computation") {
     val got = SparkEntry.queries("s27_shard_skew")(spark, Sf0001)
       .collect()
