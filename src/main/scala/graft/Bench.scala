@@ -61,7 +61,9 @@ object Bench {
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0; capped at 10% of the time budget — JIT/
+    // SPARK_GRAFT_WARMUP=0; capped at 5% of the time budget (was 10%
+    // through r7; at 185 entries pass 1 alone fills the window, so the
+    // warmup is the one block of wall the suite can still spare) — JIT/
     // codegen warmup is dominated by shared infrastructure (parquet
     // reader, codegen, shuffle), so a prefix of the suite warms nearly
     // all of it, and coverage (pass 1 must finish: at 129 queries a
@@ -75,7 +77,7 @@ object Bench {
         // harness floor, which warmup neither measures nor improves —
         // and at ~1-2 s each they'd eat half the warmup window
         val it = selected.iterator.filterNot(_._1.startsWith("s"))
-        while (it.hasNext && elapsed < budget * 0.1) {
+        while (it.hasNext && elapsed < budget * 0.05) {
           val (_, fn) = it.next()
           try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
           spark.catalog.clearCache()

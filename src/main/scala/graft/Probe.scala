@@ -4,40 +4,37 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe main — ad-hoc diagnostics (not part of the contract).
-  * Currently: d51 PQ shortlist recall vs exact lattice-L2 under
-  * varying Lloyd rounds and shortlist depths (r6 parameter study;
-  * earlier probes — r6 d44 adaptive-C, r4 d18 stages — live in git
-  * history). */
+  * Currently: DedupClusters fixed-cost study — 9 suite entries pay the
+  * contraction engine's per-round overhead, so measure rounds × wall
+  * at d13-like edge counts under different shuffle-partition settings
+  * (earlier probes — d51 PQ recall grid, r6 d44 adaptive-C, r4 d18
+  * stages — live in git history). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val parts = args.headOption.getOrElse("32")
+    val n = args.lift(1).map(_.toInt).getOrElse(50000)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    import graft.operators.{KMeans, PqAnn}
 
-    val e = Tables.load(spark, dir, "embeddings")
-    val vecs = e.select($"vec_id", KMeans.quantize($"embedding").as("q"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    val exact = vecs.filter(_._1 < 10).map { case (qid, qv) =>
-      qid -> vecs.filter(_._1 != qid)
-        .map { case (nid, nv) =>
-          (qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum, nid)
-        }.sortBy(identity).take(5).map(_._2).toSet
-    }.toMap
+    // d13-like graph at sf0.1: ~50k docs, a few thousand near-dup
+    // edges in chains/stars of mixed length plus one long path.
+    val docs = spark.range(0, n).toDF("doc_id")
+    val edges = spark.range(0, n / 20).flatMap { c =>
+      val base = c * 20
+      (1 to 3).map(i => (base + (i * 37) % 17, base + (i * 53) % 19 + 1))
+    }.toDF("a_id", "b_id").filter($"a_id" =!= $"b_id")
+      .union(spark.range(0, 200).select(($"id" * 7 % n).as("a_id"),
+        (($"id" + 1) * 7 % n).as("b_id")))
+    edges.persist().count()
 
-    for ((m, k) <- Seq((8, 16), (8, 32), (16, 16), (16, 32))) {
-      val cb = PqAnn.train(spark, e, m = m, k = k, iters = 3)
-      for (s <- Seq(25, 50, 100)) {
-        val short = PqAnn.topK(spark, e, cb, $"vec_id" < 10, k = s)
-          .collect().groupBy(_.getLong(0))
-          .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-        val recall = exact.map { case (q, ex) =>
-          (short(q) intersect ex).size.toDouble / ex.size }.sum / exact.size
-        println(f"m=$m k=$k shortlist=$s%3d recall-of-exact-top5 = $recall%.3f")
-      }
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val out = graft.operators.DedupClusters.assign(docs, edges)
+      val cnt = out.count()
+      println(f"parts=$parts rep=$rep assign wall = ${(System.nanoTime() - t0) / 1e9}%.2f s (rows $cnt)")
     }
     spark.stop()
   }

@@ -63,6 +63,21 @@ object DedupClusters {
     *         directory (set `sc.setCheckpointDir` to durable storage
     *         first), so a lost executor replays from the last round —
     *         the right mode for long cluster runs at 100 TB.
+    * @param localFinishEdges  hybrid cutover (Kiveris et al. §6 finish
+    *         small graphs locally): at the top of each round the
+    *         materialized edge set's size is read (one no-shuffle pass
+    *         over checkpointed blocks), and once it is ≤ this bound the
+    *         remaining components are solved by an EXACT single-task
+    *         union-find (executor-side `mapPartitions` over the edges
+    *         coalesced to one partition — min-root union + path
+    *         compression, the same min-id star forest the contraction
+    *         converges to, in ONE job instead of the O(log² n)
+    *         convergence tail whose per-round cost is all scheduling
+    *         once the graph is small). At 100 TB the first rounds run
+    *         distributed and shrink the edge set monotonically, so the
+    *         cutover fires exactly when round latency would stop being
+    *         data-bound; 0 disables the hybrid (pure contraction —
+    *         DedupSpec pins parity between the two paths).
     * @return (doc_id, cluster_id) — cluster_id = min doc_id in component
     * @throws IllegalStateException if the iteration cap is hit before
     *         convergence: returning silently would hand the caller
@@ -72,7 +87,8 @@ object DedupClusters {
     *         thrown up front when reliable=true without a checkpoint
     *         directory. */
   def assign(docs: DataFrame, pairs: DataFrame, maxIterations: Int = 50,
-             reliable: Boolean = false): DataFrame = {
+             reliable: Boolean = false,
+             localFinishEdges: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     if (reliable && spark.sparkContext.getCheckpointDir.isEmpty)
@@ -88,6 +104,15 @@ object DedupClusters {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      // hybrid cutover: e is materialized, so this count is a
+      // no-shuffle pass over checkpointed blocks — cheap relative to
+      // the three shuffles a contraction round costs, and it is what
+      // lets the small tail finish in one job instead of O(log² n)
+      // scheduling-bound rounds
+      if (localFinishEdges > 0 && e.count() <= localFinishEdges) {
+        e = materialize(localStars(e))
+        converged = true
+      } else {
       val sym = e.select($"p".as("u"), $"c".as("v"))
         .unionByName(e.select($"c".as("u"), $"p".as("v")))
       // large-star: m = min(Γ(u) ∪ u); larger neighbors re-attach to m.
@@ -127,6 +152,7 @@ object DedupClusters {
         .select($"p", $"c")
         .distinct()) // eager: the round's one job; fills the accumulator
       converged = changedAcc.value == 0L
+      }
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -135,5 +161,44 @@ object DedupClusters {
     docs.select($"doc_id")
       .join(e.select($"c".as("doc_id"), $"p".as("cluster_id")), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+  }
+
+  /** Exact single-task finish for a small edge set: min-root union-find
+    * with path compression over the edges coalesced into ONE partition
+    * (executor-side — nothing is collected to the driver), emitting the
+    * same canonical star forest (min-id root, one (root, member) edge
+    * per non-root member) the contraction converges to, so the caller's
+    * label-extraction tail is path-independent. Memory is O(nodes) in
+    * one task — the `localFinishEdges` bound is what keeps that small. */
+  private def localStars(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"p", $"c").as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var cur = x // path compression
+          while (parent.getOrDefault(cur, cur) != cur) {
+            val nxt = parent.get(cur); parent.put(cur, r); cur = nxt
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+          // keep both endpoints present as keys so every member of the
+          // component is emitted below (a node that only ever WINS its
+          // unions would otherwise never enter the map)
+          parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+        }
+        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+        keys.iterator.map(x => (find(x), x.longValue))
+          .filter { case (r, x) => r != x }
+      }
+      .toDF("p", "c")
   }
 }

@@ -176,7 +176,12 @@ class DedupSpec extends SparkSpec {
     val n = 200
     val docs = (0L until n.toLong).toDF("doc_id")
     val chain = (0L until n - 1L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = DedupClusters.assign(docs, chain, maxIterations = 12)
+    // localFinishEdges = 0: these chains are small enough that the
+    // hybrid cutover would solve them in the single-task finish — the
+    // point HERE is the distributed contraction's round bound, so pin
+    // the pure path
+    val labels = DedupClusters.assign(docs, chain, maxIterations = 12,
+        localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L), s"chain not fully labeled: $labels")
     // The HARD case: the same path with randomly permuted ids. Label
@@ -190,16 +195,45 @@ class DedupSpec extends SparkSpec {
     val scattered = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
       .toDF("a_id", "b_id")
     val minId = perm.min
-    val labels2 = DedupClusters.assign(docs, scattered, maxIterations = 12)
+    val labels2 = DedupClusters.assign(docs, scattered, maxIterations = 12,
+        localFinishEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels2.values.toSet === Set(minId),
       s"scattered chain not fully labeled: ${labels2.values.toSet}")
     // the non-convergence guard must still throw rather than silently
     // split a component when the cap is genuinely too small
     val e = intercept[IllegalStateException] {
-      DedupClusters.assign(docs, chain, maxIterations = 1).collect()
+      DedupClusters.assign(docs, chain, maxIterations = 1,
+        localFinishEdges = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("cluster assignment: hybrid local finish equals pure contraction on a random graph") {
+    import spark.implicits._
+    import graft.operators.DedupClusters
+    // random sparse graph: mixed component sizes, shuffled ids, self
+    // loops and duplicate/reversed edges — everything the canonical
+    // edge normalization has to absorb. The hybrid path (default:
+    // cutover fires immediately at this size) and the pure contraction
+    // (localFinishEdges = 0) must emit IDENTICAL labels for every doc.
+    val rnd = new scala.util.Random(7)
+    val n = 3000L
+    val docs = (0L until n).toDF("doc_id")
+    val edges = Seq.fill(4000)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      .toDF("a_id", "b_id")
+    val hybrid = DedupClusters.assign(docs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pure = DedupClusters.assign(docs, edges, localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid.size === n)
+    assert(hybrid === pure)
+    // and a mid-loop cutover (threshold between one round's output and
+    // the input size) still agrees: contraction rounds run first, the
+    // union-find finishes the shrunken set
+    val mid = DedupClusters.assign(docs, edges, localFinishEdges = 2000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid === pure)
   }
 
   test("cluster assignment: reliable checkpoint mode yields identical labels") {
