@@ -75,7 +75,7 @@ object Bench {
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
-    // SPARK_GRAFT_WARMUP=0; capped at 10% of the time budget (r8
+    // SPARK_GRAFT_WARMUP=0; capped at 7.5% of the time budget (r8
     // measured the alternative: halving the warmup to 5% saved 12 s of
     // wall and cost ~18 s of cold-JIT inflation in the measured sum,
     // wherever the first ~25 measured entries happened to live — the

@@ -101,15 +101,25 @@ object DedupClusters {
       .filter($"p" =!= $"c")
       .distinct())
     val changedAcc = spark.sparkContext.longAccumulator("graft-stars-changed")
+    val rowsAcc = spark.sparkContext.longAccumulator("graft-stars-rows")
+    // Hybrid-cutover size tracking with NO extra job on the big-graph
+    // path: the one exact e.count() runs before round 0 (a no-shuffle
+    // pass over checkpointed blocks); every later round reuses the
+    // row count its own materialization map already folded into
+    // rowsAcc. That accumulator counts the round's PRE-distinct
+    // output — an upper bound on |e| (task retries only inflate it,
+    // so at-least-once semantics keep it a bound), and a bound is all
+    // the cutover test needs: localStars tolerates duplicate edges.
+    var edgeBound = -1L
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // hybrid cutover: e is materialized, so this count is a
-      // no-shuffle pass over checkpointed blocks — cheap relative to
-      // the three shuffles a contraction round costs, and it is what
-      // lets the small tail finish in one job instead of O(log² n)
-      // scheduling-bound rounds
-      if (localFinishEdges > 0 && e.count() <= localFinishEdges) {
+      if (localFinishEdges > 0 && {
+            if (edgeBound < 0) edgeBound = e.count()
+            edgeBound <= localFinishEdges
+          }) {
+        // small tail: ONE single-task union-find job instead of the
+        // O(log² n) scheduling-bound convergence rounds
         e = materialize(localStars(e))
         converged = true
       } else {
@@ -145,13 +155,19 @@ object DedupClusters {
       // edge sets would add a join per round to save that single round.
       val flagged = leaves.unionByName(parents)
       changedAcc.reset()
+      rowsAcc.reset()
       val enc = org.apache.spark.sql.Encoders.row(flagged.schema)
       e = materialize(flagged
-        .map { r => if (r.getBoolean(2)) changedAcc.add(1L); r }(enc)
+        .map { r =>
+          if (r.getBoolean(2)) changedAcc.add(1L)
+          rowsAcc.add(1L) // pre-distinct row count → next round's bound
+          r
+        }(enc)
         .toDF("p", "c", "chg")
         .select($"p", $"c")
-        .distinct()) // eager: the round's one job; fills the accumulator
+        .distinct()) // eager: the round's one job; fills the accumulators
       converged = changedAcc.value == 0L
+      edgeBound = rowsAcc.value
       }
       iter += 1
     }
@@ -175,13 +191,16 @@ object DedupClusters {
     e.select($"p", $"c").as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
+        // primitive open-addressing parent table: ~17 B per node in
+        // flat arrays, vs the ~100+ B per entry a boxed map costs —
+        // at the 1M-edge cutover the finishing task stays tens of MB
+        val parent = new LongLongMap(1 << 16)
         def find(x: Long): Long = {
           var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
           var cur = x // path compression
           while (parent.getOrDefault(cur, cur) != cur) {
-            val nxt = parent.get(cur); parent.put(cur, r); cur = nxt
+            val nxt = parent.getOrDefault(cur, cur); parent.put(cur, r); cur = nxt
           }
           r
         }
@@ -195,10 +214,62 @@ object DedupClusters {
           // unions would otherwise never enter the map)
           parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
         }
-        val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
-        keys.iterator.map(x => (find(x), x.longValue))
-          .filter { case (r, x) => r != x }
+        val keys = parent.keysSnapshot()
+        keys.iterator.map(x => (find(x), x)).filter { case (r, x) => r != x }
       }
       .toDF("p", "c")
+  }
+
+  /** Minimal open-addressing Long→Long map (linear probing,
+    * power-of-two capacity, grow at ~0.6 load): the union-find parent
+    * table for [[localStars]]. Flat primitive arrays — no boxing, no
+    * per-entry objects — so the single finishing task's memory is
+    * keys+values+occupancy ≈ 17 B per slot. */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) - 1) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def slot(k: Long): Int = {
+      // Fibonacci scramble so consecutive ids don't cluster the probe
+      var i = ((k * -7046029254386353131L) >>> 40).toInt & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+    def getOrDefault(k: Long, d: Long): Long = {
+      val i = slot(k); if (used(i)) vals(i) else d
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) { used(i) = true; keys(i) = k; n += 1; maybeGrow() }
+      val j = slot(k) // maybeGrow can move the slot
+      vals(j) = v
+    }
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) { used(i) = true; keys(i) = k; vals(i) = v; n += 1; maybeGrow() }
+    }
+    private def maybeGrow(): Unit = if (n * 5L >= cap * 3L) {
+      val (ok, ov, ou) = (keys, vals, used)
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          val s = slot(ok(i))
+          used(s) = true; keys(s) = ok(i); vals(s) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+    def keysSnapshot(): Array[Long] = {
+      val out = new Array[Long](n)
+      var i = 0; var j = 0
+      while (i < cap) { if (used(i)) { out(j) = keys(i); j += 1 }; i += 1 }
+      out
+    }
   }
 }

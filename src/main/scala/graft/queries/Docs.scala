@@ -86,7 +86,18 @@ object Docs {
     * be bit-identical to the batch one. Bigram/trigram counts come
     * from lags over the SAME doc-keyed window (one exchange feeds
     * both, no positional self-joins). */
-  private[queries] def lmCounts(s: SparkSession, dir: String)
+  /** @param materialize false (d82's single-job shape): the four count
+    *        tables come back lazy, sharing persisted token-level
+    *        intermediates that Spark frees with the session cache.
+    *        true (s28's stream-static shape): the MODEL tables are
+    *        persisted and eagerly counted, and the corpus-sized
+    *        token/lag intermediates are unpersisted before returning —
+    *        a stream-static join replans the static side every
+    *        micro-batch, so the drain should join four small cached
+    *        tables, not keep the whole posexploded training corpus
+    *        pinned in executor storage. */
+  private[queries] def lmCounts(s: SparkSession, dir: String,
+      materialize: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -104,7 +115,12 @@ object Docs {
     val tri = trLag.filter($"p2".isNotNull)
       .groupBy($"p2".as("t1"), $"p1".as("t2"), $"tok".as("t3"))
       .agg(count(lit(1)).as("c"))
-    (c1, big, tri, st)
+    if (materialize) {
+      val model = Seq(c1, big, tri, st).map(_.persist())
+      model.foreach(_.count())
+      tr.unpersist(); trLag.unpersist()
+      (model(0), model(1), model(2), model(3))
+    } else (c1, big, tri, st)
   }
 
   /** d82's per-doc scorer over (doc_id, w1, w2, w3) trigram-position

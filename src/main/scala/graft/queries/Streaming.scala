@@ -1185,15 +1185,15 @@ object Streaming {
     GraftQuery.sql("s28_stream_lm_gate",
       batchOracle("d82_trigram_lm")) { (s, dir) =>
       import s.implicits._
-      // persist the MODEL, not just its build intermediates: a
-      // stream-static join re-executes the static plan every
-      // micro-batch, so without this each batch re-runs the training
-      // aggregations (the count tables are vocab-bounded — exactly
-      // what belongs in cache; the 100 TB analog is writing the
-      // trained model table once and joining micro-batches against it)
-      val (c1R, bigR, triR, stR) = Docs.lmCounts(s, dir)
-      val (c1, big, tri, st) = (c1R.persist(), bigR.persist(),
-        triR.persist(), stR.persist())
+      // materialize = true: persist + eagerly count the MODEL tables
+      // and free the corpus-sized training intermediates before the
+      // drain starts — a stream-static join re-executes the static
+      // plan every micro-batch, so without this each batch re-runs
+      // the training aggregations (the count tables are vocab-bounded
+      // — exactly what belongs in cache; the 100 TB analog is writing
+      // the trained model table once and joining micro-batches
+      // against it)
+      val (c1, big, tri, st) = Docs.lmCounts(s, dir, materialize = true)
       val rows = Tables.load(s, dir, "documents")
         .filter($"doc_id" < 100)
         .select($"doc_id", $"text").as[(Long, String)]
