@@ -355,4 +355,99 @@ class PlanShapeSpec extends SparkSpec {
     assert(userShuffles == 1,
       s"expected 1 user_id exchange for the lag window, got $userShuffles:\n$p")
   }
+
+  test("d80: one cached band pipeline feeds census/join/verify; no degenerate join") {
+    spark.catalog.clearCache()
+    val p = plan("d80_phash_neardup")
+    // the 8-byte band table must compute ONCE (cap census, candidate
+    // self-join and hamming verify all read the cache) — recomputing it
+    // means re-running the thumbnail/aHash pipeline per consumer
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 4,
+      s"band pipeline must be cached once and read by every consumer (got $cacheReads reads):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the band-keyed candidate join degenerated:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "band/census aggregation lost its map-side partial")
+  }
+
+  test("d81: both top-20 rank filters push to WindowGroupLimit; fusion is doc-keyed full outer") {
+    spark.catalog.clearCache()
+    val p = plan("d81_hybrid_rrf")
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    // two modalities × (partial + final) and the fused re-rank: each
+    // mapper truncates to its local top-20 BEFORE any exchange — the
+    // candidate set stays rank-bounded, never corpus-sized
+    assert(limits >= 6, s"top-20 rank pushdown lost (got $limits WindowGroupLimit):\n$p")
+    assert(p.contains("FullOuter"),
+      s"RRF must fuse the two rankings with a full outer join (absent list = 0 contribution):\n$p")
+    // exactly one deliberate nested-loop: the broadcast query side
+    // probing the vector scan (bounded by the tiny broadcast side)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"an unplanned nested-loop join appeared (got $bnlj):\n$p")
+  }
+
+  test("d82: every gram-count join broadcasts at small SF; rollup keeps partial aggs") {
+    spark.catalog.clearCache()
+    val p = plan("d82_trigram_lm")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 5,
+      s"the vocab-bounded model tables must broadcast into the scorer (got $broadcasts):\n$p")
+    assert(p.contains("partial_count"), "count tables lost their map-side partials")
+    assert(!p.contains("CartesianProduct"), s"a cartesian crept into the scorer:\n$p")
+  }
+
+  test("d83: the projection/outlier tail joins nothing and stays windowed") {
+    spark.catalog.clearCache()
+    val p = plan("d83_pca_outliers")
+    // power-iteration rounds fold into literals (KMeans discipline:
+    // the driver holds dim longs); the emitted plan is projection +
+    // two windows — any Join here means the rounds leaked into the
+    // output plan
+    assert(!p.contains("Join"), s"d83's output plan must not join:\n$p")
+    val windows = "Window\\b".r.findAllIn(p).length
+    assert(windows <= 3, s"extra window stages crept into d83:\n$p")
+  }
+
+  test("d84: the dataset card is all source-keyed partial aggregates + broadcasts") {
+    spark.catalog.clearCache()
+    val p = plan("d84_corpus_report")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a card sub-aggregate fell out of the broadcast regime:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "card aggregates lost their map-side partials")
+  }
+
+  test("e33: the trigram table computes once (cached); lifts stay on broadcast relations") {
+    spark.catalog.clearCache()
+    val p = plan("e33_event_trigrams")
+    // the trigram count table is persisted and read by BOTH the lift
+    // join and the total-positions scalar — without the cache the
+    // corpus-wide double-lag window would execute twice. (A raw
+    // exchange-count assert overcounts here: the cached subtree's
+    // build plan — with its one user_id exchange — is PRINTED inside
+    // every InMemoryRelation reference.)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 2,
+      s"trigram counts must be cached once and read twice (got $cacheReads reads):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the lift arithmetic must stay on broadcast tiny relations:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 lost its TakeOrdered shape:\n$p")
+  }
+
+  test("e34: densify is one generated-calendar cross; cells keep partial aggs") {
+    spark.catalog.clearCache()
+    val p = plan("e34_burst_days")
+    // ONE deliberate nested-loop: the type alphabet × the generated
+    // day-sequence calendar (both bounded by the calendar, not the
+    // event count) — anything beyond that one cross is a regression
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"the calendar densify degenerated (got $bnlj nested loops):\n$p")
+    assert(p.contains("Generate"),
+      s"the calendar must come from a generated sequence, not a corpus scan:\n$p")
+    assert(p.contains("partial_count"),
+      "the (type, day) cells lost their map-side partial aggregate")
+  }
 }
