@@ -35,17 +35,38 @@ object Streaming {
   private def ckptDir(): String =
     graft.util.TempDirs.freshUnder("/dev/shm", "graft-ckpt")
 
+  /** Session confs every bounded drain runs under, restored after:
+    * few state partitions (drain cost is per-partition state-store
+    * checkpointing, not data volume — a real deployment sizes this to
+    * key cardinality / executor count), and the state-store PROVIDER
+    * selected by `graft.stream.stateStore`: the default HDFS-backed
+    * in-memory store, or `rocksdb` for Spark's RocksDB provider — the
+    * store a 100 TB deployment runs, where per-key state must spill
+    * beyond executor heap; StreamingSpec pins provider-identical
+    * results on the stateful operators. */
+  private def withDrainConfs[T](spark: SparkSession)(body: => T): T = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("graft.stream.parts", "8"))
+    if (spark.conf.get("graft.stream.stateStore", "hdfs") == "rocksdb")
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   private def drainToTable(spark: SparkSession, df: DataFrame,
                            outputMode: String): DataFrame = {
     val name = "g_" + UUID.randomUUID().toString.replace("-", "")
-    // Stateful streaming cost here is dominated by per-partition state
-    // store checkpointing, not data volume — run the bounded drain with
-    // few state partitions (a real deployment sizes this to key
-    // cardinality / executor count instead).
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("graft.stream.parts", "8"))
-    try {
+    withDrainConfs(spark) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -53,8 +74,6 @@ object Streaming {
         .option("checkpointLocation", ckptDir())
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
   }
@@ -70,10 +89,7 @@ object Streaming {
                                     outputMode: String, in: MemoryStream[A],
                                     chunks: Seq[Seq[A]]): DataFrame = {
     val name = "g_" + UUID.randomUUID().toString.replace("-", "")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("graft.stream.parts", "8"))
-    try {
+    withDrainConfs(spark) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -83,8 +99,6 @@ object Streaming {
       try {
         chunks.foreach { c => in.addData(c); q.processAllAvailable() }
       } finally { q.stop() }
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
     spark.table(name)
   }

@@ -489,4 +489,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === batch.length)
     assert(streamed.toSet === batch.toSet)
   }
+
+  test("state-store providers are interchangeable: RocksDB equals the default store") {
+    // the drain harness honors graft.stream.stateStore=rocksdb — the
+    // provider a 100 TB deployment runs (per-key state spills beyond
+    // executor heap). Run the suite's three state-shape archetypes —
+    // GroupState fold (s14), watermarked dedup (s9), complete-mode
+    // re-aggregation (s15) — under both providers; results must be
+    // row-identical. This is the guard that no operator depends on
+    // HDFSBackedStateStore quirks (e.g. in-JVM object identity).
+    def run(name: String): Set[org.apache.spark.sql.Row] =
+      SparkEntry.queries(name)(spark, Sf0001).collect().toSet
+    for (entry <- Seq("s14_stream_running_outliers", "s9_stream_content_dedup",
+        "s15_stream_ohlc_bars")) {
+      val default = run(entry)
+      spark.conf.set("graft.stream.stateStore", "rocksdb")
+      val rocks = try run(entry)
+        finally spark.conf.unset("graft.stream.stateStore")
+      assert(default.nonEmpty, s"$entry drained empty")
+      assert(rocks === default, s"$entry differs across state-store providers")
+    }
+  }
 }
