@@ -360,7 +360,11 @@ object Docs {
     * order) — the norm is the same index-ascending double fold as nv's.
     * `recursive = true` emits WITH RECURSIVE so a consumer (d44) can
     * append a connected-components CTE. */
-  private def kmeansCtes(k: Int, iters: Int, normalized: Boolean = false,
+  /** @param k the seed-CTE LIMIT: a literal count ("8"), or any SQL
+    *        expression DuckDB accepts in LIMIT — d44 passes a subquery
+    *        replaying SemDedup.adaptiveClusters so the oracle's cluster
+    *        count tracks the corpus size exactly like the operator's. */
+  private def kmeansCtes(k: String, iters: Int, normalized: Boolean = false,
                          recursive: Boolean = false): String = {
     val sb = new StringBuilder
     val rec = if (recursive) "RECURSIVE " else ""
@@ -406,7 +410,7 @@ object Docs {
   }
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
-    kmeansCtes(k, iters) + s"""
+    kmeansCtes(k.toString, iters) + s"""
       |SELECT vec_id, CAST(k AS BIGINT) AS cluster_id, CAST(d2 AS BIGINT) AS dist2
       |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
@@ -426,7 +430,7 @@ object Docs {
     * probed clusters — the d10 scorer on the candidate subset. */
   private def ivfOracleSql(k: Int, iters: Int, nprobe: Int, topK: Int): String = {
     val fin = s"a${iters + 1}"
-    kmeansCtes(k, iters, normalized = true) + s""",
+    kmeansCtes(k.toString, iters, normalized = true) + s""",
       |nv2 AS $nvBody,
       |idx AS (SELECT vec_id, k FROM $fin WHERE rn = 1),
       |probes AS (SELECT vec_id AS q_id, k FROM $fin
@@ -448,10 +452,15 @@ object Docs {
     * lattice buckets (a{iters+1} rn <= nprobe), candidate pairs only
     * inside a shared bucket, exact double cosine verify, then the
     * d38-style transitive-closure componentization (min reachable id). */
-  private def semdedupAnnOracleSql(k: Int, iters: Int, nprobe: Int,
+  private def semdedupAnnOracleSql(iters: Int, nprobe: Int,
                                    threshold: Double): String = {
     val fin = s"a${iters + 1}"
-    kmeansCtes(k, iters, normalized = true, recursive = true) + s""",
+    // the cluster count replays SemDedup.adaptiveClusters(n, nprobe)
+    // IN SQL (subquery LIMIT over the quantized-vector CTE), so the
+    // oracle tracks the operator's adaptive C at ANY corpus size — a
+    // pinned literal silently diverged past n = 4000
+    val kSql = s"(SELECT GREATEST(16, CAST(ceil($nprobe * COUNT(*) / 1000.0) AS BIGINT)) FROM qv)"
+    kmeansCtes(kSql, iters, normalized = true, recursive = true) + s""",
       |nv2 AS $nvBody,
       |tops AS (SELECT vec_id, k FROM $fin WHERE rn <= $nprobe),
       |pr AS (SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
@@ -2154,11 +2163,12 @@ object Docs {
     // rebase the approximation itself is deterministic and the oracle
     // replays it exactly (buckets → cosine verify → components);
     // AnnSpec separately pins edge recall and component-label
-    // agreement against the exact d38 path. The oracle pins C=16,
-    // which is what adaptiveClusters resolves to at the driver gate
-    // SFs (n·nprobe/1000 under the floor of 16 for n ≤ 4000).
+    // agreement against the exact d38 path. The oracle replays
+    // adaptiveClusters IN SQL (subquery LIMIT on the seed CTE), so its
+    // cluster count tracks the operator's at any corpus size — at the
+    // driver gate both resolve to the floor C=16; at sf1 both to 32.
     GraftQuery.sql("d44_semdedup_ann",
-      semdedupAnnOracleSql(k = 16, iters = 1, nprobe = 4, threshold = 0.4)) { (s, dir) =>
+      semdedupAnnOracleSql(iters = 1, nprobe = 4, threshold = 0.4)) { (s, dir) =>
       import s.implicits._
       import graft.operators.SemDedup
       // numClusters adapts to constant bucket occupancy (C ∝ n above
@@ -3381,7 +3391,7 @@ object Docs {
     GraftQuery.sql("d68_cluster_sample", {
       val (k, iters) = (8, 3)
       val fin = s"a${iters + 1}" // kmeansCtes' final assignment CTE
-      kmeansCtes(k, iters) + s"""
+      kmeansCtes(k.toString, iters) + s"""
         |, asg AS (SELECT vec_id, k AS cluster_id FROM $fin WHERE rn = 1),
         |r AS (SELECT vec_id, cluster_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick_rank
@@ -4017,7 +4027,7 @@ object Docs {
     GraftQuery.sql("d86_quality_yield",
       s"""$qualityCte,
          |h AS (SELECT q_bp, COUNT(*) AS c, SUM(n_tok) AS t FROM q GROUP BY 1),
-         |tot AS (SELECT SUM(c) AS cd, SUM(t) AS td FROM h),
+         |tot AS (SELECT SUM(t) AS td FROM h),
          |cuts AS (SELECT unnest(generate_series(2000, 7000, 500)) AS cutoff),
          |y AS (SELECT cuts.cutoff,
          |    CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS n_docs,
@@ -4031,7 +4041,7 @@ object Docs {
         .groupBy($"q_bp")
         .agg(count(lit(1)).as("c"), sum($"n_tok").as("t"))
         .persist() // the total row and the sweep join
-      val tot = h.agg(sum($"c").as("cd"), sum($"t").as("td"))
+      val tot = h.agg(sum($"t").as("td"))
       val cuts = (2000L to 7000L by 500L).toDF("cutoff")
       cuts.join(h, $"q_bp" >= $"cutoff", "left")
         .groupBy($"cutoff")
@@ -4073,10 +4083,7 @@ object Docs {
          |  FROM inter JOIN sz sq ON sq.doc_id = inter.q_id
          |  JOIN sz sd ON sd.doc_id = inter.doc_id),
          |lex AS (SELECT q_id, doc_id, rl FROM jr WHERE rl <= 20),
-         |nv AS (SELECT vec_id, embedding,
-         |  sqrt(list_sum(list_transform(range(len(embedding)),
-         |       i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
-         |  FROM embeddings),
+         |nv AS $nvBody,
          |vp AS (SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
          |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM nv q JOIN nv c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),

@@ -167,17 +167,24 @@ final class KinesisShardReader(
     shardLocks.getOrElseUpdate(shard, new Object)
 
   /** Driver-side frontier-poll pool (daemon threads — the reader has no
-    * close() in its lifecycle; idle threads cost nothing and never block
-    * JVM exit). Only describeShards fans out on it; executor-side read()
-    * paths never touch it. */
+    * close() in its lifecycle, so threads must reclaim THEMSELVES:
+    * core-thread idle timeout lets every worker die 60 s after the last
+    * poll, leaving a reader that is no longer triggered holding zero
+    * parked threads — N query restarts accumulate only the empty pool
+    * objects, not N × pollParallelism stacks). Only describeShards fans
+    * out on it; executor-side read() paths never touch it. */
   @transient private lazy val pollPool = {
     val n = math.max(1, pollParallelism)
-    java.util.concurrent.Executors.newFixedThreadPool(n,
+    val p = new java.util.concurrent.ThreadPoolExecutor(
+      n, n, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
       (r: Runnable) => {
         val t = new Thread(r, "graft-kinesis-poll")
         t.setDaemon(true)
         t
       })
+    p.allowCoreThreadTimeOut(true)
+    p
   }
 
   /** The retryable arm of the taxonomy, shared by getRecords AND
@@ -287,10 +294,27 @@ final class KinesisShardReader(
     * O(retained history) per call at long retention. */
   @transient private lazy val tsAnchors = TrieMap.empty[(String, Long), Long]
 
+  /** The anchor caches ONLY when the scan proved it final — i.e. it
+    * saw a record stamped at/after tsUs, which (per-shard arrival
+    * stamps are monotone) pins every later record at/after tsUs too.
+    * A caught-up scan that ran out of records BEFORE crossing tsUs is
+    * NOT final: tsUs is capped at the DRIVER's clock, so under
+    * driver-ahead-of-transport clock skew later records can still
+    * arrive stamped below it, and a frozen anchor would admit them as
+    * if they preceded the timestamp. Those scans are re-run on the
+    * next call (cheap while caught up — the scan is O(history) only
+    * once; the cache exists for the repeated planning calls a long
+    * retention makes expensive). */
   override def sequenceAtTimestamp(shard: String, tsUs: Long): Long =
-    tsAnchors.getOrElseUpdate((shard, tsUs), scanAtTimestamp(shard, tsUs))
+    tsAnchors.get((shard, tsUs)) match {
+      case Some(v) => v
+      case None =>
+        val (count, isFinal) = scanAtTimestamp(shard, tsUs)
+        if (isFinal) tsAnchors.putIfAbsent((shard, tsUs), count)
+        count
+    }
 
-  private def scanAtTimestamp(shard: String, tsUs: Long): Long = {
+  private def scanAtTimestamp(shard: String, tsUs: Long): (Long, Boolean) = {
     // independent sequence-metadata scan from the trim horizon, so the
     // answer is correct whatever the ledger's prune state (a reader
     // that has already served commits keeps only the unconsumed
@@ -302,6 +326,7 @@ final class KinesisShardReader(
     var lastSeq: Option[String] = None
     var count = 0L
     var done = false
+    var sawAtOrAfter = false // a record >= tsUs makes the anchor final
     while (!done && it.isDefined) {
       val page =
         try getPage(it.get)
@@ -310,14 +335,15 @@ final class KinesisShardReader(
         }
       page.records.foreach { r =>
         if (!done) {
-          if (r.arrivalUs < tsUs) count += 1 else done = true
+          if (r.arrivalUs < tsUs) count += 1
+          else { done = true; sawAtOrAfter = true }
         }
         lastSeq = Some(r.sequenceNumber)
       }
       if (page.records.isEmpty && page.millisBehindLatest <= 0L) done = true
       if (page.nextIterator.isEmpty) done = true else it = page.nextIterator
     }
-    count
+    (count, sawAtOrAfter)
   }
 
   /** Executor-side: anchor at `afterSeq`'s sequence string, then pull

@@ -331,4 +331,34 @@ class KinesisAdapterSpec extends AnyFunSuite {
         "second call is served from the anchor cache — zero client calls")
     } finally FakeKinesis.drop(id)
   }
+
+  test("sequenceAtTimestamp does not freeze a caught-up anchor under clock skew") {
+    // tsUs is capped at the DRIVER's clock; if the scan runs out of
+    // records before crossing tsUs, records can still arrive later
+    // stamped below it (transport clock behind the driver's). The
+    // anchor must only cache once a record AT/AFTER tsUs proves it
+    // final — a frozen caught-up anchor would admit the late records
+    // as if they preceded the timestamp.
+    val (id, core) = freshCore()
+    try {
+      core.nowUs = 1000L
+      (1 to 4).foreach(i => core.append(core.shardName(0), "k", s"a$i".getBytes))
+      val r = reader(id)
+      // caught up below tsUs = 5000: position after all 4, NOT final
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 4L)
+      // transport clock still behind the driver: two more records land
+      // stamped below the requested timestamp
+      core.nowUs = 2000L
+      (1 to 2).foreach(i => core.append(core.shardName(0), "k", s"b$i".getBytes))
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 6L,
+        "a caught-up anchor was frozen and hid late records below tsUs")
+      // once a record at/after tsUs exists the anchor IS final and caches
+      core.nowUs = 9000L
+      core.append(core.shardName(0), "k", "c".getBytes)
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 6L)
+      val calls = core.getCalls
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 6L)
+      assert(core.getCalls === calls, "final anchor must be cached")
+    } finally FakeKinesis.drop(id)
+  }
 }

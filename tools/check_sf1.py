@@ -36,7 +36,13 @@ QUADRATIC = {
     "d38_semdedup": "all-pairs cosine oracle",
     "d40_source_overlap": "all-pairs cross-source oracle",
     "d43_survivorship": "simCte all-pairs + recursive closure",
-    "d44_semdedup_ann": "all-pairs cosine oracle",
+    # r8: the oracle now replays the adaptive bucketed pipeline (no
+    # all-pairs cosine), but its recursive-CTE componentization is
+    # still quadratic in component size at sf1 (measured: killed at
+    # 34 CPU-min / 25% RAM) — same family as d85 below
+    "d44_semdedup_ann": "recursive-CTE componentization at sf1",
+    "d85_phash_clusters": "recursive-CTE componentization at sf1 "
+                          "(killed at 77 min / 35 GB spill)",
     "d9_embedding_neardup": "all-pairs cosine oracle",
     "d28_knn_label": "all-pairs knn oracle",
     "s9_stream_content_dedup": "simCte-family oracle",
