@@ -225,7 +225,7 @@ object DedupClusters {
     * table for [[localStars]]. Flat primitive arrays — no boxing, no
     * per-entry objects — so the single finishing task's memory is
     * keys+values+occupancy ≈ 17 B per slot. */
-  private final class LongLongMap(initialCapacity: Int) {
+  private[graft] final class LongLongMap(initialCapacity: Int) {
     private var cap = Integer.highestOneBit(math.max(16, initialCapacity) - 1) << 1
     private var mask = cap - 1
     private var keys = new Array[Long](cap)

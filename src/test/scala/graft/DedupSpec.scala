@@ -236,6 +236,73 @@ class DedupSpec extends SparkSpec {
     assert(mid === pure)
   }
 
+  test("LongLongMap equals java.util.HashMap over generative op sequences") {
+    // the union-find's open-addressing parent table is new primitive
+    // code — pin it against the reference map over random interleaved
+    // put/putIfAbsent/get sequences with adversarial keys (negatives,
+    // Long extremes, colliding lattice values) across growth cycles
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.frequency(
+      4 -> Gen.choose(-100L, 100L),
+      2 -> Gen.choose(Long.MinValue, Long.MaxValue),
+      2 -> Gen.choose(0L, 15L).map(_ << 40), // same scramble-prefix collisions
+      1 -> Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue))
+    val opGen = Gen.zip(Gen.choose(0, 2), keyGen, Gen.choose(-5L, 5L))
+    val seqGen = Gen.listOfN(400, opGen)
+    var seed = Seed(11L)
+    (0 until 50).foreach { _ =>
+      seqGen.apply(Gen.Parameters.default, seed).foreach { ops =>
+        val m = new graft.operators.DedupClusters.LongLongMap(4)
+        val ref = new java.util.HashMap[Long, Long]()
+        ops.foreach {
+          case (0, k, v) => m.put(k, v); ref.put(k, v)
+          case (1, k, v) =>
+            m.putIfAbsent(k, v); ref.putIfAbsent(k, v)
+          case (_, k, d) =>
+            assert(m.getOrDefault(k, d) === ref.getOrDefault(k, d),
+              s"get($k) diverged")
+        }
+        val keys = m.keysSnapshot()
+        assert(keys.length === ref.size)
+        keys.foreach(k => assert(m.getOrDefault(k, k - 1) === ref.get(k)))
+      }
+      seed = seed.next
+    }
+  }
+
+  test("cluster assignment: generative graphs equal driver union-find (hybrid default)") {
+    import spark.implicits._
+    import graft.operators.DedupClusters
+    val rnd = new scala.util.Random(19)
+    (0 until 6).foreach { case shape =>
+      val n = 400 + rnd.nextInt(400)
+      val edges: Seq[(Long, Long)] = shape match {
+        case 0 => (0L until n - 1L).map(i => (i, i + 1)) // path
+        case 1 => (1L until n.toLong).map(i => (0L, i)) // star
+        case 2 => // disjoint cliques of 5
+          (0L until n.toLong).grouped(5).flatMap(g =>
+            for (a <- g; b <- g if a < b) yield (a, b)).toSeq
+        case _ => Seq.fill(n)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      }
+      val labels = DedupClusters.assign((0L until n.toLong).toDF("doc_id"),
+          edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n.toLong).foreach { d =>
+        assert(labels(d) === find(d), s"shape $shape: doc $d mislabeled")
+      }
+    }
+  }
+
   test("cluster assignment: reliable checkpoint mode yields identical labels") {
     import spark.implicits._
     import graft.operators.DedupClusters
