@@ -372,11 +372,15 @@ object Streaming {
       import s.implicits._
       import graft.functions.Text
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // static (batch) eval side: hashed 8-grams of the held-out docs
+      // static (batch) eval side: hashed 8-grams of the held-out docs.
+      // persisted — a stream-static broadcast re-executes the static
+      // BUILD every micro-batch otherwise (the s28 lesson: cache the
+      // model, not just reference it)
       val evalGrams = Tables.load(s, dir, "documents")
         .filter($"doc_id" < 25)
         .select(explode(Text.shingleHashes($"text", 8)).as("g"),
           $"doc_id".as("eval_id"))
+        .persist()
       // the corpus arrives on the stream across several micro-batches
       val rows = Tables.load(s, dir, "documents")
         .filter($"doc_id" >= 25)
@@ -922,6 +926,7 @@ object Streaming {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
       val ref = nv.filter($"vec_id" % 5 === 0)
         .select($"vec_id".as("r_id"), $"embedding".as("r_emb"), $"nrm".as("r_nrm"))
+        .persist() // rebuilt per micro-batch otherwise (the s28 lesson)
       val streamRows = nv.filter($"vec_id" % 5 =!= 0)
         .as[(Long, Seq[Float], Double)].collect().toSeq.sortBy(_._1)
       val in = MemoryStream[(Long, Seq[Float], Double)](s)
