@@ -114,11 +114,18 @@ object Bench {
           it.synchronized {
             if (it.hasNext && elapsed < warmDeadline) Some(it.next()._2) else None
           }
+        // Swallowed warmup failures are COUNTED and surfaced below: the
+        // concurrent workers tolerate a racy temp-view loss, but an
+        // entry that silently lost its warmup absorbs cold-JIT cost in
+        // its first measured rep — that must be visible in the
+        // artifact, not hidden by the catch-all.
+        val warmFailures = new java.util.concurrent.atomic.AtomicInteger(0)
         val workers = (1 to 4).map { _ =>
           val t = new Thread(() => {
             var cur = nextWarm()
             while (cur.isDefined) {
-              try { cur.get(spark, warmDir).count() } catch { case _: Throwable => () }
+              try { cur.get(spark, warmDir).count() }
+              catch { case _: Throwable => warmFailures.incrementAndGet() }
               cur = nextWarm()
             }
           })
@@ -127,6 +134,7 @@ object Bench {
         workers.foreach(_.join())
         spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s (budget $budget)"}""")
+        if (warmFailures.get > 0) println(s"""{"bench_note":"warmup swallowed ${warmFailures.get} failures (entries measured cold)"}""")
       }
     }
     val gc0 = gcMillis

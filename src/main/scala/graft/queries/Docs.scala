@@ -174,7 +174,8 @@ object Docs {
       |              * CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT) >= length(text)
       |         THEN CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)
       |         ELSE CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)+1 END AS s
-      |  FROM documents WHERE doc_id % 3 = 0),
+      |  FROM documents WHERE doc_id % 3 = 0
+      |    AND strlen(text) = length(text)),
       |px AS (
       |  SELECT doc_id, ord(substr(text, CAST(p+1 AS INT), 1)) AS v,
       |         p // s AS prow, p % s AS pcol
@@ -228,7 +229,15 @@ object Docs {
       .when(s0 * s0 >= n, s0)
       .otherwise(s0 + 1)
       .cast("int")
+    // Enforce the stated all-ASCII invariant rather than assume it: the
+    // oracle pools CHARACTER code points (ord/length) while this side
+    // pools raw UTF-8 BYTES — they agree only when bytes == chars. The
+    // identical filter on both sides (oracle: strlen(text)=length(text))
+    // turns the comment-level assumption into a checked contract: a
+    // non-ASCII document is excluded by BOTH engines instead of
+    // silently breaking parity.
     val sq = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
+      .filter(octet_length($"text") === length($"text"))
       .select($"doc_id", lit("image").as("media_type"),
         side.as("width"), side.as("height"),
         encode($"text", "UTF-8").as("payload"))
@@ -4004,6 +4013,7 @@ object Docs {
         |ORDER BY lab.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val nodes = docs(s, dir).filter(pmod($"doc_id", lit(3)) === 0)
+        .filter(octet_length($"text") === length($"text")) // phashCtes' ASCII gate
         .select($"doc_id")
       val pairs = phashPairs(s, dir).select($"a_id", $"b_id")
       val lab = graft.operators.DedupClusters.assign(nodes, pairs)

@@ -1398,7 +1398,7 @@ object Events {
          |    SUM(n) OVER tw AS trail7, COUNT(*) OVER tw AS c7
          |  FROM grid WINDOW tw AS (PARTITION BY event_type ORDER BY wday
          |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
-         |SELECT event_type, wday, n, trail7,
+         |SELECT event_type, wday, n, CAST(trail7 AS BIGINT) AS trail7,
          |  CAST(CASE WHEN n * 7 > 2 * trail7 THEN 1 ELSE 0 END AS BIGINT) AS burst
          |FROM w WHERE c7 = 7 ORDER BY event_type, wday""".stripMargin) { (s, dir) =>
       import s.implicits._

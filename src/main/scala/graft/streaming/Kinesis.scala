@@ -292,7 +292,13 @@ final class KinesisShardReader(
     * 99-102) the leading run of arrivals < tsUs is FINAL — re-scanning
     * sequence metadata from TRIM_HORIZON on every call made the anchor
     * O(retained history) per call at long retention. */
-  @transient private lazy val tsAnchors = TrieMap.empty[(String, Long), Long]
+  /** Bounded: ONE (tsUs → anchor) entry per shard. A query's starting
+    * timestamp is fixed, so planning re-asks the same tsUs for the
+    * life of the stream; a (shard, tsUs)-keyed map would instead grow
+    * one permanent entry per distinct timestamp — a slow leak for a
+    * long-lived driver whose ad-hoc callers probe moving timestamps.
+    * A different tsUs simply evicts the shard's previous anchor. */
+  @transient private lazy val tsAnchors = TrieMap.empty[String, (Long, Long)]
 
   /** The anchor caches ONLY when the scan proved it final — i.e. it
     * saw a record stamped at/after tsUs, which (per-shard arrival
@@ -306,11 +312,11 @@ final class KinesisShardReader(
     * once; the cache exists for the repeated planning calls a long
     * retention makes expensive). */
   override def sequenceAtTimestamp(shard: String, tsUs: Long): Long =
-    tsAnchors.get((shard, tsUs)) match {
-      case Some(v) => v
-      case None =>
+    tsAnchors.get(shard) match {
+      case Some((cachedTs, v)) if cachedTs == tsUs => v
+      case _ =>
         val (count, isFinal) = scanAtTimestamp(shard, tsUs)
-        if (isFinal) tsAnchors.putIfAbsent((shard, tsUs), count)
+        if (isFinal) tsAnchors.put(shard, (tsUs, count))
         count
     }
 

@@ -62,6 +62,26 @@ object Transport {
     /** The exact delivered bytes, whatever the encoding. */
     def payload: Array[Byte] =
       bin.getOrElse(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // The synthesized case-class equals/hashCode would compare `bin` by
+    // ARRAY REFERENCE — two Recs with identical binary payloads would be
+    // unequal, a silent trap for any equality/dedup use. Compare payload
+    // CONTENT instead (text-only Recs are unaffected: bin is None on
+    // both sides and the field compare short-circuits to the same
+    // result as the content compare).
+    override def equals(other: Any): Boolean = other match {
+      case r: Rec =>
+        shard == r.shard && seq == r.seq && value == r.value &&
+          tsUs == r.tsUs && ((bin, r.bin) match {
+            case (None, None) => true
+            case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+            case _ => false
+          })
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(shard, Long.box(seq), value, Long.box(tsUs),
+        Int.box(bin.fold(0)(java.util.Arrays.hashCode)))
   }
 
   object Rec {

@@ -66,6 +66,22 @@ def main():
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL  {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        # Driver-faithful dtype gate: the driver hashes values WITH their
+        # dtype, so an int64 Spark column vs a float64 oracle column (the
+        # classic DuckDB SUM(BIGINT)->HUGEINT->float64 trap) hash-FAILs
+        # even when every value compares equal. Refuse the cross-dtype
+        # compare outright — this bug class produced the only driver
+        # failures in rounds 7 AND 8.
+        dt_bad = []
+        for c in g.columns:
+            gi, ei = pd.api.types.is_integer_dtype(g[c]), pd.api.types.is_integer_dtype(e[c])
+            gf, ef = pd.api.types.is_float_dtype(g[c]), pd.api.types.is_float_dtype(e[c])
+            if (gi and ef) or (gf and ei):
+                dt_bad.append(f"{c}: spark {g[c].dtype} vs oracle {e[c].dtype}")
+        if dt_bad:
+            print(f"FAIL  {name}: dtype mismatch (driver hash would fail) — "
+                  f"{'; '.join(dt_bad)}")
+            n_fail += 1; continue
         bad = []
         for c in g.columns:
             a, b = g[c].values, e[c].values
