@@ -117,7 +117,16 @@ object Docs {
       .agg(count(lit(1)).as("c"))
     if (materialize) {
       val model = Seq(c1, big, tri, st).map(_.persist())
-      model.foreach(_.count())
+      // Two-phase eager build: ONE pass materializes both corpus-sized
+      // caches (tokens + lags — trLag's lineage covers tr), then the
+      // four vocab-bounded counts run CONCURRENTLY against warm caches.
+      // Counting the four cold-and-concurrent instead would duplicate
+      // the corpus work (concurrent jobs each compute an uncached
+      // partition; the cache dedupes storage, not computation) —
+      // measured 1.5x slower than even the sequential build.
+      trLag.count()
+      val threads = model.map(m => new Thread(() => { m.count(): Unit }))
+      threads.foreach(_.start()); threads.foreach(_.join())
       tr.unpersist(); trLag.unpersist()
       (model(0), model(1), model(2), model(3))
     } else (c1, big, tri, st)
@@ -261,11 +270,22 @@ object Docs {
         Seq("band_idx", "band_val"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    val ba = bands.select($"doc_id".as("a_id"), $"band_idx", $"band_val".as("va"))
-    val bb = bands.select($"doc_id".as("b_id"), $"band_idx", $"band_val".as("vb"))
-    cand.join(ba, "a_id").join(bb, Seq("b_id", "band_idx"))
-      .groupBy($"a_id", $"b_id")
-      .agg(sum(expr("bit_count(va ^ vb)")).cast("long").as("hamming"))
+    // Exact verify over ONE 64-bit fingerprint per doc: the 8 band
+    // bytes re-pack into a single long (band b in bits [8b, 8b+8)), so
+    // per-pair hamming is one XOR + bit_count — identical by
+    // construction to summing per-band bit_counts, but the verify join
+    // carries 1 row per doc instead of 8 and needs no re-aggregation.
+    // At sf0.1 the capped-but-fat degenerate buckets (one band bucket
+    // holds 857 docs → 367k candidates) made the 8-way band re-join +
+    // SUM the pipeline's dominant stage (measured ~3 s/entry); at
+    // 10^9 images the same 8× row reduction holds on the shuffled form.
+    val hashes = bands.groupBy($"doc_id")
+      .agg(sum(expr("shiftleft(band_val, CAST(band_idx * 8 AS INT))")).as("h64"))
+    cand
+      .join(hashes.select($"doc_id".as("a_id"), $"h64".as("ha")), "a_id")
+      .join(hashes.select($"doc_id".as("b_id"), $"h64".as("hb")), "b_id")
+      .select($"a_id", $"b_id",
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= 10)
   }
 

@@ -361,4 +361,33 @@ class KinesisAdapterSpec extends AnyFunSuite {
       assert(core.getCalls === calls, "final anchor must be cached")
     } finally FakeKinesis.drop(id)
   }
+
+  test("anchor cache holds ONE entry per shard: a new timestamp evicts the old") {
+    // Planning only ever re-asks the query's fixed starting timestamp,
+    // so the cache is bounded per shard instead of growing one
+    // permanent entry per distinct tsUs (a slow leak for a long-lived
+    // driver probing moving timestamps). Correctness is unchanged — an
+    // evicted timestamp is simply re-scanned.
+    val (id, core) = freshCore()
+    try {
+      core.nowUs = 1000L
+      (1 to 5).foreach(i => core.append(core.shardName(0), "k", s"a$i".getBytes))
+      core.nowUs = 9000L
+      (1 to 3).foreach(i => core.append(core.shardName(0), "k", s"b$i".getBytes))
+      val r = reader(id)
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 5L)
+      val cached = core.getCalls
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 5L)
+      assert(core.getCalls === cached, "fixed timestamp stays cached")
+      // a different timestamp replaces the shard's anchor...
+      assert(r.sequenceAtTimestamp(core.shardName(0), 8000L) === 5L)
+      val afterNew = core.getCalls
+      assert(afterNew > cached, "new timestamp must scan")
+      assert(r.sequenceAtTimestamp(core.shardName(0), 8000L) === 5L)
+      assert(core.getCalls === afterNew, "and is itself cached")
+      // ...so the ORIGINAL timestamp re-scans (evicted, still correct)
+      assert(r.sequenceAtTimestamp(core.shardName(0), 5000L) === 5L)
+      assert(core.getCalls > afterNew, "evicted timestamp re-scans")
+    } finally FakeKinesis.drop(id)
+  }
 }

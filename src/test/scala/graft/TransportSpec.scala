@@ -112,4 +112,18 @@ class TransportSpec extends SparkSpec {
     assert(chain(err).exists(_.getMessage != null) &&
       chain(err).exists(t => Option(t.getMessage).exists(_.contains("no transport registered"))))
   }
+
+  test("Rec equality compares binary payload content, not array identity") {
+    import graft.streaming.Transport.Rec
+    val bytes = Array[Byte](-1, 0, 42)
+    val a = Rec.ofBytes("s-0", 1L, bytes, 100L)
+    val b = Rec.ofBytes("s-0", 1L, bytes.clone(), 100L)
+    assert(a.bin.isDefined, "a non-UTF-8 payload must carry bin")
+    assert(a === b, "identical payload bytes in fresh arrays must be equal")
+    assert(a.hashCode === b.hashCode)
+    assert(a !== Rec.ofBytes("s-0", 1L, Array[Byte](-1, 0, 43), 100L))
+    // text-only records: content compare degenerates to field compare
+    assert(Rec("s-0", 2L, "x", 5L) === Rec("s-0", 2L, "x", 5L))
+    assert(Rec("s-0", 2L, "x", 5L) !== a)
+  }
 }
