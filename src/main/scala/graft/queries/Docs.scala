@@ -252,38 +252,41 @@ object Docs {
         encode($"text", "UTF-8").as("payload"))
       .as[Multimodal.MediaRecord]
     val grid = Multimodal.resizeToGrid(sq, side = 8).toDF()
-    // aHash bits from the pooled grid; bands = 8 bytes of the hash.
-    // From here on only (doc_id, band_idx, band_val) rows move — the
-    // 8-byte fingerprint discipline of d7.
-    val bands = grid
-      .select($"doc_id", aggregate($"grid", lit(0L), _ + _).as("tot"),
-        posexplode($"grid").as(Seq("cell", "v")))
-      .withColumn("bit", when(lit(64) * $"v" > $"tot", 1L).otherwise(0L))
-      .groupBy($"doc_id", expr("cell div 8").as("band_idx"))
-      .agg(expr("sum(shiftleft(bit, CAST(cell % 8 AS INT)))").as("band_val"))
-      .persist() // feeds the cap census, the pair join, and the verify
+    // aHash as ONE 64-bit fingerprint per doc, computed MAP-SIDE with
+    // higher-order functions (bit i = 64·v_i > Σv, packed at bit i);
+    // bands are shifted byte views of it — d7's simhash discipline
+    // exactly: the full fingerprint rides WITH each band row, so the
+    // verify needs no join back to anything. The r8 shape instead
+    // built band bytes via a per-(doc, band) aggregate and re-joined
+    // 8 band rows per candidate side for the hamming SUM — with a
+    // capped-but-fat degenerate bucket (857 docs → 367k candidates at
+    // sf0.1) that re-join was the pipeline's dominant stage (~3 s of
+    // the entry's 3.5; the pooling the r8 notes blamed is <0.1 s).
+    val hashed = grid
+      .withColumn("tot", aggregate($"grid", lit(0L), _ + _))
+      .withColumn("h64", expr(
+        """aggregate(zip_with(grid, sequence(0L, 63L),
+          |  (v, i) -> IF(64 * v > tot, shiftleft(1L, CAST(i AS INT)), 0L)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+    val bandIdx = posexplode(sequence(lit(0L), lit(7L)))
+    val bands = hashed
+      .select($"doc_id", $"h64", bandIdx.as(Seq("ord", "band_idx")))
+      .select($"doc_id", $"h64", $"band_idx",
+        expr("shiftright(h64, CAST(band_idx * 8 AS INT)) & 255").as("band_val"))
+      .persist() // feeds the cap census and the candidate self-join
     val bsz = bands.groupBy($"band_idx", $"band_val")
       .agg(count(lit(1)).as("sz"))
     val ok = bands.join(bsz.filter($"sz" <= 1000), Seq("band_idx", "band_val"))
-    val cand = ok.select($"band_idx", $"band_val", $"doc_id".as("a_id"))
-      .join(ok.select($"band_idx", $"band_val", $"doc_id".as("b_id")),
-        Seq("band_idx", "band_val"))
+    // candidate pairs dedup through the same aggregate that carries the
+    // fingerprints (a pair appears once per shared band; min = the one
+    // value) — hamming is then a map-side XOR + bit_count, identical by
+    // construction to summing per-band bit_counts.
+    ok.select($"band_idx", $"band_val", $"doc_id".as("a_id"), $"h64".as("ha"))
+      .join(ok.select($"band_idx", $"band_val", $"doc_id".as("b_id"),
+        $"h64".as("hb")), Seq("band_idx", "band_val"))
       .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
-    // Exact verify over ONE 64-bit fingerprint per doc: the 8 band
-    // bytes re-pack into a single long (band b in bits [8b, 8b+8)), so
-    // per-pair hamming is one XOR + bit_count — identical by
-    // construction to summing per-band bit_counts, but the verify join
-    // carries 1 row per doc instead of 8 and needs no re-aggregation.
-    // At sf0.1 the capped-but-fat degenerate buckets (one band bucket
-    // holds 857 docs → 367k candidates) made the 8-way band re-join +
-    // SUM the pipeline's dominant stage (measured ~3 s/entry); at
-    // 10^9 images the same 8× row reduction holds on the shuffled form.
-    val hashes = bands.groupBy($"doc_id")
-      .agg(sum(expr("shiftleft(band_val, CAST(band_idx * 8 AS INT))")).as("h64"))
-    cand
-      .join(hashes.select($"doc_id".as("a_id"), $"h64".as("ha")), "a_id")
-      .join(hashes.select($"doc_id".as("b_id"), $"h64".as("hb")), "b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(min($"ha").as("ha"), min($"hb").as("hb"))
       .select($"a_id", $"b_id",
         expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
       .filter($"hamming" <= 10)
