@@ -104,4 +104,49 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out.keySet === media.map(_.doc_id).toSet)
   }
+
+  test("aHash 64-bit pack: band byte views and packed-XOR hamming match the per-band form") {
+    // the phash pipeline verifies candidates with bit_count(h64_a ^
+    // h64_b) over ONE packed fingerprint; this property pins that the
+    // SQL pack (bit i at position i, bands as shifted byte views) is
+    // bitwise-identical to the per-band construction and that packed
+    // hamming equals the per-band bit_count sum — including bit 63,
+    // where shiftleft(1L, 63) is Long.MinValue and the pack relies on
+    // carry-free addition of distinct powers of two
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9)
+    val grids = (0 until 64).map { i =>
+      // mix dark/bright rows so high bits (incl. 63) are exercised
+      (i.toLong, Seq.tabulate(64)(c => if (rnd.nextBoolean()) 255L else rnd.nextInt(4).toLong))
+    }
+    val df = grids.toDF("doc_id", "grid")
+      .withColumn("tot", aggregate($"grid", lit(0L), _ + _))
+      .withColumn("h64", expr(
+        """aggregate(zip_with(grid, sequence(0L, 63L),
+          |  (v, i) -> IF(64 * v > tot, shiftleft(1L, CAST(i AS INT)), 0L)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+    val rows = df.select($"doc_id", $"grid", $"tot", $"h64").collect()
+    val h = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val grid = r.getSeq[Long](1)
+      val tot = r.getLong(2)
+      // reference: the per-cell bit construction the r8 shape used
+      val bits = grid.zipWithIndex.map { case (v, i) => if (64 * v > tot) 1L << i else 0L }
+      assert(r.getLong(3) === bits.sum, s"pack mismatch doc ${r.getLong(0)}")
+      // band byte views recover the same 8 bytes the per-band agg built
+      val bandsFromH64 = (0 until 8).map(b => (r.getLong(3) >> (b * 8)) & 255L)
+      val bandsPerCell = (0 until 8).map(b =>
+        (0 until 8).map(k => (bits(b * 8 + k) != 0L, k)).collect { case (true, k) => 1L << k }.sum)
+      assert(bandsFromH64 === bandsPerCell, s"band view mismatch doc ${r.getLong(0)}")
+    }
+    // packed hamming == per-band bit_count sum, for every pair
+    for (a <- h.keys; b <- h.keys if a < b) {
+      val packed = java.lang.Long.bitCount(h(a) ^ h(b))
+      val perBand = (0 until 8).map { band =>
+        java.lang.Long.bitCount(((h(a) >> (band * 8)) & 255L) ^ ((h(b) >> (band * 8)) & 255L))
+      }.sum
+      assert(packed === perBand, s"hamming mismatch ($a, $b)")
+    }
+  }
 }
