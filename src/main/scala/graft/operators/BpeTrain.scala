@@ -49,36 +49,72 @@ object BpeTrain {
     *                ignored)
     * @param normCol the column name
     * @param k       number of merge rounds
+    * @param trackTokens when false, the LAST recorded round's
+    *                n_corpus_tokens is -1 instead of being measured
+    *                with a dedicated final pass — for consumers that
+    *                only need the merge PAIR sequence (d47's apply
+    *                path). Rounds before the last are exact either way
+    *                (their totals fall out of the next round's pair
+    *                count, see below).
     * @return (step, pair, n, n_corpus_tokens): per round, the merged
     *         pair, its pre-merge corpus count, and the corpus token
     *         total AFTER the merge — step-ascending. */
-  def train(spark: SparkSession, docs: DataFrame, normCol: String, k: Int): DataFrame = {
+  def train(spark: SparkSession, docs: DataFrame, normCol: String, k: Int,
+            trackTokens: Boolean = true): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k=$k: need at least one merge round")
     var cur = docs.select(col(normCol).as("s")).filter(length($"s") > 0)
+    // Token accounting rides the pair count for free: a doc with
+    // m >= 1 tokens contributes exactly m - 1 adjacent pairs, so
+    // total_pairs = n_tok - n_docs, i.e. n_tok = total_pairs + n_docs —
+    // and n_docs (non-empty docs) is INVARIANT under merging (a merge
+    // rewrites two tokens into one, never to zero). One count up
+    // front, then each round's pair aggregate yields the PREVIOUS
+    // round's post-merge token total as its rollup grand-total row:
+    // the loop runs ONE job per round (the rollup'd pair count, which
+    // also materializes the pending lazy checkpoint) instead of three
+    // (count-top-pair, eager-checkpoint, token-sum).
+    val nDocs = cur.count()
     val steps = Seq.newBuilder[(Long, String, Long, Long)]
+    // the last merged round, waiting for its post-merge token total
+    // (delivered by the NEXT round's grand total, or the final pass)
+    var pending: Option[(Long, String, Long)] = None
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
       val toks = cur.select(split($"s", " ").as("toks"))
-      // adjacent pairs with multiplicity — d36's bound-array idiom
-      val top = toks.filter(size($"toks") >= 2)
+      // adjacent pairs with multiplicity — d36's bound-array idiom;
+      // rollup adds the (null, total_pairs) grand-total row, which is
+      // >= every per-pair count, so top-2 always holds the total AND
+      // the best pair (identified by null-ness, not position)
+      val top2 = toks.filter(size($"toks") >= 2)
         .select(explode(transform(
           sequence(lit(0), size($"toks") - 2),
           i => concat_ws(" ",
             element_at($"toks", i + 1), element_at($"toks", i + 2)))).as("pair"))
-        .groupBy($"pair").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"pair").limit(1)
+        .rollup($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair".asc_nulls_first).limit(2)
         .collect()
-      if (top.isEmpty) exhausted = true // corpus fully merged (degenerate)
-      else {
-        val (bestPair, bestN) = (top(0).getString(0), top(0).getLong(1))
-        cur = cur.select(applyMerge($"s", bestPair).as("s"))
-          .localCheckpoint(true) // constant plan depth across rounds
-        val nTok = cur.select(sum(size(split($"s", " ")))).head().getLong(0)
-        steps += ((step.toLong, bestPair, bestN, nTok))
-        step += 1
+      val totalPairs = top2.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+      pending.foreach { case (st, p, n) => steps += ((st, p, n, totalPairs + nDocs)) }
+      pending = None
+      top2.find(!_.isNullAt(0)) match {
+        case None => exhausted = true // corpus fully merged (degenerate)
+        case Some(row) =>
+          val (bestPair, bestN) = (row.getString(0), row.getLong(1))
+          // lazy checkpoint: the next round's pair count (or the final
+          // token pass) materializes the rewrite and truncates lineage
+          // in the same job — plan depth stays constant across rounds
+          cur = cur.select(applyMerge($"s", bestPair).as("s")).localCheckpoint(false)
+          pending = Some((step.toLong, bestPair, bestN))
+          step += 1
       }
+    }
+    pending.foreach { case (st, p, n) =>
+      val nTok =
+        if (!trackTokens) -1L
+        else cur.select(sum(size(split($"s", " ")))).head().getLong(0)
+      steps += ((st, p, n, nTok))
     }
     spark.createDataFrame(steps.result())
       .toDF("step", "pair", "n", "n_corpus_tokens")

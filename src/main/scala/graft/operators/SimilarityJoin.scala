@@ -90,8 +90,19 @@ object SimilarityJoin {
       .persist() // feeds the token pipeline AND both verify branches
     val toks = sized.select($"id", $"n", explode($"hset").as("g"))
 
+    // one broadcast decision covers the freq join AND the verify join:
+    // the freq table ((g, df) over distinct tokens, ≤16 B/row) is
+    // strictly smaller than the packed set table the verify broadcast
+    // ships, so whenever sets fit, freq fits a fortiori — and
+    // broadcasting it turns the prefix stage's freq shuffle-join into a
+    // map-side hash join, leaving the id-keyed window exchange as the
+    // stage's only shuffle (measured 0.9 → 0.2 s per call at sf0.1).
+    // Past the guard both fall back to shuffle joins together.
+    val useBroadcast = sized.count() <= broadcastSetRows
+
     // global document frequency — the prefix order (rarest first)
-    val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+    val freq0 = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+    val freq = if (useBroadcast) broadcast(freq0) else freq0
 
     // prefix: keep the (n - ceil(t*n) + 1) globally-rarest tokens per
     // doc — PLUS ONE: every ceil/floor pruning bound below carries a
@@ -143,7 +154,7 @@ object SimilarityJoin {
     val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
     val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
     val (ja, jb) =
-      if (sized.count() <= broadcastSetRows) (broadcast(a), broadcast(b))
+      if (useBroadcast) (broadcast(a), broadcast(b))
       else (a, b)
     candidates
       .join(ja, "a_id").join(jb, "b_id")
@@ -205,7 +216,11 @@ object SimilarityJoin {
       .withColumn("n", size($"hset"))
       .persist()
     val toks = sized.select($"id", $"n", explode($"hset").as("g"))
-    val freq = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+    // same single broadcast decision as [[jaccard]]: freq is strictly
+    // smaller than the set table the verify broadcast ships
+    val useBroadcast = sized.count() <= broadcastSetRows
+    val freq0 = toks.groupBy($"g").agg(count(lit(1)).as("df"))
+    val freq = if (useBroadcast) broadcast(freq0) else freq0
 
     // every token ranked in the shared global rarest-first order; the
     // probe side keeps only A's prefix, the index side keeps ALMOST
@@ -242,7 +257,7 @@ object SimilarityJoin {
     val a = sized.select($"id".as("a_id"), $"hset".as("sh_a"))
     val b = sized.select($"id".as("b_id"), $"hset".as("sh_b"))
     val (ja, jb) =
-      if (sized.count() <= broadcastSetRows) (broadcast(a), broadcast(b))
+      if (useBroadcast) (broadcast(a), broadcast(b))
       else (a, b)
     candidates
       .join(ja, "a_id").join(jb, "b_id")

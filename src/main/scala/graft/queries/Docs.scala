@@ -2305,7 +2305,7 @@ object Docs {
         .select($"doc_id", Text.normalize($"text").as("norm"))
         .filter(length($"norm") > 0)
       val merges = graft.operators.BpeTrain
-        .train(s, corpus.select($"norm"), "norm", k = 6)
+        .train(s, corpus.select($"norm"), "norm", k = 6, trackTokens = false)
         .orderBy($"step").collect().map(_.getString(1)).toSeq
       val applied = merges.foldLeft($"norm".as("s"): org.apache.spark.sql.Column)(
         (c, p) => graft.operators.BpeTrain.applyMerge(c, p))
