@@ -42,4 +42,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // join: 9s at -Xmx8g vs 65s at -Xmx64g; 10s at any heap with this
   // flag). 4m keeps pages region-friendly at every heap size.
   "-Dspark.buffer.pageSize=4m",
+  // JIT code cache sized for a 185-plan suite. The default 240 MB
+  // ReservedCodeCacheSize fills from the whole-stage-codegen classes of
+  // ~350 distinct plans (the sf0.001 warmup pass + the measured suite),
+  // and once the sweeper starts flushing hot methods the WHOLE run
+  // degrades 1.5-3x with no GC signal and no "CodeCache is full"
+  // warning (that only fires on hard exhaustion). Measured on the full
+  // 185-entry bench, same host, minutes apart: default 240 MB → sums
+  // 212-217 s with 5-28 entries skipped at the budget; 512 MB →
+  // 188 s, complete, every in-suite time matching its isolated-median
+  // shape. Subset runs never showed it — only full-suite runs compile
+  // enough generated classes to hit the wall.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -25,6 +25,21 @@ object Bench {
   private def gcMillis: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
+  /** Peak usage of the JIT code heaps + metaspace, in MB — the r10
+    * diagnosis channel: a 185-plan suite compiles enough generated
+    * classes to exhaust the default 240 MB code cache, and the sweeper
+    * thrash that follows looks exactly like host noise (1.5-3x uniform
+    * slowdown, no GC growth, no warning). Publishing the peak makes
+    * that failure mode visible in the artifact instead of mysterious. */
+  private def codeMemJson: String = {
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    def peakMb(prefix: String): Long =
+      pools.filter(_.getName.startsWith(prefix))
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    s""""codeheap_peak_mb":${peakMb("CodeHeap")},"metaspace_peak_mb":${peakMb("Metaspace")}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val t0Wall = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
@@ -45,6 +60,19 @@ object Bench {
       // is session-timezone-dependent, so an unpinned bench session
       // would read shifted instants on a non-UTC host
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE off FOR THE BENCH SESSION ONLY (Verify and the specs keep
+      // the default; the library never touches the flag — a 100 TB
+      // deployment wants AQE's skew/coalesce machinery). At bench scale
+      // (4 partitions, sf0.1) AQE buys nothing the static planner
+      // doesn't already do — r8 measured its bytes-coalescing configs
+      // as net-negative here — while costing per-stage re-plan +
+      // re-codegen: the sf0.001 warmup compiles the STATIC plan's
+      // generated classes, and AQE's runtime re-plans at sf0.1 compile
+      // fresh ones per entry, so the warmup stops covering codegen.
+      // Measured (full 185-entry driver-config draws, same day):
+      // quiet-phase best 175.5 s AQE-off vs 188.2 s AQE-on; slow-phase
+      // within-pair 212.7 vs 214.6; gc_sec 0.97 vs 2.0-2.7.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -108,7 +136,14 @@ object Bench {
         // deadline — every warmup execution plans a FRESH query, so a
         // second pass doubles the generated-class load on the JIT code
         // cache without re-warming anything plan-specific)
-        val it = selected.iterator.filterNot(_._1.startsWith("s"))
+        // REVERSE of the measurement order (d→e→q after the s filter):
+        // warmup truncation only happens on a slow host, and there it
+        // should drop the CHEAP q-family warmups (cold penalty ~0.2 s
+        // each) rather than the expensive d-family ones (d13 measured
+        // 5.6 s cold vs 2.3 s warm) — the d entries measure LAST, so
+        // they stay warm either way; what truncation costs is decided
+        // by which family's warmup was cut.
+        val it = selected.reverseIterator.filterNot(_._1.startsWith("s"))
         val warmDeadline = budget * 0.075
         def nextWarm(): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
           it.synchronized {
@@ -173,7 +208,7 @@ object Bench {
       val gcSec = (gcMillis - gc0) / 1e3
       val skip = skipped.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$medJson,""" +
-        s""""complete":$complete,"skipped":$skip,"gc_sec":${fmt(gcSec)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+        s""""complete":$complete,"skipped":$skip,"gc_sec":${fmt(gcSec)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     }
     // Full-detail artifact (median + min/max noise band), rewritten after
     // every query so a timeout-killed run still leaves the data on disk.
@@ -184,7 +219,7 @@ object Bench {
         s""""queries_min":${queriesJson(ts => ts.filter(_ >= 0).headOption.getOrElse(-1.0))},"queries_max":${queriesJson(_.last)},""" +
         s""""reps_batch":$repsBatch,"reps_stream":$repsStream,"complete":$complete,""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+        s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), body + "\n")
       catch { case _: Throwable => () }
