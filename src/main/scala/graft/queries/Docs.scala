@@ -79,55 +79,88 @@ object Docs {
           expr("stop * 4000 div n_tok")).as("q_bp"))
   }
 
+  /** (doc_id, text) rows → (doc_id, w1, w2, w3) trigram-position rows,
+    * derived MAP-SIDE from shifted slices of the token array (zero
+    * exchanges — the posexplode + two-lag window form costs a doc_id
+    * shuffle and a per-doc sort for triples that are a pure projection
+    * of the row). ONE definition shared by d82's batch eval side, s28's
+    * stream side, and the training counts below: triples cannot drift
+    * between the three. */
+  private[queries] def lmPositions(withText: DataFrame): DataFrame = {
+    import withText.sparkSession.implicits._
+    withText
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"tk", lit(1), size($"tk") - 2).as("w1"),
+        slice($"tk", lit(2), size($"tk") - 2).as("w2"),
+        slice($"tk", lit(3), size($"tk") - 2).as("w3"))).as("t"))
+      .select($"doc_id", $"t.w1", $"t.w2", $"t.w3")
+  }
+
   /** d82's trigram-LM count tables, trained on the doc_id ≥ 100 slice:
     * (unigram c1, bigram big, trigram tri, the 1-row add-1 mass M =
     * N+V+1). ONE definition shared by the batch scorer (d82) and the
     * streaming gate (s28) — the model the stream scores against must
-    * be bit-identical to the batch one. Bigram/trigram counts come
-    * from lags over the SAME doc-keyed window (one exchange feeds
-    * both, no positional self-joins). */
+    * be bit-identical to the batch one. All three n-gram counts derive
+    * map-side from shifted slices of the per-doc token array (the
+    * [[lmPositions]] shape): the only exchanges are the three partial
+    * count aggregates themselves, and the persisted training
+    * intermediate is ONE ARRAY ROW PER DOC, not a row per token (the
+    * r10 rework; the posexplode + lag-window form paid a doc_id
+    * shuffle + per-doc sort and pinned a token-level cache). The mass
+    * row M rides on c1 (total = SUM c, vocab = row count) instead of
+    * re-scanning the corpus. */
   /** @param materialize false (d82's single-job shape): the four count
-    *        tables come back lazy, sharing persisted token-level
-    *        intermediates that Spark frees with the session cache.
+    *        tables come back lazy, sharing the persisted token-array
+    *        intermediate that Spark frees with the session cache.
     *        true (s28's stream-static shape): the MODEL tables are
     *        persisted and eagerly counted, and the corpus-sized
-    *        token/lag intermediates are unpersisted before returning —
+    *        token-array intermediate is unpersisted before returning —
     *        a stream-static join replans the static side every
     *        micro-batch, so the drain should join four small cached
-    *        tables, not keep the whole posexploded training corpus
-    *        pinned in executor storage. */
+    *        tables, not keep the training corpus pinned in executor
+    *        storage. */
   private[queries] def lmCounts(s: SparkSession, dir: String,
       materialize: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val tr = docs(s, dir).filter($"doc_id" >= 100)
-      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
-      .persist() // unigram count, the stats row, and the lag pass
-    val c1 = tr.groupBy($"tok").agg(count(lit(1)).as("c"))
-    val st = tr.agg((count(lit(1)) + countDistinct($"tok") + 1).as("m"))
-    val trLag = tr
-      .withColumn("p1", lag($"tok", 1).over(wDoc))
-      .withColumn("p2", lag($"tok", 2).over(wDoc))
-      .persist()
-    val big = trLag.filter($"p1".isNotNull)
-      .groupBy($"p1".as("t1"), $"tok".as("t2")).agg(count(lit(1)).as("c"))
-    val tri = trLag.filter($"p2".isNotNull)
-      .groupBy($"p2".as("t1"), $"p1".as("t2"), $"tok".as("t3"))
+    val tk = docs(s, dir).filter($"doc_id" >= 100)
+      .select(Text.tokens($"text").as("tk"))
+      .persist() // unigram, bigram, and trigram passes
+    val c1 = tk.select(explode($"tk").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    // N + V + 1 from the unigram table: total tokens = SUM(c), vocab =
+    // row count — vocab-bounded, no extra corpus pass
+    val st = c1.agg((sum($"c") + count(lit(1)) + 1).as("m"))
+    val big = tk.filter(size($"tk") >= 2)
+      .select(explode(arrays_zip(
+        slice($"tk", lit(1), size($"tk") - 1).as("t1"),
+        slice($"tk", lit(2), size($"tk") - 1).as("t2"))).as("g"))
+      .groupBy($"g.t1".as("t1"), $"g.t2".as("t2")).agg(count(lit(1)).as("c"))
+    val tri = tk.filter(size($"tk") >= 3)
+      .select(explode(arrays_zip(
+        slice($"tk", lit(1), size($"tk") - 2).as("t1"),
+        slice($"tk", lit(2), size($"tk") - 2).as("t2"),
+        slice($"tk", lit(3), size($"tk") - 2).as("t3"))).as("g"))
+      .groupBy($"g.t1".as("t1"), $"g.t2".as("t2"), $"g.t3".as("t3"))
       .agg(count(lit(1)).as("c"))
     if (materialize) {
       val model = Seq(c1, big, tri, st).map(_.persist())
-      // Two-phase eager build: ONE pass materializes both corpus-sized
-      // caches (tokens + lags — trLag's lineage covers tr), then the
-      // four vocab-bounded counts run CONCURRENTLY against warm caches.
-      // Counting the four cold-and-concurrent instead would duplicate
-      // the corpus work (concurrent jobs each compute an uncached
-      // partition; the cache dedupes storage, not computation) —
-      // measured 1.5x slower than even the sequential build.
-      trLag.count()
-      val threads = model.map(m => new Thread(() => { m.count(): Unit }))
+      // Two-phase eager build: ONE pass materializes the corpus-sized
+      // token-array cache, c1 fills next (st reads ITS cache, not the
+      // corpus), then the remaining counts run CONCURRENTLY against
+      // the warm array cache. Counting cold-and-concurrent instead
+      // would duplicate the corpus work (concurrent jobs each compute
+      // an uncached partition; the cache dedupes storage, not
+      // computation) — measured 1.5x slower than even the sequential
+      // build in the lag-window era.
+      tk.count()
+      model(0).count()
+      val threads = Seq(model(1), model(2), model(3))
+        .map(m => new Thread(() => { m.count(): Unit }))
       threads.foreach(_.start()); threads.foreach(_.join())
-      tr.unpersist(); trLag.unpersist()
+      tk.unpersist()
       (model(0), model(1), model(2), model(3))
     } else (c1, big, tri, st)
   }
@@ -4246,13 +4279,8 @@ object Docs {
          |FROM iv GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val (c1, big, tri, st) = lmCounts(s, dir)
-      val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-      val ev = docs(s, dir).filter($"doc_id" < 100)
-        .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
-        .withColumn("w1", lag($"tok", 2).over(wDoc))
-        .withColumn("w2", lag($"tok", 1).over(wDoc))
-        .filter($"w1".isNotNull)
-        .select($"doc_id", $"w1", $"w2", $"tok".as("w3"))
+      val ev = lmPositions(
+        docs(s, dir).filter($"doc_id" < 100).select($"doc_id", $"text"))
       lmScore(ev, c1, big, tri, st).orderBy($"doc_id")
     },
 

@@ -622,8 +622,15 @@ object Relational {
         |  CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS p50_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // persisted: FIVE plan branches read this 3-column projection
+      // (both sketch aggregations, the per-flag count, the coarse
+      // histogram, and the straddling-bucket probe) — without the
+      // persist each branch re-scans and re-decodes the parquet (the
+      // d61/d79 multi-branch re-scan class; the harness clears session
+      // caches between entries)
       val li = t(s, dir, "lineitem")
         .select($"l_returnflag", $"l_orderkey", $"l_extendedprice")
+        .persist()
       // sketches and the exact distinct count in SEPARATE aggregations:
       // mixing count(DISTINCT) with TypedImperativeAggregates re-keys
       // the partial aggregate by (flag, orderkey), which hands every

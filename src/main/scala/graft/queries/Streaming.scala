@@ -1218,15 +1218,10 @@ object Streaming {
         .select($"doc_id", $"text").as[(Long, String)]
         .collect().sortBy(_._1).toSeq
       val in = MemoryStream[(Long, String)](s)
-      val toks = graft.functions.Text.tokens($"text")
-      val positions = in.toDF().toDF("doc_id", "text")
-        .select($"doc_id", toks.as("tk"))
-        .filter(size($"tk") >= 3)
-        .select($"doc_id", explode(arrays_zip(
-          slice($"tk", lit(1), size($"tk") - 2).as("w1"),
-          slice($"tk", lit(2), size($"tk") - 2).as("w2"),
-          slice($"tk", lit(3), size($"tk") - 2).as("w3"))).as("t"))
-        .select($"doc_id", $"t.w1", $"t.w2", $"t.w3")
+      // Docs.lmPositions VERBATIM (stream-legal: pure projection) —
+      // the same triple derivation d82's eval side and the training
+      // counts run, so batch and stream cannot drift
+      val positions = Docs.lmPositions(in.toDF().toDF("doc_id", "text"))
       val scored = Docs.lmScore(positions, c1, big, tri, st)
       drainChunksToTable(s, scored, "complete", in, mbChunks(s, rows))
         .orderBy($"doc_id")
