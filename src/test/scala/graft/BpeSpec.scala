@@ -51,6 +51,26 @@ class BpeSpec extends SparkSpec {
       "every merge must shrink (or hold) the corpus token total")
   }
 
+  test("d45/d47: trackTokens=false yields the identical merge sequence, " +
+      "with only the LAST round's token total unmeasured") {
+    import spark.implicits._
+    val docs = Tables.load(spark, Sf0001, "documents")
+      .select(Text.normalize(col("text")).as("norm"))
+    val full = graft.operators.BpeTrain.train(spark, docs, "norm", k = 4)
+      .orderBy($"step").collect()
+    val pairsOnly = graft.operators.BpeTrain
+      .train(spark, docs, "norm", k = 4, trackTokens = false)
+      .orderBy($"step").collect()
+    assert(full.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      pairsOnly.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq,
+      "merge sequence must not depend on token tracking")
+    // rounds before the last get their totals from the NEXT round's
+    // pair aggregate either way; only the final round's is skipped
+    assert(full.init.map(_.getLong(3)).toSeq === pairsOnly.init.map(_.getLong(3)).toSeq)
+    assert(pairsOnly.last.getLong(3) === -1L)
+    assert(full.last.getLong(3) > 0L)
+  }
+
   test("d45: a corpus that exhausts before k rounds truncates the output") {
     import spark.implicits._
     // "a b" merges once into a+b; round 2 has no adjacent pair left
