@@ -166,7 +166,22 @@ object Bench {
           })
           t.setDaemon(true); t.start(); t
         }
-        workers.foreach(_.join())
+        // The deadline is only checked BEFORE an entry starts, so one
+        // slow warm entry picked up at deadline-ε can overrun without
+        // bound on a degraded host (r10 observed a full draw lose 22 s
+        // of pass-1 window this way). Grant a short grace past the
+        // deadline, then cancel the in-flight warm jobs — the workers'
+        // catch-all counts them as swallowed (measured-cold) entries.
+        val graceEnd = warmDeadline + 10.0
+        workers.foreach { t =>
+          val remMs = ((graceEnd - elapsed) * 1000).toLong.max(1L)
+          t.join(remMs)
+        }
+        if (workers.exists(_.isAlive)) {
+          spark.sparkContext.cancelAllJobs()
+          println(s"""{"bench_note":"warmup cancelled at ${"%.0f".format(elapsed)}s (grace exceeded)"}""")
+          workers.foreach(_.join(10000))
+        }
         spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s (budget $budget)"}""")
         if (warmFailures.get > 0) println(s"""{"bench_note":"warmup swallowed ${warmFailures.get} failures (entries measured cold)"}""")
