@@ -121,13 +121,15 @@ object Bench {
         // streaming entries excluded: their cost is state-store/drain
         // harness floor, which warmup neither measures nor improves —
         // and at ~1-2 s each they'd eat half the warmup window.
-        // FOUR warmup workers (r8): sf0.001 queries use a handful of
-        // the 32 cores each, so serial warmup covered only ~110 of 156
-        // batch entries before the 10% cap — running four concurrently
-        // warms the whole suite in well under the window (JIT state is
-        // process-global; every entry reads the same warmDir, so the
-        // fixed-name temp views some SQL entries register resolve to
-        // identical definitions and the races are benign). Cache is
+        // EIGHT warmup workers (r10; four through r9): each sf0.001
+        // warm entry is dominated by driver-side planning on the
+        // calling thread, not execution, so workers beyond the 4 task
+        // slots still raise coverage by overlapping planning with
+        // execution — at 185 entries the 4-worker warmup truncated
+        // ~every draw (JIT state is process-global; every entry reads
+        // the same warmDir, so the fixed-name temp views some SQL
+        // entries register resolve to identical definitions and the
+        // races are benign). Cache is
         // cleared once at the end — sf0.001 persists are tiny, and a
         // per-query clear from one worker would yank a concurrent
         // worker's cache mid-flight.
@@ -155,7 +157,7 @@ object Bench {
         // its first measured rep — that must be visible in the
         // artifact, not hidden by the catch-all.
         val warmFailures = new java.util.concurrent.atomic.AtomicInteger(0)
-        val workers = (1 to 4).map { _ =>
+        val workers = (1 to 8).map { _ =>
           val t = new Thread(() => {
             var cur = nextWarm()
             while (cur.isDefined) {
