@@ -450,4 +450,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "the (type, day) cells lost their map-side partial aggregate")
   }
+
+  test("q32: co-purchase pairs generate map-side from per-order arrays — no self-join") {
+    val p = plan("q32_copurchase")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the grouped-pairs derivation must not plan any join (the r10 shape " +
+        s"replaced the lineitem self-join):\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one exchange groups orders, one aggregates pairs; top-20 is TakeOrdered
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 lost its TakeOrdered shape:\n$p")
+  }
+
+  test("d82: the trigram-LM training counts derive map-side — no lag window") {
+    spark.catalog.clearCache()
+    val p = plan("d82_trigram_lm")
+    assert(!p.contains("Window"),
+      s"the n-gram counts and eval positions must come from shifted array " +
+        s"slices (lmPositions), not lag windows — a Window operator means a " +
+        s"doc_id exchange + per-doc sort crept back:\n$p")
+  }
+
+  test("d18: the freq join broadcasts under the set-table guard") {
+    spark.catalog.clearCache()
+    val p = plan("d18_jaccard_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    // freq into the prefix stage + both verify set-table joins
+    assert(broadcasts >= 3,
+      s"expected >=3 broadcast joins (freq + 2 verify sides), got $broadcasts:\n$p")
+    val idExchanges = "hashpartitioning\\(id".r.findAllIn(p).length
+    assert(idExchanges >= 1, s"the prefix window must stay id-keyed:\n$p")
+  }
 }
