@@ -97,9 +97,28 @@ object Bench {
     // 1-rep streaming drains still run last so budget degradation
     // never starves a batch measurement for a harness floor.
     val familyRank = Map('q' -> 0, 'e' -> 1, 'd' -> 2, 's' -> 3)
-    val selected = only.fold(SparkEntry.queries)(ks =>
+    val byName = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.view.filterKeys(ks).toMap).toSeq
       .sortBy { case (n, _) => (familyRank.getOrElse(n.head, 4), n) }
+    // Degrade PROPORTIONALLY, never family-at-a-time (r10: the contiguous
+    // q→e→d→s tail meant the 232 s deadline landing at entry 134 erased
+    // ALL 29 streaming entries plus a 22-entry d-block from the artifact):
+    //  - a one-entry-per-family sampler measures FIRST, so even a
+    //    pathologically short budget records every SURVEY family;
+    //  - the d-tail and the s-family are interleaved at their proportional
+    //    positions, so a shortfall of X seconds costs a MIX of d and s
+    //    entries instead of whichever family sorted last.
+    val sampler = byName.map(_._1.head).distinct
+      .flatMap(f => byName.find(_._1.head == f))
+    val rest = byName.filterNot(p => sampler.exists(_._1 == p._1))
+    def interleave[A](a: Seq[A], b: Seq[A]): Seq[A] = {
+      val pa = a.zipWithIndex.map { case (x, i) => ((i + 0.5) / a.size, x) }
+      val pb = b.zipWithIndex.map { case (x, i) => ((i + 0.5) / b.size, x) }
+      (pa ++ pb).sortBy(_._1).map(_._2)
+    }
+    val (dsTail, qeHead) = rest.partition(p => "ds".contains(p._1.head))
+    val (dPart, sPart) = dsTail.partition(_._1.head == 'd')
+    val selected = sampler ++ qeHead ++ interleave(dPart, sPart)
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with
@@ -180,9 +199,21 @@ object Bench {
           t.join(remMs)
         }
         if (workers.exists(_.isAlive)) {
-          spark.sparkContext.cancelAllJobs()
           println(s"""{"bench_note":"warmup cancelled at ${"%.0f".format(elapsed)}s (grace exceeded)"}""")
-          workers.foreach(_.join(10000))
+          // cancelAllJobs only kills currently-ACTIVE jobs: a warm entry
+          // mid-flight can launch its next internal job after one cancel
+          // and keep running into pass-1, silently contaminating measured
+          // timings. Loop cancel+join until the workers actually exit,
+          // and if one still survives the bound, record the contamination
+          // risk in the artifact rather than measuring over it silently.
+          var tries = 0
+          while (workers.exists(_.isAlive) && tries < 5) {
+            spark.sparkContext.cancelAllJobs()
+            workers.foreach(_.join(2000))
+            tries += 1
+          }
+          if (workers.exists(_.isAlive))
+            println(s"""{"bench_note":"warmup worker survived cancellation — pass-1 timings may be contaminated"}""")
         }
         spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s (budget $budget)"}""")
@@ -200,6 +231,13 @@ object Bench {
     // otherwise record its WORSE shot).
     val repsBatch = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val repsStream = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt.max(1)
+    // Entries whose FIRST run memoizes a deterministic driver-side
+    // artifact for the session (d45: the BPE merge sequence, shared with
+    // d47 by design — train once, apply many): a second rep would time
+    // the memo hit, not the training, so the honest recorded figure is
+    // the single pass-1 measurement. Consumers of the artifact (d47)
+    // rep normally — apply-only IS their steady-state cost.
+    val repsOnce = Set("d45_bpe_train")
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     // lower median over SUCCESSFUL reps only: timeOnce's -1 failure
     // sentinel sorts first and must not shadow a real measurement when
@@ -223,9 +261,16 @@ object Bench {
       }.mkString("{", ",", "}")
       val total = results.values.map(med).filter(_ >= 0).sum
       val gcSec = (gcMillis - gc0) / 1e3
-      val skip = skipped.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+      // Skipped entries as a count + per-family histogram, NOT the full
+      // name list: BENCH_r10's 51-name list consumed ~900 chars of the
+      // driver's 2000-char tail window and truncated the leading
+      // "metric"/"value" fields away (parsed: null). Full names live in
+      // BENCH_LOCAL.json, which is the committed forensic artifact.
+      val skipFam = skipped.groupBy(_.head).toSeq.sortBy(_._1)
+        .map { case (f, ns) => "\"" + f + "\":" + ns.length }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$medJson,""" +
-        s""""complete":$complete,"skipped":$skip,"gc_sec":${fmt(gcSec)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+        s""""complete":$complete,"skipped_n":${skipped.length},"skipped_fam":$skipFam,""" +
+        s""""gc_sec":${fmt(gcSec)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
     }
     // Full-detail artifact (median + min/max noise band), rewritten after
     // every query so a timeout-killed run still leaves the data on disk.
@@ -289,7 +334,10 @@ object Bench {
       val order = selected.filter(p => results.contains(p._1))
         .sortBy { case (n, _) => -results(n).max }
       for ((name, fn) <- order) {
-        val target = if (name.startsWith("s")) repsStream else repsBatch
+        val target =
+          if (repsOnce(name)) 1
+          else if (name.startsWith("s")) repsStream
+          else repsBatch
         val have = results(name)
         if (have.length < target && have.nonEmpty && elapsed < softDeadline &&
             elapsed + have.last.max(0.0) < deadline) {

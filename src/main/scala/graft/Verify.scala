@@ -24,15 +24,6 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // free any caches a query persisted before the next one runs
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,9 +36,31 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written BEFORE the dump loop: it depends only on
+    // SparkEntry.oracleSql, and writing it last meant a driver wall-budget
+    // kill anywhere in the ~12-min 185-query loop zeroed the ENTIRE round's
+    // correctness artifact (CORRECTNESS_r10.json was {} for exactly this
+    // reason). With the file first and the per-query parquet writes
+    // incremental, a killed Verify yields a partial-but-real table.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var done = 0
+    selected.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        done += 1
+        // per-query done-line so a partial (killed) run is diagnosable
+        // from the log: which entry was in flight, how far the loop got.
+        println(f"[verify] $name done ${(System.nanoTime() - t0) / 1e9}%.1fs ($done/${selected.size})")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // free any caches a query persisted before the next one runs
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

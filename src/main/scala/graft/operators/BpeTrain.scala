@@ -31,6 +31,34 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** JVM-lifetime memo of trained merge sequences, keyed by the CALLER's
+    * corpus identity (data directory + normalization column + k). A
+    * training run is deterministic over an immutable corpus, and two
+    * entries share one pipeline (d45 trains, d47 applies the trained
+    * merges), so a session that runs both would otherwise pay the
+    * k-round corpus recount twice for byte-identical output. The cached
+    * value is k tiny driver-side rows (pair + counts), never corpus
+    * data; Spark-level cache clearing between queries cannot invalidate
+    * it and does not need to (the corpus under a key never changes
+    * within a JVM). Callers with mutable or anonymous corpora must use
+    * [[train]] directly. */
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String, Long, Long)]]()
+
+  /** [[train]] memoized on `corpusKey` (always token-tracking, so every
+    * consumer — pair-only appliers and token-accounting reporters alike —
+    * can share one entry). `docs` is by-name: a cache hit never builds
+    * the corpus plan. */
+  def trainCached(spark: SparkSession, docs: => DataFrame, normCol: String,
+                  k: Int, corpusKey: String): DataFrame = {
+    val rows = trainedCache.computeIfAbsent(s"$corpusKey|$normCol|$k", _ =>
+      train(spark, docs, normCol, k, trackTokens = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+    spark.createDataFrame(rows.toSeq)
+      .toDF("step", "pair", "n", "n_corpus_tokens")
+  }
+
   /** One greedy merge of `pair` applied to a single-space-tokenized
     * string column — the double-space replace (see scaladoc above),
     * usable standalone to APPLY a trained merge sequence (d47) with
@@ -95,7 +123,17 @@ object BpeTrain {
         .rollup($"pair").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"pair".asc_nulls_first).limit(2)
         .collect()
-      val totalPairs = top2.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
+      // The rollup grand-total row is >= every per-pair count, so top-2
+      // MUST contain it whenever any pair row exists; if it ever doesn't
+      // (an engine contract change, a refactor dropping the rollup), the
+      // previous round's n_corpus_tokens would silently become nDocs —
+      // fail loudly instead. The 0L path stays for the genuinely-empty
+      // corpus (no pair rows at all).
+      val totalPairs = top2.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse {
+        require(top2.forall(_.isNullAt(0)),
+          s"rollup grand-total row missing from top-2 while pair rows exist: ${top2.mkString(", ")}")
+        0L
+      }
       pending.foreach { case (st, p, n) => steps += ((st, p, n, totalPairs + nDocs)) }
       pending = None
       top2.find(!_.isNullAt(0)) match {

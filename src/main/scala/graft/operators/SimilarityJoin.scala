@@ -55,7 +55,17 @@ object SimilarityJoin {
 
   /** Broadcast the hashed-set table into the verify join while it's
     * under this many documents (~hundreds of MB of packed longs for
-    * shingle-sized sets — comfortably executor-resident). */
+    * shingle-sized sets — comfortably executor-resident).
+    *
+    * The SAME decision gates the frequency-table broadcast, and that
+    * safety argument is about BYTES, not rows: freq's cardinality is the
+    * DISTINCT-TOKEN count, which can exceed this row guard by orders of
+    * magnitude, but at ≤16 B/row the freq table is bounded by the packed
+    * set arrays (every distinct token appears in at least one set, at
+    * ≥8 B per occurrence there), so whenever the set broadcast fits, the
+    * freq broadcast ships strictly fewer bytes. A future retuning of
+    * this constant must preserve that byte relation — raising it until
+    * the SET broadcast no longer fits also breaks the freq assumption. */
   val BroadcastSetRows = 200000L
 
   /** All pairs (a_id < b_id) with Jaccard(sh_a, sh_b) >= threshold.

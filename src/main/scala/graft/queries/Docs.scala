@@ -2257,8 +2257,12 @@ object Docs {
     // with a plain-Scala fold as a third independent implementation.
     GraftQuery.sql("d45_bpe_train", bpeOracleSql(6)) { (s, dir) =>
       import s.implicits._
-      graft.operators.BpeTrain.train(s,
-          docs(s, dir).select(Text.normalize($"text").as("norm")), "norm", k = 6)
+      // trainCached: d45 and d47 share one training pipeline per corpus
+      // per session (trained merges are deterministic over the immutable
+      // testdata dir) — whichever runs first pays the k-round recount.
+      graft.operators.BpeTrain.trainCached(s,
+          docs(s, dir).select(Text.normalize($"text").as("norm")), "norm",
+          k = 6, corpusKey = dir)
         .orderBy($"step")
     },
 
@@ -2337,8 +2341,10 @@ object Docs {
       val corpus = docs(s, dir)
         .select($"doc_id", Text.normalize($"text").as("norm"))
         .filter(length($"norm") > 0)
+      // trainCached (see d45): shares the trained merge sequence with
+      // d45 in-session instead of recounting the corpus six more times.
       val merges = graft.operators.BpeTrain
-        .train(s, corpus.select($"norm"), "norm", k = 6, trackTokens = false)
+        .trainCached(s, corpus.select($"norm"), "norm", k = 6, corpusKey = dir)
         .orderBy($"step").collect().map(_.getString(1)).toSeq
       val applied = merges.foldLeft($"norm".as("s"): org.apache.spark.sql.Column)(
         (c, p) => graft.operators.BpeTrain.applyMerge(c, p))
