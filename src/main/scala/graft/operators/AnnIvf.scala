@@ -74,6 +74,19 @@ object AnnIvf {
     KMeans.fitCentroidsQ(spark, qdf(embeddings), numClusters, iters)
   }
 
+  /** [[centroids]] memoized per corpus key (KMeans.centroidCache, under
+    * the normalized-lattice mode tag): the IVF index over an immutable
+    * corpus is deterministic, so every consumer of the same (corpus, C)
+    * index — the ANN search entry and the semantic-dedup candidate
+    * generator — shares one Lloyd build per session. */
+  def centroidsCached(spark: SparkSession, embeddings: => DataFrame,
+                      numClusters: Int, iters: Int,
+                      corpusKey: String): Array[Array[Long]] = {
+    GraftFunctions.register(spark)
+    KMeans.fitCentroidsQCached(spark, qdf(embeddings), numClusters, iters,
+      s"ivfnorm|$corpusKey")
+  }
+
   /** Nearest-centroid assignment: a single projection — the lattice
     * argmin over the centroid literal, ties to the lowest cluster_id.
     * No Exchange anywhere in this stage. */
@@ -115,12 +128,20 @@ object AnnIvf {
       .select($"vec_id", $"embedding", $"pc.cid".as("cluster_id"))
   }
 
-  /** Top-k neighbors for each query vector, probing `nprobe` clusters. */
+  /** Top-k neighbors for each query vector, probing `nprobe` clusters.
+    * `corpusKey`, when set, memoizes the index build per corpus (see
+    * [[centroidsCached]]) — pass it for immutable corpora so repeated
+    * searches and other consumers of the same index skip the Lloyd
+    * rounds; leave unset for one-off or mutable inputs. */
   def search(spark: SparkSession, embeddings: DataFrame, queries: DataFrame,
-             numClusters: Int, nprobe: Int, k: Int): DataFrame = {
+             numClusters: Int, nprobe: Int, k: Int,
+             corpusKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val cents = centroids(spark, embeddings, numClusters)
+    val cents = corpusKey match {
+      case Some(key) => centroidsCached(spark, embeddings, numClusters, 1, key)
+      case None => centroids(spark, embeddings, numClusters)
+    }
     val indexed = assign(spark, embeddings, cents)
 
     // rank centroids per query map-side via the ONE probe-ranking

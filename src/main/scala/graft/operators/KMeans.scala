@@ -90,6 +90,28 @@ object KMeans {
         $"best".getField("cid").as("cluster_id"), $"best".getField("d").as("dist2"))
   }
 
+  /** JVM-lifetime memo of fitted centroids, keyed by the CALLER's corpus
+    * identity plus a quantization-mode tag (plain lattice vs AnnIvf's
+    * normalized lattice — same k over the same corpus yields different
+    * centroids per mode, so the mode MUST be in the key). Same
+    * reasoning as BpeTrain's trainedCache: Lloyd from deterministic
+    * seeds over an immutable corpus is a pure function, several entries
+    * share one index (d46 fits, d68 samples from the same clustering;
+    * d11 and d44 probe the same C=16 IVF), and the cached value is
+    * k×dim longs — never vectors. Callers with mutable or anonymous
+    * corpora use the uncached paths. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  /** [[fitCentroidsQ]] memoized on `cacheKey` (which must encode corpus
+    * + quantization mode); `qdf` is by-name so a hit never builds the
+    * quantization plan. */
+  private[operators] def fitCentroidsQCached(spark: SparkSession, qdf: => DataFrame,
+                                             k: Int, iters: Int,
+                                             cacheKey: String): Array[Array[Long]] =
+    centroidCache.computeIfAbsent(s"$cacheKey|$k|$iters", _ =>
+      fitCentroidsQ(spark, qdf, k, iters))
+
   /** `iters` lattice-Lloyd update rounds from the deterministic seeds
     * over a pre-quantized (vec_id, q) table; returns the centroids.
     * Shared by [[fit]] and AnnIvf's IVF build (which quantizes the
@@ -130,6 +152,19 @@ object KMeans {
     GraftFunctions.register(spark)
     val qdf = embs.select($"vec_id", quantize($"embedding").as("q"))
     val cents = fitCentroidsQ(spark, qdf, k, iters)
+    assignQ(qdf, cents).select($"vec_id", $"cluster_id", $"dist2")
+  }
+
+  /** [[fit]] with the centroid rounds memoized per corpus key (see
+    * centroidCache): the fitting entry and every consumer of the same
+    * clustering (d46 → d68) share one Lloyd run per session; the final
+    * assignment pass — a map-side projection — re-executes per call. */
+  def fitCached(spark: SparkSession, embs: DataFrame, k: Int, iters: Int,
+                corpusKey: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val qdf = embs.select($"vec_id", quantize($"embedding").as("q"))
+    val cents = fitCentroidsQCached(spark, qdf, k, iters, s"plain|$corpusKey")
     assignQ(qdf, cents).select($"vec_id", $"cluster_id", $"dist2")
   }
 }
