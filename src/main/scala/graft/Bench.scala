@@ -40,6 +40,29 @@ object Bench {
     s""""codeheap_peak_mb":${peakMb("CodeHeap")},"metaspace_peak_mb":${peakMb("Metaspace")}"""
   }
 
+  /** Pass-1 measurement order over (family-ranked, name-sorted) input.
+    * Degrade PROPORTIONALLY, never family-at-a-time (r10: the contiguous
+    * q→e→d→s tail meant the 232 s deadline landing at entry 134 erased
+    * ALL 29 streaming entries plus a 22-entry d-block from the artifact):
+    *  - a one-entry-per-family sampler measures FIRST, so even a
+    *    pathologically short budget records every SURVEY family;
+    *  - the d-tail and the s-family are interleaved at their proportional
+    *    positions, so a shortfall of X seconds costs a MIX of d and s
+    *    entries instead of whichever family sorted last. */
+  private[graft] def measurementOrder[A](byName: Seq[(String, A)]): Seq[(String, A)] = {
+    val sampler = byName.map(_._1.head).distinct
+      .flatMap(f => byName.find(_._1.head == f))
+    val rest = byName.filterNot(p => sampler.exists(_._1 == p._1))
+    def interleave(a: Seq[(String, A)], b: Seq[(String, A)]): Seq[(String, A)] = {
+      val pa = a.zipWithIndex.map { case (x, i) => ((i + 0.5) / a.size, x) }
+      val pb = b.zipWithIndex.map { case (x, i) => ((i + 0.5) / b.size, x) }
+      (pa ++ pb).sortBy(_._1).map(_._2)
+    }
+    val (dsTail, qeHead) = rest.partition(p => "ds".contains(p._1.head))
+    val (dPart, sPart) = dsTail.partition(_._1.head == 'd')
+    sampler ++ qeHead ++ interleave(dPart, sPart)
+  }
+
   def main(args: Array[String]): Unit = {
     val t0Wall = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
@@ -103,25 +126,7 @@ object Bench {
     val byName = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.view.filterKeys(ks).toMap).toSeq
       .sortBy { case (n, _) => (familyRank.getOrElse(n.head, 4), n) }
-    // Degrade PROPORTIONALLY, never family-at-a-time (r10: the contiguous
-    // q→e→d→s tail meant the 232 s deadline landing at entry 134 erased
-    // ALL 29 streaming entries plus a 22-entry d-block from the artifact):
-    //  - a one-entry-per-family sampler measures FIRST, so even a
-    //    pathologically short budget records every SURVEY family;
-    //  - the d-tail and the s-family are interleaved at their proportional
-    //    positions, so a shortfall of X seconds costs a MIX of d and s
-    //    entries instead of whichever family sorted last.
-    val sampler = byName.map(_._1.head).distinct
-      .flatMap(f => byName.find(_._1.head == f))
-    val rest = byName.filterNot(p => sampler.exists(_._1 == p._1))
-    def interleave[A](a: Seq[A], b: Seq[A]): Seq[A] = {
-      val pa = a.zipWithIndex.map { case (x, i) => ((i + 0.5) / a.size, x) }
-      val pb = b.zipWithIndex.map { case (x, i) => ((i + 0.5) / b.size, x) }
-      (pa ++ pb).sortBy(_._1).map(_._2)
-    }
-    val (dsTail, qeHead) = rest.partition(p => "ds".contains(p._1.head))
-    val (dPart, sPart) = dsTail.partition(_._1.head == 'd')
-    val selected = sampler ++ qeHead ++ interleave(dPart, sPart)
+    val selected = measurementOrder(byName)
     // Warm-up pass at the smallest SF: steady-state timing, not a
     // measurement of JVM/JIT/codegen cold start (which otherwise lands
     // arbitrarily on whichever queries run first). Disable with

@@ -673,9 +673,13 @@ object Docs {
     val hit = edgeCache.get(dir)
     if (hit != null) s.createDataFrame(hit._2, hit._1)
     else {
+      // the cap gates BEFORE any collect: count() materializes the
+      // persisted join, so an over-cap edge set is never pulled onto
+      // the driver at all — the caller gets the (already materialized)
+      // distributed plan
       val df = jaccardJoin(s, dir).persist()
-      val rows = df.collect()
-      if (rows.length <= EdgeMemoMaxRows) {
+      if (df.count() <= EdgeMemoMaxRows) {
+        val rows = df.collect()
         edgeCache.put(dir,
           (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*)))
         df.unpersist()

@@ -84,9 +84,11 @@ object Relational {
     val hit = pairCache.get(dir)
     if (hit != null) s.createDataFrame(hit._2, hit._1)
     else {
+      // cap gates via count() BEFORE any collect (see Docs.jaccardEdges):
+      // an over-cap pair set never lands on the driver
       val df = coPurchaseE0(s, dir).persist()
-      val rows = df.collect()
-      if (rows.length <= PairMemoMaxRows) {
+      if (df.count() <= PairMemoMaxRows) {
+        val rows = df.collect()
         pairCache.put(dir,
           (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*)))
         df.unpersist()
