@@ -45,21 +45,50 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    var done = 0
-    selected.foreach { case (name, fn) =>
+    // The dump loop runs entries CONCURRENTLY by default: correctness
+    // does not need clean per-entry timing (that's Bench's job), every
+    // entry's result is partition/scheduling-invariant by the suite's
+    // own oracle design, and wall time is survival — the round driver
+    // kills Verify on a wall budget, and a ~3x shorter loop turns a
+    // slow-phase kill into a non-event (with oracle_sql.json written
+    // first, a kill already only costs the unfinished tail).
+    // SPARK_GRAFT_VERIFY_THREADS=1 restores the sequential loop with
+    // its per-query cache clear; concurrent mode leaves persisted
+    // intermediates to Spark's LRU storage eviction instead (a clear
+    // from one worker would yank a concurrent entry's cache mid-job).
+    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt.max(1)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val it = selected.iterator
+    def nextEntry(): Option[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      it.synchronized { if (it.hasNext) Some(it.next()) else None }
+    def runOne(name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        done += 1
         // per-query done-line so a partial (killed) run is diagnosable
         // from the log: which entry was in flight, how far the loop got.
-        println(f"[verify] $name done ${(System.nanoTime() - t0) / 1e9}%.1fs ($done/${selected.size})")
+        println(f"[verify] $name done ${(System.nanoTime() - t0) / 1e9}%.1fs (${done.incrementAndGet()}/${selected.size})")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free any caches a query persisted before the next one runs
-      spark.catalog.clearCache()
+    }
+    if (nThreads == 1) {
+      selected.foreach { case (name, fn) =>
+        runOne(name, fn)
+        // free any caches a query persisted before the next one runs
+        spark.catalog.clearCache()
+      }
+    } else {
+      val workers = (1 to nThreads).map { _ =>
+        val t = new Thread(() => {
+          var cur = nextEntry()
+          while (cur.isDefined) { runOne(cur.get._1, cur.get._2); cur = nextEntry() }
+        })
+        t.start(); t
+      }
+      workers.foreach(_.join())
     }
     spark.stop()
   }
