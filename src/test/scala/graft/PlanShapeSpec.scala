@@ -472,6 +472,34 @@ class PlanShapeSpec extends SparkSpec {
         s"doc_id exchange + per-doc sort crept back:\n$p")
   }
 
+  test("r11 memos: a warm edge/pair memo turns the consumers' artifact " +
+      "side into a local relation; the builders stay distributed") {
+    spark.catalog.clearCache()
+    // warm both memos by executing one consumer of each (the memo is
+    // JVM-global, so this is idempotent across test orderings). d40 is
+    // the guarded edge consumer because it joins the edge set directly
+    // in its final plan; d13 consumes it inside DedupClusters' own
+    // checkpointed iteration, where the source is invisible to the
+    // top-level executed plan.
+    SparkEntry.queries("d40_source_overlap")(spark, Sf0001).count()
+    SparkEntry.queries("q34_triangles")(spark, Sf0001).count()
+    val d40 = plan("d40_source_overlap")
+    assert(d40.contains("LocalTableScan"),
+      s"d40's edge side should read the memoized local relation:\n$d40")
+    val q34 = plan("q34_triangles")
+    assert(q34.contains("LocalTableScan"),
+      s"q34's pair side should read the memoized local relation:\n$q34")
+    // the builder entries must NOT collapse to a local relation — their
+    // semantic is the distributed build and they are what the suite
+    // measures as the artifact's true cost
+    val d18 = plan("d18_jaccard_join")
+    assert(!d18.contains("LocalTableScan"),
+      s"d18 must keep the distributed similarity join:\n$d18")
+    val q32 = plan("q32_copurchase")
+    assert(!q32.contains("LocalTableScan"),
+      s"q32 must keep the distributed pair derivation:\n$q32")
+  }
+
   test("d18: the freq join broadcasts under the set-table guard") {
     spark.catalog.clearCache()
     val p = plan("d18_jaccard_join")
