@@ -114,14 +114,15 @@ object Bench {
     // Optional comma-separated subset for targeted local timing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    // Deterministic q→e→d→s order (was d→e→q→s through r8's first
-    // runs): whatever JIT/codegen cold start the warmup doesn't cover
-    // lands on the FIRST measured entries, so the cheap relational/
-    // event families absorb it at ~0.2 s absolute penalty each and the
-    // heavy d-family measures fully warm — measured at 185 entries,
-    // the d-first order recorded d13 at 5.6 s cold vs 2.3 s warm. The
-    // 1-rep streaming drains still run last so budget degradation
-    // never starves a batch measurement for a harness floor.
+    // Deterministic family-ranked name order feeds measurementOrder
+    // (sampler + q→e→interleaved d/s — see its scaladoc). The q-e-first
+    // rationale survives from r8: whatever JIT/codegen cold start the
+    // warmup doesn't cover lands on the FIRST measured entries, so the
+    // cheap relational/event families absorb it at ~0.2 s each and the
+    // heavy d-family measures warm (d-first once recorded d13 at 5.6 s
+    // cold vs 2.3 s warm). The old "streaming runs last" rule is GONE:
+    // r10 proved a contiguous family tail is what a deadline shortfall
+    // erases, so the s-family now interleaves with the d-tail.
     val familyRank = Map('q' -> 0, 'e' -> 1, 'd' -> 2, 's' -> 3)
     val byName = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.view.filterKeys(ks).toMap).toSeq
