@@ -166,14 +166,19 @@ object Bench {
         // deadline — every warmup execution plans a FRESH query, so a
         // second pass doubles the generated-class load on the JIT code
         // cache without re-warming anything plan-specific)
-        // REVERSE of the measurement order (d→e→q after the s filter):
-        // warmup truncation only happens on a slow host, and there it
-        // should drop the CHEAP q-family warmups (cold penalty ~0.2 s
-        // each) rather than the expensive d-family ones (d13 measured
-        // 5.6 s cold vs 2.3 s warm) — the d entries measure LAST, so
-        // they stay warm either way; what truncation costs is decided
-        // by which family's warmup was cut.
-        val it = selected.reverseIterator.filterNot(_._1.startsWith("s"))
+        // SAMPLER FIRST, then the REVERSE of the measurement order
+        // (after the s filter): the one-per-family sampler measures in
+        // positions 1-4 before any cold-absorbing q/e prefix, and the
+        // warmup truncates on ~every full draw — a pure reverse order
+        // reached the sampler last and left exactly the first-measured
+        // entries cold (its d entry pays seconds of cold JIT). After
+        // the sampler, reverse order keeps the r10 rationale: truncation
+        // drops the CHEAP q-family warmups (cold penalty ~0.2 s each)
+        // rather than the expensive late-measured d-family ones (d13
+        // measured 5.6 s cold vs 2.3 s warm).
+        val famCount = selected.map(_._1.head).distinct.size
+        val it = (selected.take(famCount) ++ selected.drop(famCount).reverse)
+          .iterator.filterNot(_._1.startsWith("s"))
         val warmDeadline = budget * 0.075
         def nextWarm(): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
           it.synchronized {

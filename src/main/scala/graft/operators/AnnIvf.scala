@@ -66,10 +66,16 @@ object AnnIvf {
     embs.select($"vec_id", quantizeNorm($"embedding").as("q"))
   }
 
+  /** The index build's default Lloyd refinement count — referenced by
+    * BOTH the uncached and cached paths so a retuning cannot silently
+    * diverge them (a cached search must build the same index an
+    * uncached one would). */
+  val DefaultIters = 1
+
   /** C lattice centroids after `iters` integer-Lloyd refinements from
     * the deterministic lowest-vec_id seeds. Driver-side: C×dim longs. */
   def centroids(spark: SparkSession, embeddings: DataFrame,
-                numClusters: Int, iters: Int = 1): Array[Array[Long]] = {
+                numClusters: Int, iters: Int = DefaultIters): Array[Array[Long]] = {
     GraftFunctions.register(spark)
     KMeans.fitCentroidsQ(spark, qdf(embeddings), numClusters, iters)
   }
@@ -139,7 +145,8 @@ object AnnIvf {
     import spark.implicits._
     GraftFunctions.register(spark)
     val cents = corpusKey match {
-      case Some(key) => centroidsCached(spark, embeddings, numClusters, 1, key)
+      case Some(key) =>
+        centroidsCached(spark, embeddings, numClusters, DefaultIters, key)
       case None => centroids(spark, embeddings, numClusters)
     }
     val indexed = assign(spark, embeddings, cents)

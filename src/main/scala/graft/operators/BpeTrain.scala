@@ -43,18 +43,21 @@ object BpeTrain {
     * within a JVM). Callers with mutable or anonymous corpora must use
     * [[train]] directly. */
   private val trainedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String, Long, Long)]]()
+    new graft.util.KeyedOnce[Array[(Long, String, Long, Long)]]
 
   /** [[train]] memoized on `corpusKey` (always token-tracking, so every
     * consumer — pair-only appliers and token-accounting reporters alike —
     * can share one entry). `docs` is by-name: a cache hit never builds
-    * the corpus plan. */
+    * the corpus plan. KeyedOnce runs the training outside any map bin
+    * lock, so concurrent callers of unrelated keys never queue behind
+    * a multi-second merge-round loop. */
   def trainCached(spark: SparkSession, docs: => DataFrame, normCol: String,
                   k: Int, corpusKey: String): DataFrame = {
-    val rows = trainedCache.computeIfAbsent(s"$corpusKey|$normCol|$k", _ =>
+    val rows = trainedCache.getOrCompute(s"$corpusKey|$normCol|$k") {
       train(spark, docs, normCol, k, trackTokens = true)
         .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }
     spark.createDataFrame(rows.toSeq)
       .toDF("step", "pair", "n", "n_corpus_tokens")
   }

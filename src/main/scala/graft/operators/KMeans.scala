@@ -100,17 +100,18 @@ object KMeans {
     * d11 and d44 probe the same C=16 IVF), and the cached value is
     * k×dim longs — never vectors. Callers with mutable or anonymous
     * corpora use the uncached paths. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private val centroidCache = new graft.util.KeyedOnce[Array[Array[Long]]]
 
   /** [[fitCentroidsQ]] memoized on `cacheKey` (which must encode corpus
     * + quantization mode); `qdf` is by-name so a hit never builds the
-    * quantization plan. */
+    * quantization plan. KeyedOnce keeps the Lloyd rounds outside any
+    * map bin lock (see its scaladoc). */
   private[operators] def fitCentroidsQCached(spark: SparkSession, qdf: => DataFrame,
                                              k: Int, iters: Int,
                                              cacheKey: String): Array[Array[Long]] =
-    centroidCache.computeIfAbsent(s"$cacheKey|$k|$iters", _ =>
-      fitCentroidsQ(spark, qdf, k, iters))
+    centroidCache.getOrCompute(s"$cacheKey|$k|$iters") {
+      fitCentroidsQ(spark, qdf, k, iters)
+    }
 
   /** `iters` lattice-Lloyd update rounds from the deterministic seeds
     * over a pre-quantized (vec_id, q) table; returns the centroids.

@@ -77,8 +77,7 @@ object SemDedup {
 
   /** Corpus row counts under the immutable-corpus-key contract (see
     * annEdges): one count job per corpus per session. */
-  private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val countCache = new graft.util.KeyedOnce[Long]
 
   /** `corpusKey`, when set, memoizes the IVF centroid build per corpus
     * (AnnIvf.centroidsCached) — the candidate generator then shares the
@@ -94,12 +93,12 @@ object SemDedup {
     // doesn't pay a count job just to re-derive the same C
     val c = if (numClusters > 0) numClusters
             else adaptiveClusters(corpusKey match {
-              case Some(key) =>
-                countCache.computeIfAbsent(key, _ => embs.count()).longValue()
+              case Some(key) => countCache.getOrCompute(key)(embs.count())
               case None => embs.count()
             }, nprobe)
     val cents = corpusKey match {
-      case Some(key) => AnnIvf.centroidsCached(spark, embs, c, 1, key)
+      case Some(key) =>
+        AnnIvf.centroidsCached(spark, embs, c, AnnIvf.DefaultIters, key)
       case None => AnnIvf.centroids(spark, embs, c)
     }
     // deliberately NOT persisted: assignTop is an exchange-free

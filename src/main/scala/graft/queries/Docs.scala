@@ -657,36 +657,17 @@ object Docs {
     * threshold curve), and the per-entry
     * `.persist()` this replaces was cleared between entries, so a
     * session running the family recomputed the join once per consumer.
-    * Capped: above [[EdgeMemoMaxRows]] the memo declines and the caller
-    * gets the distributed persisted join instead — the 100 TB path,
-    * where an edge set is written to a table once and read by every
-    * consumer, not held on a driver. */
-  private val edgeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType,
-             java.util.List[org.apache.spark.sql.Row])]()
-  private val EdgeMemoMaxRows = 200000
+    * Capped at 200k rows (util.RowMemo): above the cap the memo
+    * declines and the caller gets the distributed persisted join
+    * instead — the 100 TB path, where an edge set is written to a table
+    * once and read by every consumer, not held on a driver. */
+  private val edgeMemo = new graft.util.RowMemo(maxRows = 200000)
 
   /** EXACT Jaccard>=0.5 near-dup edges via the prefix-filtered
     * similarity join — deterministic (no LSH misses), so d13/d17 built
     * on it are oracle-checkable end to end. */
-  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
-    val hit = edgeCache.get(dir)
-    if (hit != null) s.createDataFrame(hit._2, hit._1)
-    else {
-      // the cap gates BEFORE any collect: count() materializes the
-      // persisted join, so an over-cap edge set is never pulled onto
-      // the driver at all — the caller gets the (already materialized)
-      // distributed plan
-      val df = jaccardJoin(s, dir).persist()
-      if (df.count() <= EdgeMemoMaxRows) {
-        val rows = df.collect()
-        edgeCache.put(dir,
-          (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*)))
-        df.unpersist()
-        s.createDataFrame(edgeCache.get(dir)._2, edgeCache.get(dir)._1)
-      } else df // too many edges for a driver memo: stay distributed
-    }
-  }
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    edgeMemo.getOrBuild(s, dir, jaccardJoin(s, dir))
 
   /** d52's oracle — generated per n-gram size (top-mass CTEs for
     * n = 2..4, coverage CTEs for n = 5..10), the same structure the

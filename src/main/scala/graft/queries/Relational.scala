@@ -65,37 +65,20 @@ object Relational {
   }
 
   /** Session memo of the co-purchase pair set per corpus dir — the
-    * docs-family edgeCache pattern on the relational side: FOUR graph
+    * docs-family edge-memo pattern on the relational side: FOUR graph
     * entries (q33 pagerank, q34 triangles, q35 components, q36 onion
     * peeling) iterate over the same deterministic (a, b) set that q32's
     * own entry derives, and each was re-running the lineitem pair
     * derivation because its per-entry persist/localCheckpoint is
-    * cleared between entries. Capped like the docs memo: above
-    * [[PairMemoMaxRows]] the caller gets the distributed plan (the
-    * 100 TB path — an edge set that size lives in a table, not on a
-    * driver). q32 itself never reads the memo: its semantic IS the
+    * cleared between entries. Capped like the docs memo (200k rows,
+    * util.RowMemo): above the cap the caller gets the distributed plan
+    * (the 100 TB path — an edge set that size lives in a table, not on
+    * a driver). q32 itself never reads the memo: its semantic IS the
     * derivation and its plan guard pins the join-free shape. */
-  private val pairCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType,
-             java.util.List[org.apache.spark.sql.Row])]()
-  private val PairMemoMaxRows = 200000
+  private val pairMemo = new graft.util.RowMemo(maxRows = 200000)
 
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val hit = pairCache.get(dir)
-    if (hit != null) s.createDataFrame(hit._2, hit._1)
-    else {
-      // cap gates via count() BEFORE any collect (see Docs.jaccardEdges):
-      // an over-cap pair set never lands on the driver
-      val df = coPurchaseE0(s, dir).persist()
-      if (df.count() <= PairMemoMaxRows) {
-        val rows = df.collect()
-        pairCache.put(dir,
-          (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*)))
-        df.unpersist()
-        s.createDataFrame(pairCache.get(dir)._2, pairCache.get(dir)._1)
-      } else df
-    }
-  }
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    pairMemo.getOrBuild(s, dir, coPurchaseE0(s, dir))
 
   /** Spark twin of [[coPurchaseSql]]: the symmetric (src, dst) edge set
     * over the memoized pairs. */

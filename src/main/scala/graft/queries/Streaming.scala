@@ -44,21 +44,45 @@ object Streaming {
     * store a 100 TB deployment runs, where per-key state must spill
     * beyond executor heap; StreamingSpec pins provider-identical
     * results on the stateful operators. */
+  /** Reentrancy bookkeeping for [[withDrainConfs]]: the conf mutation is
+    * session-global, and the concurrent Verify loop can overlap several
+    * drains (and drains with batch entries). A naive save/set/restore
+    * races — a drain that snapshots another drain's temporary value as
+    * its "previous" restores the WRONG baseline and the session conf
+    * stays corrupted for the rest of the run. Instead the FIRST drain
+    * in captures the baseline and sets the drain confs; the LAST drain
+    * out restores the baseline — all drains set identical values, so
+    * overlap is harmless in between. (Single active session per JVM —
+    * true for Verify, Bench, and the shared-session test suites.) */
+  private object DrainConfs {
+    var active = 0
+    var baselineParts: String = _
+    var baselineProvider: Option[String] = None
+  }
+
   private def withDrainConfs[T](spark: SparkSession)(body: => T): T = {
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      spark.conf.get("graft.stream.parts", "8"))
-    if (spark.conf.get("graft.stream.stateStore", "hdfs") == "rocksdb")
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    DrainConfs.synchronized {
+      if (DrainConfs.active == 0) {
+        DrainConfs.baselineParts = spark.conf.get("spark.sql.shuffle.partitions")
+        DrainConfs.baselineProvider = spark.conf.getOption(providerKey)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.get("graft.stream.parts", "8"))
+        if (spark.conf.get("graft.stream.stateStore", "hdfs") == "rocksdb")
+          spark.conf.set(providerKey,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      }
+      DrainConfs.active += 1
+    }
     try body
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None => spark.conf.unset(providerKey)
+    finally DrainConfs.synchronized {
+      DrainConfs.active -= 1
+      if (DrainConfs.active == 0) {
+        spark.conf.set("spark.sql.shuffle.partitions", DrainConfs.baselineParts)
+        DrainConfs.baselineProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
       }
     }
   }
