@@ -145,7 +145,18 @@ object Bench {
     // per-query steady-state polish.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory) {
+      // NEVER warm at the measured dir: the session memos (BPE merges,
+      // centroids, edge/pair sets) key on the corpus dir, so a warmup
+      // pass over sfDir itself would pre-train exactly the artifacts
+      // pass 1 is supposed to measure — d45/d46 (single-rep builders)
+      // would record memo hits as their training cost. Distinct dirs
+      // keep warmup JIT-only, which is its entire job.
+      val warmIsMeasured =
+        new java.io.File(warmDir).getCanonicalPath ==
+          new java.io.File(sfDir).getCanonicalPath
+      if (warmIsMeasured)
+        println(s"""{"bench_note":"warmup skipped: warm dir equals measured dir (memo keys would collide)"}""")
+      if (!warmIsMeasured && new java.io.File(warmDir).isDirectory) {
         // streaming entries excluded: their cost is state-store/drain
         // harness floor, which warmup neither measures nor improves —
         // and at ~1-2 s each they'd eat half the warmup window.

@@ -81,10 +81,22 @@ object Verify {
         spark.catalog.clearCache()
       }
     } else {
+      // Bounded cache accumulation: the suite's entries persist dozens
+      // of anonymous intermediates they never unpersist (the sequential
+      // loop cleared per entry). A periodic clear bounds storage growth
+      // over the run; it may yank a concurrent entry's persist mid-job,
+      // which only costs that entry a recompute — correctness is
+      // unaffected, and the blast radius is the <= nThreads in-flight
+      // entries.
+      val processed = new java.util.concurrent.atomic.AtomicInteger(0)
       val workers = (1 to nThreads).map { _ =>
         val t = new Thread(() => {
           var cur = nextEntry()
-          while (cur.isDefined) { runOne(cur.get._1, cur.get._2); cur = nextEntry() }
+          while (cur.isDefined) {
+            runOne(cur.get._1, cur.get._2)
+            if (processed.incrementAndGet() % 32 == 0) spark.catalog.clearCache()
+            cur = nextEntry()
+          }
         })
         t.start(); t
       }

@@ -45,12 +45,18 @@ object BpeTrain {
   private val trainedCache =
     new graft.util.KeyedOnce[Array[(Long, String, Long, Long)]]
 
-  /** [[train]] memoized on `corpusKey` (always token-tracking, so every
-    * consumer — pair-only appliers and token-accounting reporters alike —
-    * can share one entry). `docs` is by-name: a cache hit never builds
-    * the corpus plan. KeyedOnce runs the training outside any map bin
-    * lock, so concurrent callers of unrelated keys never queue behind
-    * a multi-second merge-round loop. */
+  /** [[train]] memoized on `corpusKey` — ALWAYS token-tracking, so every
+    * consumer (pair-only appliers and token-accounting reporters alike)
+    * can share one entry. Deliberate tradeoff: when a pair-only
+    * consumer is the one that populates the cache, it pays the final
+    * token-sum pass its old trackTokens=false call skipped (~one corpus
+    * projection) — strictly cheaper than the alternative, where a
+    * token-tracking consumer arriving second would have to RETRAIN the
+    * whole k rounds because the cached entry lacks the last total.
+    * `docs` is by-name: a cache hit never builds the corpus plan.
+    * KeyedOnce runs the training outside any map bin lock, so
+    * concurrent callers of unrelated keys never queue behind a
+    * multi-second merge-round loop. */
   def trainCached(spark: SparkSession, docs: => DataFrame, normCol: String,
                   k: Int, corpusKey: String): DataFrame = {
     val rows = trainedCache.getOrCompute(s"$corpusKey|$normCol|$k") {

@@ -838,7 +838,7 @@ object Docs {
       // tk feeds BOTH the token stream and the 16-gram window hashes —
       // persisted so the scan+normalize+tokenize pass runs once, not
       // once per consumer (the d61/d79 qualityScores lesson);
-      // Verify/Bench clear caches between queries
+      // Bench clears caches per entry; Verify's concurrent loop clears periodically
       val tk = docs(s, dir)
         .filter(length(Text.normalize($"text")) > 0)
         .select($"doc_id", Text.tokens($"text").as("toks"))
@@ -3009,7 +3009,7 @@ object Docs {
       // st feeds FOUR plan branches (ns, ct, nc-via-ct, and the final
       // join) — persisted so the tokenize+explode+(source,token)
       // aggregate runs once, not once per branch (the d65/d66 db/dt
-      // discipline); Verify/Bench clear caches between queries
+      // discipline); Bench clears caches per entry, Verify periodically
       val st = docs(s, dir)
         .select($"source", explode(Text.tokens($"text")).as("token"))
         .filter($"token" =!= "")
@@ -3355,7 +3355,7 @@ object Docs {
                | div (CAST(cr + 1 AS DECIMAL(38,0)) * (tt + 4096)) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("r_ppm"))
       // db persists across its two consumers (bc and the rollup);
-      // Verify/Bench clear caches between queries
+      // Bench clears caches per entry; Verify's concurrent loop clears periodically
       db.join(broadcast(ratio), "b")
         .groupBy($"doc_id")
         .agg(sum($"k").as("n_tok"), sum($"k" * $"r_ppm").as("score_sum"))

@@ -1019,7 +1019,7 @@ object Events {
       // shuffle and (b) would otherwise rely on the range partitioner
       // re-sampling identically on a recompute — the cache makes the
       // pid↔offset pairing airtight and the boundary stream single-scan
-      // (Verify/Bench clear caches between queries)
+      // (Bench clears caches per entry; Verify's concurrent loop periodically)
       val within = parted
         .withColumn("s_run", sum($"s_n").over(wIn))
         .withColumn("e_run", sum($"e_n").over(wIn))

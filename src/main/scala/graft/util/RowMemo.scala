@@ -32,16 +32,25 @@ final class RowMemo(maxRows: Long) {
                  distributed: => DataFrame): DataFrame = {
     val memo = cells.getOrCompute(key) {
       val df = distributed.persist()
-      if (df.count() <= maxRows) {
-        val rows = df.collect()
-        val kept = (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*))
-        df.unpersist()
-        Some(kept)
-      } else {
-        // over cap: nothing driver-side to keep; unpersist so the
-        // probe's cache entry doesn't outlive this decision
-        df.unpersist()
-        None
+      try {
+        if (df.count() <= maxRows) {
+          val rows = df.collect()
+          val kept = (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*))
+          df.unpersist()
+          Some(kept)
+        } else {
+          // over cap: keep the probe's MATERIALIZED cache entry alive —
+          // the fallback below re-persists the same logical plan, which
+          // the CacheManager resolves to this entry, so the first
+          // caller (and every later one, until something clears caches)
+          // reads the blocks count() already built instead of running
+          // the expensive build twice
+          None
+        }
+      } catch {
+        // a failed probe (job error, cancellation) must not leak its
+        // persisted cache entry: the lazy cell will retry on next access
+        case t: Throwable => df.unpersist(); throw t
       }
     }
     memo match {
