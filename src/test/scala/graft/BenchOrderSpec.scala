@@ -1,6 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Guards the bench's proportional-degradation contract: a driver
   * deadline shortfall skips a contiguous TAIL of the pass-1 order, so
@@ -42,6 +44,37 @@ class BenchOrderSpec extends AnyFunSuite {
       assert(math.abs(keptD - keptS) <= 0.35,
         s"cut at $k: d-share $keptD vs s-share $keptS diverge — a " +
           s"shortfall would cost one family disproportionately")
+    }
+  }
+
+  test("property: for ANY suite composition, the order is a permutation, " +
+      "every present family is sampled within the first |families| entries, " +
+      "and no proper prefix loses a whole present family once past the sampler") {
+    val famGen = Gen.oneOf('q', 'e', 'd', 's')
+    val suiteGen = for {
+      n <- Gen.choose(1, 120)
+      fams <- Gen.listOfN(n, famGen)
+    } yield fams.zipWithIndex.map { case (f, i) => s"$f${i}_x" -> () }
+    // raw scalacheck (the repo's pattern — scalatestplus isn't on the
+    // offline classpath): deterministic seeds, explicit sampling
+    (1 to 200).foreach { i =>
+      val suite = suiteGen(org.scalacheck.Gen.Parameters.default,
+        Seed(i.toLong)).getOrElse(List("q0_x" -> ()))
+      val familyRank = Map('q' -> 0, 'e' -> 1, 'd' -> 2, 's' -> 3)
+      val byName = suite.sortBy { case (nm, _) =>
+        (familyRank.getOrElse(nm.head, 4), nm)
+      }
+      val ord = Bench.measurementOrder(byName).map(_._1)
+      assert(ord.sorted === suite.map(_._1).sorted,
+        s"seed $i: not a permutation")                     // permutation
+      val fams = suite.map(_._1.head).toSet
+      assert(ord.take(fams.size).map(_.head).toSet === fams,
+        s"seed $i: sampler missed a family")               // sampler
+      // past the sampler, every prefix keeps >=1 of each present family
+      for (k <- fams.size to ord.length) {
+        assert(ord.take(k).map(_.head).toSet === fams,
+          s"seed $i: prefix of $k lost a family")
+      }
     }
   }
 
