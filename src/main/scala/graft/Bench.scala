@@ -63,12 +63,34 @@ object Bench {
     sampler ++ qeHead ++ interleave(dPart, sPart)
   }
 
+  /** Validated env-int parse: a malformed override must degrade to the
+    * default with a visible bench_note, not crash the bench after
+    * JVM+Spark startup or silently corrupt stream confs (either costs
+    * the round its artifact). */
+  private def envInt(name: String, default: Int, min: Int = 1): Int =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) => v.trim.toIntOption.filter(_ >= min).getOrElse {
+        println(s"""{"bench_note":"ignored $name='$v' (not an int >= $min); using $default"}""")
+        default
+      }
+    }
+
+  private def envDouble(name: String, default: Double): Double =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) => v.trim.toDoubleOption.filter(_ > 0).getOrElse {
+        println(s"""{"bench_note":"ignored $name='$v' (not a positive number); using $default"}""")
+        default
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val t0Wall = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
-    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "240").toDouble
+    val budget = envDouble("SPARK_GRAFT_TIME_BUDGET", 240)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = envInt("SPARK_GRAFT_CPUS", 4).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -106,11 +128,11 @@ object Bench {
     // contract), fewer state partitions, and a halved rate-limit drain.
     // Verify and the specs keep the defaults (4 chunks / 8 parts).
     spark.conf.set("graft.stream.chunks",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "2"))
+      envInt("SPARK_GRAFT_STREAM_CHUNKS", 2).toString)
     spark.conf.set("graft.stream.parts",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
+      envInt("SPARK_GRAFT_STREAM_PARTS", 4).toString)
     spark.conf.set("graft.stream.batches",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "4"))
+      envInt("SPARK_GRAFT_STREAM_BATCHES", 4).toString)
     // Optional comma-separated subset for targeted local timing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
@@ -188,6 +210,7 @@ object Bench {
         // rather than the expensive late-measured d-family ones (d13
         // measured 5.6 s cold vs 2.3 s warm).
         val famCount = selected.map(_._1.head).distinct.size
+        val samplerS = selected.take(famCount).find(_._1.startsWith("s"))
         val it = (selected.take(famCount) ++ selected.drop(famCount).reverse)
           .iterator.filterNot(_._1.startsWith("s"))
         val warmDeadline = budget * 0.075
@@ -202,7 +225,7 @@ object Bench {
         // artifact, not hidden by the catch-all.
         val warmFailures = new java.util.concurrent.atomic.AtomicInteger(0)
         val warmed = new java.util.concurrent.atomic.AtomicInteger(0)
-        val nWorkers = sys.env.getOrElse("SPARK_GRAFT_WARM_WORKERS", "8").toInt.max(1)
+        val nWorkers = envInt("SPARK_GRAFT_WARM_WORKERS", 8)
         val workers = (1 to nWorkers).map { _ =>
           val t = new Thread(() => {
             var cur = nextWarm()
@@ -242,6 +265,19 @@ object Bench {
           if (workers.exists(_.isAlive))
             println(s"""{"bench_note":"warmup worker survived cancellation — pass-1 timings may be contaminated"}""")
         }
+        // The sampler puts ONE s-entry in the first four measured
+        // positions, but the warm workers exclude the s-family (drain
+        // cost is harness floor, and at 1-2 s each they'd eat the
+        // window) — so that single entry was measured FULLY COLD with
+        // repsStream=1, absorbing the streaming harness's JIT/codegen
+        // cold start that every other s entry (measured after the warm
+        // d-tail) avoids. One throwaway drain of exactly that entry at
+        // the warm SF (~1 s) keeps its recorded figure comparable
+        // round-over-round instead of systematically inflated.
+        samplerS.foreach { case (_, fn) =>
+          try { fn(spark, warmDir).count(); warmed.incrementAndGet() }
+          catch { case _: Throwable => warmFailures.incrementAndGet() }
+        }
         spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s after ${warmed.get} entries (budget $budget)"}""")
         if (warmFailures.get > 0) println(s"""{"bench_note":"warmup swallowed ${warmFailures.get} failures (entries measured cold)"}""")
@@ -256,8 +292,8 @@ object Bench {
     // recorded — host-steal noise is strictly additive, so of two shots
     // the lower one is closer to true plan cost (a 2-rep entry would
     // otherwise record its WORSE shot).
-    val repsBatch = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val repsStream = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "1").toInt.max(1)
+    val repsBatch = envInt("SPARK_GRAFT_REPS", 3)
+    val repsStream = envInt("SPARK_GRAFT_STREAM_REPS", 1)
     // Entries whose FIRST run memoizes a deterministic driver-side
     // artifact for the session (d45: the BPE merge sequence, shared with
     // d47; d46: the Lloyd centroid rounds, shared with d68 — train once,
@@ -371,8 +407,22 @@ object Bench {
     // artifact should land with wall headroom, not pad to the wire;
     // only pass-1 coverage may use the full window.
     val softDeadline = budget * 0.8
+    // Heavy-head reserve past the soft deadline (r11: the driver draw's
+    // warmup+pass-1 ended past the 80% mark on a non-quiet phase, so
+    // ZERO precision reps ran and all 185 recorded figures were
+    // single noise-exposed shots — min==max across the artifact, the
+    // exact failure mode the median design exists for). The ~20
+    // heaviest entries by observed time may rep up to 25 s past the
+    // soft deadline: that is where single-shot noise actually moves
+    // the sum (a 3 s entry swinging 2x costs 3 s of artifact error; a
+    // 0.2 s entry costs nothing). The cheap tail still stops at the
+    // soft deadline, so the artifact keeps its wall headroom and the
+    // hard pass-1 deadline still bounds everything.
+    val heavy = results.toSeq.sortBy { case (_, ts) => -ts.max }
+      .take(20).map(_._1).toSet
+    val heavyDeadline = math.min(softDeadline + 25.0, deadline)
     var madeProgress = true
-    while (madeProgress && elapsed < softDeadline) {
+    while (madeProgress && elapsed < heavyDeadline) {
       madeProgress = false
       val order = selected.filter(p => results.contains(p._1))
         .sortBy { case (n, _) => -results(n).max }
@@ -382,7 +432,8 @@ object Bench {
           else if (name.startsWith("s")) repsStream
           else repsBatch
         val have = results(name)
-        if (have.length < target && have.nonEmpty && elapsed < softDeadline &&
+        val soft = if (heavy(name)) heavyDeadline else softDeadline
+        if (have.length < target && have.nonEmpty && elapsed < soft &&
             elapsed + have.last.max(0.0) < deadline) {
           record(name, timeOnce(fn))
           madeProgress = true

@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.trim.toIntOption).getOrElse(4).max(1).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +57,10 @@ object Verify {
     // its per-query cache clear; concurrent mode leaves persisted
     // intermediates to Spark's LRU storage eviction instead (a clear
     // from one worker would yank a concurrent entry's cache mid-job).
-    val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt.max(1)
+    // validated parse: a malformed override must not crash the dump
+    // after JVM+Spark startup (it would zero the round's correctness)
+    val nThreads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(_.trim.toIntOption).getOrElse(4).max(1)
     val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val it = selected.iterator
     def nextEntry(): Option[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
@@ -85,9 +89,16 @@ object Verify {
       // of anonymous intermediates they never unpersist (the sequential
       // loop cleared per entry). A periodic clear bounds storage growth
       // over the run; it may yank a concurrent entry's persist mid-job,
-      // which only costs that entry a recompute — correctness is
-      // unaffected, and the blast radius is the <= nThreads in-flight
-      // entries.
+      // which only costs that entry a recompute, and the blast radius
+      // is the <= nThreads in-flight entries. Two contracts make the
+      // clear safe: (1) NO entry may lean on persist() for CORRECTNESS
+      // — materializations whose recompute could differ (nondeterminism
+      // like spark_partition_id; e26's pid↔offset pairing) must use
+      // localCheckpoint, which this clear cannot touch; (2) the clear
+      // may evict util.RowMemo's deliberately-long-lived over-cap entry
+      // (RowMemo.getOrBuild re-registers it on the next consumer, so
+      // the cost is one recompute, never a permanently-uncached plan).
+      // If the clear cadence ever tightens, re-check both.
       val processed = new java.util.concurrent.atomic.AtomicInteger(0)
       val workers = (1 to nThreads).map { _ =>
         val t = new Thread(() => {

@@ -39,8 +39,10 @@ object BpeTrain {
     * k-round corpus recount twice for byte-identical output. The cached
     * value is k tiny driver-side rows (pair + counts), never corpus
     * data; Spark-level cache clearing between queries cannot invalidate
-    * it and does not need to (the corpus under a key never changes
-    * within a JVM). Callers with mutable or anonymous corpora must use
+    * it and does not need to. Keys should be derived via
+    * [[graft.util.CorpusId.key]] (dir + file fingerprint): an in-place
+    * corpus rewrite then yields a NEW key and the stale entry is simply
+    * never read again. Callers with anonymous corpora must use
     * [[train]] directly. */
   private val trainedCache =
     new graft.util.KeyedOnce[Array[(Long, String, Long, Long)]]

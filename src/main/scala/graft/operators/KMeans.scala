@@ -98,8 +98,10 @@ object KMeans {
     * seeds over an immutable corpus is a pure function, several entries
     * share one index (d46 fits, d68 samples from the same clustering;
     * d11 and d44 probe the same C=16 IVF), and the cached value is
-    * k×dim longs — never vectors. Callers with mutable or anonymous
-    * corpora use the uncached paths. */
+    * k×dim longs — never vectors. Corpus identity should come from
+    * [[graft.util.CorpusId.key]] (dir + file fingerprint, so an
+    * in-place rewrite misses); callers with anonymous corpora use the
+    * uncached paths. */
   private val centroidCache = new graft.util.KeyedOnce[Array[Array[Long]]]
 
   /** [[fitCentroidsQ]] memoized on `cacheKey` (which must encode corpus

@@ -601,7 +601,7 @@ object Docs {
     * pre-split; the repartition then just rebalances). */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = graft.util.ShufflePartitions.batch(s)
     docs(s, dir).repartition(p)
       .select($"doc_id", Text.shingleHashes($"text", ShingleK).as("sh"))
   }
@@ -648,7 +648,9 @@ object Docs {
     graft.operators.SimilarityJoin.jaccard(
       shingleSets(s, dir), "doc_id", "sh", 0.5)
 
-  /** Session memo of the exact near-dup edge set, keyed by corpus dir —
+  /** Session memo of the exact near-dup edge set, keyed by corpus
+    * identity (CorpusId.key: dir + file-count/bytes/mtime fingerprint,
+    * so an in-place rewrite misses instead of serving stale edges) —
     * the BpeTrain.trainedCache pattern applied to the curation
     * pipeline's central shared artifact: NINE entries consume the same
     * deterministic (a_id, b_id, jaccard) set (d13 clusters it, d17/d23
@@ -667,7 +669,7 @@ object Docs {
     * similarity join — deterministic (no LSH misses), so d13/d17 built
     * on it are oracle-checkable end to end. */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame =
-    edgeMemo.getOrBuild(s, dir, jaccardJoin(s, dir))
+    edgeMemo.getOrBuild(s, graft.util.CorpusId.key(dir), jaccardJoin(s, dir))
 
   /** d52's oracle — generated per n-gram size (top-mass CTEs for
     * n = 2..4, coverage CTEs for n = 5..10), the same structure the
@@ -1137,7 +1139,7 @@ object Docs {
       // The pair join is a broadcast nested loop; the probe side arrives as
       // one parquet split, so spread it across cores (at cluster scale this
       // is the map-side parallelism of the O(n²/p) block comparison).
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val a = nv.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"nrm".as("na"))
         .repartition(p)
       val b = nv.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"nrm".as("nb"))
@@ -1165,7 +1167,7 @@ object Docs {
       import s.implicits._
       val nv = embs(s, dir)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val q = nv.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"embedding".as("eq"), $"nrm".as("nq"))
       val c = nv.select($"vec_id".as("neighbor_id"), $"embedding".as("ec"), $"nrm".as("nc"))
@@ -1220,7 +1222,7 @@ object Docs {
       // index d44's candidate generator probes — one Lloyd build per
       // session serves both (AnnIvf.centroidsCached).
       graft.operators.AnnIvf.search(s, nv, queries,
-        numClusters = 16, nprobe = 4, k = 5, corpusKey = Some(dir))
+        numClusters = 16, nprobe = 4, k = 5, corpusKey = Some(graft.util.CorpusId.key(dir)))
         .orderBy($"q_id", $"rk")
     },
 
@@ -1294,7 +1296,7 @@ object Docs {
         |SELECT a_id, b_id, n_shared FROM pairs
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val fps = docs(s, dir).repartition(p)
         .select($"doc_id",
           explode(call_function("winnow",
@@ -1555,7 +1557,7 @@ object Docs {
          |  AND len(list_intersect(c.sh, e.sh)) > 0
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       // join key = xxhash64 of the 8-gram: the broadcast table carries
       // 8-byte keys instead of ~50-byte strings (counts over distinct
       // hashes equal counts over strings sans a ~2^-64 collision);
@@ -1598,7 +1600,7 @@ object Docs {
          |  CAST(CASE WHEN 10 * n_hit >= n_grams THEN 1 ELSE 0 END AS BIGINT) AS flagged
          |FROM hit ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val sh8 = docs(s, dir).repartition(p)
         .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
       val evalGrams = sh8.filter($"doc_id" < 25)
@@ -1665,7 +1667,7 @@ object Docs {
          |  COUNT(*) AS n_distinct_bigrams
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       docs(s, dir).repartition(p) // the local corpus arrives as ONE split
         // multiset form: every bigram occurrence, hashed natively in one
         // pass (the composed transform/slice/concat_ws pipeline was
@@ -1695,7 +1697,7 @@ object Docs {
          |FROM tok GROUP BY term
          |ORDER BY tf DESC, term LIMIT 50""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       docs(s, dir).repartition(p) // the local corpus arrives as ONE split
         .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term"))
         .groupBy($"term", $"lang", $"doc_id").agg(count(lit(1)).as("c"))
@@ -1763,7 +1765,7 @@ object Docs {
          |FROM w JOIN dfq USING (g)
          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val w = docs(s, dir).repartition(p)
         .select($"doc_id", explode(Text.shingleHashesAll($"text", 16)).as("g"))
         .persist()
@@ -1807,7 +1809,7 @@ object Docs {
          |SELECT q_id, CAST(label AS BIGINT) AS pred_label, n_votes
          |FROM wn WHERE vr = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val nv = embs(s, dir)
         .select($"vec_id", $"embedding", $"label", Vectors.norm($"embedding").as("nrm"))
       val q = nv.filter($"vec_id" < 20)
@@ -2274,7 +2276,7 @@ object Docs {
       // same C=16 the parity spec pins.
       SemDedup.components(s, embs(s, dir),
           SemDedup.annEdges(s, embs(s, dir), 0.4, nprobe = 4,
-            corpusKey = Some(dir)))
+            corpusKey = Some(graft.util.CorpusId.key(dir))))
         .orderBy($"vec_id")
     },
 
@@ -2294,7 +2296,7 @@ object Docs {
       // testdata dir) — whichever runs first pays the k-round recount.
       graft.operators.BpeTrain.trainCached(s,
           docs(s, dir).select(Text.normalize($"text").as("norm")), "norm",
-          k = 6, corpusKey = dir)
+          k = 6, corpusKey = graft.util.CorpusId.key(dir))
         .orderBy($"step")
     },
 
@@ -2376,7 +2378,7 @@ object Docs {
       // trainCached (see d45): shares the trained merge sequence with
       // d45 in-session instead of recounting the corpus six more times.
       val merges = graft.operators.BpeTrain
-        .trainCached(s, corpus.select($"norm"), "norm", k = 6, corpusKey = dir)
+        .trainCached(s, corpus.select($"norm"), "norm", k = 6, corpusKey = graft.util.CorpusId.key(dir))
         .orderBy($"step").collect().map(_.getString(1)).toSeq
       val applied = merges.foldLeft($"norm".as("s"): org.apache.spark.sql.Column)(
         (c, p) => graft.operators.BpeTrain.applyMerge(c, p))
@@ -2408,7 +2410,7 @@ object Docs {
       // fitCached: d46 fits the (k=8, 3-round) clustering d68 samples
       // from — one Lloyd run per corpus per session serves both.
       graft.operators.KMeans.fitCached(s, embs(s, dir), k = 8, iters = 3,
-        corpusKey = dir)
+        corpusKey = graft.util.CorpusId.key(dir))
         .orderBy($"vec_id")
     },
 
@@ -2647,7 +2649,7 @@ object Docs {
     // corpus-quadratic, and nothing shuffles gram text (md5 only).
     GraftQuery.sql("d52_repetition_suite", repetitionSuiteOracle) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val tk = docs(s, dir).repartition(p) // the local corpus arrives as ONE split
         .filter(length(Text.normalize($"text")) > 0)
         .select($"doc_id", Text.tokens($"text").as("toks"))
@@ -2738,7 +2740,7 @@ object Docs {
          |FROM dg JOIN f USING (g)
          |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       // same clamp convention as d20/d24/d69: a short doc contributes its
       // ONE partial shingle (the shingleHashes contract), and empty-norm
       // docs are excluded on both sides — without this the oracle's
@@ -3212,7 +3214,7 @@ object Docs {
     GraftQuery.sql("d62_bloom_decontaminate",
       DecontaminationFilter.oracleSql) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val sh8 = docs(s, dir).repartition(p)
         .select($"doc_id", Text.shingleHashes($"text", 8).as("sh"))
       // build once over the (tiny) eval side; ships as a task literal.
@@ -3521,7 +3523,7 @@ object Docs {
       // fitCached (see d46): shares the session's Lloyd rounds; only
       // the map-side assignment pass re-executes here.
       val asg = graft.operators.KMeans.fitCached(s, embs(s, dir), k = 8,
-        iters = 3, corpusKey = dir)
+        iters = 3, corpusKey = graft.util.CorpusId.key(dir))
       val w = Window.partitionBy($"cluster_id")
         .orderBy(md5($"vec_id".cast("string").cast("binary")), $"vec_id")
       asg.select($"vec_id", $"cluster_id")
@@ -3697,7 +3699,7 @@ object Docs {
          |  CAST(n_label AS BIGINT) AS n_label, CAST(rk AS BIGINT) AS rk
          |FROM rk WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val nv = embs(s, dir)
         .select($"vec_id", $"embedding", $"label", Vectors.norm($"embedding").as("nrm"))
       val q = nv.filter($"vec_id" < 20)

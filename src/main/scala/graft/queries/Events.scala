@@ -1009,21 +1009,28 @@ object Events {
       // parallel prefix: range-partition (monotone pids), window per
       // pid, then offset each partition by the cumulative totals of
       // the partitions before it (a tiny broadcast table)
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = graft.util.ShufflePartitions.batch(s)
       val parted = bounds.repartitionByRange(p, $"t_us")
         .withColumn("pid", spark_partition_id())
       val wIn = Window.partitionBy($"pid").orderBy($"t_us")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // persisted: spark_partition_id is nondeterministic, which (a)
-      // blocks ReuseExchange from serving both consumers off one
-      // shuffle and (b) would otherwise rely on the range partitioner
-      // re-sampling identically on a recompute — the cache makes the
-      // pid↔offset pairing airtight and the boundary stream single-scan
-      // (Bench clears caches per entry; Verify's concurrent loop periodically)
+      // localCheckpoint, NOT persist: spark_partition_id is
+      // nondeterministic, which (a) blocks ReuseExchange from serving
+      // both consumers off one shuffle and (b) would otherwise rely on
+      // the range partitioner re-sampling identically on a recompute.
+      // A persist() here is only airtight until something evicts it —
+      // Verify's concurrent loop clears the catalog cache periodically
+      // (Verify.scala), Spark's LRU can evict under storage pressure —
+      // and after eviction the pid↔offset pairing would silently rest
+      // on implicit shuffle-file reuse. localCheckpoint materializes
+      // eagerly, truncates lineage, and is immune to clearCache, so a
+      // recompute of the CHECKPOINTED rows is impossible by
+      // construction; the blocks are released by GC when the frame
+      // goes out of scope.
       val within = parted
         .withColumn("s_run", sum($"s_n").over(wIn))
         .withColumn("e_run", sum($"e_n").over(wIn))
-        .persist()
+        .localCheckpoint()
       // per-partition totals = the last running value per pid
       val offsets = within.groupBy($"pid")
         .agg(max($"s_run").as("s_tot"), max($"e_run").as("e_tot"))

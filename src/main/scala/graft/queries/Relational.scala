@@ -64,7 +64,8 @@ object Relational {
       .select($"a", $"b")
   }
 
-  /** Session memo of the co-purchase pair set per corpus dir — the
+  /** Session memo of the co-purchase pair set per corpus identity
+    * (CorpusId.key fingerprint, not the bare dir string) — the
     * docs-family edge-memo pattern on the relational side: FOUR graph
     * entries (q33 pagerank, q34 triangles, q35 components, q36 onion
     * peeling) iterate over the same deterministic (a, b) set that q32's
@@ -78,7 +79,7 @@ object Relational {
   private val pairMemo = new graft.util.RowMemo(maxRows = 200000)
 
   private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
-    pairMemo.getOrBuild(s, dir, coPurchaseE0(s, dir))
+    pairMemo.getOrBuild(s, graft.util.CorpusId.key(dir), coPurchaseE0(s, dir))
 
   /** Spark twin of [[coPurchaseSql]]: the symmetric (src, dst) edge set
     * over the memoized pairs. */

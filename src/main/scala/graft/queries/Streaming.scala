@@ -66,6 +66,13 @@ object Streaming {
       if (DrainConfs.active == 0) {
         DrainConfs.baselineParts = spark.conf.get("spark.sql.shuffle.partitions")
         DrainConfs.baselineProvider = spark.conf.getOption(providerKey)
+        // publish the baseline for conf-reading BATCH entries: while the
+        // drain holds the live conf at the drain value, batch plans that
+        // size from shuffle.partitions must keep seeing the pre-drain
+        // value or a concurrent Verify drain changes batch plan shapes
+        // mid-run (see util.ShufflePartitions)
+        graft.util.ShufflePartitions.setDrainBaseline(
+          DrainConfs.baselineParts.toInt)
         spark.conf.set("spark.sql.shuffle.partitions",
           spark.conf.get("graft.stream.parts", "8"))
         if (spark.conf.get("graft.stream.stateStore", "hdfs") == "rocksdb")
@@ -79,6 +86,7 @@ object Streaming {
       DrainConfs.active -= 1
       if (DrainConfs.active == 0) {
         spark.conf.set("spark.sql.shuffle.partitions", DrainConfs.baselineParts)
+        graft.util.ShufflePartitions.clearDrainBaseline()
         DrainConfs.baselineProvider match {
           case Some(v) => spark.conf.set(providerKey, v)
           case None => spark.conf.unset(providerKey)

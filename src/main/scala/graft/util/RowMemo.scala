@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.StructType
 /** Capped driver-side memo of a deterministic derived row set, keyed by
   * a caller-supplied corpus identity — the shared mechanism behind the
   * session artifact memos (Docs' near-dup edge set, Relational's
-  * co-purchase pairs; see PLANS.md "r11 — session memos").
+  * co-purchase pairs; see PLANS.md "r11 — session memos"). Callers
+  * should derive the key via [[CorpusId.key]] so an in-place rewrite of
+  * the corpus dir misses instead of serving stale rows.
   *
   * Concurrency contract (the concurrent Verify loop hits these from
   * several threads at once):
@@ -16,18 +18,23 @@ import org.apache.spark.sql.types.StructType
   *     callers of the same key block on that cell only, and callers of
   *     different keys never contend on a map bin held through a build;
   *   - the cap gates on count() BEFORE any collect, so an over-cap set
-  *     never lands on the driver: the memo remembers "over cap" and
-  *     every caller gets a freshly built distributed plan instead (the
-  *     100 TB path — an artifact that size is materialized to a table
-  *     once and scanned by consumers, not held on a driver).
+  *     never lands on the driver: the memo remembers the probe's
+  *     persisted distributed frame and every caller shares it (the
+  *     100 TB path — an artifact that size is materialized once and
+  *     scanned by consumers, not held on a driver).
   */
 final class RowMemo(maxRows: Long) {
 
-  private val cells = new KeyedOnce[Option[(StructType, java.util.List[Row])]]
+  // Left = over-cap: the ONE persisted distributed frame for this key
+  // (a single CacheManager registration, shared by every caller — the
+  // r11 shape re-persisted a fresh plan per caller and accumulated
+  // registrations nothing owned). Right = under-cap: the collected rows.
+  private val cells =
+    new KeyedOnce[Either[DataFrame, (StructType, java.util.List[Row])]]
 
   /** The memoized rows for `key` as a local-relation DataFrame, building
-    * via `distributed` once per key; falls back to a fresh `distributed`
-    * plan (persisted, caller-scoped) when the set exceeds the cap. */
+    * via `distributed` once per key; above the cap every caller shares
+    * one persisted distributed frame instead. */
   def getOrBuild(spark: SparkSession, key: String,
                  distributed: => DataFrame): DataFrame = {
     val memo = cells.getOrCompute(key) {
@@ -37,15 +44,12 @@ final class RowMemo(maxRows: Long) {
           val rows = df.collect()
           val kept = (df.schema, java.util.Arrays.asList(rows.toIndexedSeq: _*))
           df.unpersist()
-          Some(kept)
+          Right(kept)
         } else {
-          // over cap: keep the probe's MATERIALIZED cache entry alive —
-          // the fallback below re-persists the same logical plan, which
-          // the CacheManager resolves to this entry, so the first
-          // caller (and every later one, until something clears caches)
-          // reads the blocks count() already built instead of running
-          // the expensive build twice
-          None
+          // over cap: keep the probe's MATERIALIZED cache entry alive and
+          // remember the frame itself — consumers read the blocks count()
+          // already built instead of running the expensive build twice
+          Left(df)
         }
       } catch {
         // a failed probe (job error, cancellation) must not leak its
@@ -54,8 +58,22 @@ final class RowMemo(maxRows: Long) {
       }
     }
     memo match {
-      case Some((schema, rows)) => spark.createDataFrame(rows, schema)
-      case None => distributed.persist()
+      case Right((schema, rows)) => spark.createDataFrame(rows, schema)
+      case Left(df) =>
+        // Re-persist the SAME frame if something evicted its entry: an
+        // external clearCache — Verify.scala's periodic clear in the
+        // concurrent loop deliberately evicts whatever is registered —
+        // then costs one recompute on the next consumer, never a
+        // permanently-uncached plan. One registration per KEY, lifetime
+        // = the session's (by design: the whole point is that later
+        // consumers skip the build); an external clear is the release
+        // valve, and unpersisting here would defeat the memo. The
+        // storageLevel guard (a CacheManager lookup) keeps the common
+        // hit path from re-registering — a racing clear between the
+        // check and the persist only costs that caller a recompute.
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist()
+        df
     }
   }
 }

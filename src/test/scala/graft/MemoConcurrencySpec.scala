@@ -83,25 +83,37 @@ class MemoConcurrencySpec extends SparkSpec {
     counts.forEach(c => assert(c === 3L))
   }
 
-  test("RowMemo: the over-cap path never memoizes — every caller gets the " +
-      "distributed plan, and the decision is made once") {
+  test("RowMemo: the over-cap path never collects — every caller shares " +
+      "the ONE persisted distributed frame, built once") {
     import spark.implicits._
     val memo = new RowMemo(maxRows = 2)
     val builds = new AtomicInteger(0)
     def dist = { builds.incrementAndGet(); Seq(1L, 2L, 3L, 4L).toDF("v") }
     val first = memo.getOrBuild(spark, "big", dist)
     assert(first.count() === 4)
-    val probeBuilds = builds.get() // probe + fallback plan constructions
+    val probeBuilds = builds.get()
     val second = memo.getOrBuild(spark, "big", dist)
     assert(second.count() === 4)
-    // the over-cap DECISION is cached (no re-probe with persist+count):
-    // each later call costs exactly one fallback plan construction
-    assert(builds.get() === probeBuilds + 1)
-    // the caller gets the persisted distributed fallback (reusing the
-    // probe's materialized blocks), not a memoized driver-side relation
-    // (this test's SOURCE data is itself local, so the telltale is the
-    // InMemoryTableScan the fallback persist introduces)
+    // the over-cap probe's frame IS the memo: later callers get the
+    // SAME DataFrame (one CacheManager registration per key — the r11
+    // shape re-persisted a fresh plan per caller and accumulated
+    // registrations nothing owned), so no further plan constructions
+    assert(builds.get() === probeBuilds,
+      "an over-cap hit must not rebuild the distributed plan")
+    assert(second eq first, "all over-cap callers must share one frame")
+    // the shared frame reads the probe's materialized blocks
     assert(second.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // an external clearCache (Verify's periodic clear) must degrade to
+    // a recompute + re-registration, never a permanently-uncached plan
+    // (storageLevel asks the live CacheManager — the executedPlan lazy
+    // val on the shared Dataset would show the stale pre-clear plan)
+    spark.catalog.clearCache()
+    assert(first.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "precondition: the clear evicted the memo's entry")
+    val third = memo.getOrBuild(spark, "big", dist)
+    assert(third.count() === 4)
+    assert(third.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+      "getOrBuild must re-register the evicted cache entry")
     spark.catalog.clearCache()
   }
 

@@ -29,6 +29,44 @@ class MemoParitySpec extends SparkSpec {
     assert(again === direct)
   }
 
+  test("CorpusId: an in-place corpus rewrite changes the key, so a memo " +
+      "keyed on it MISSES instead of serving stale rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpusid")
+      .toFile.getAbsolutePath
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val k1 = graft.util.CorpusId.key(dir)
+    assert(k1 === graft.util.CorpusId.key(dir),
+      "the key must be stable while the corpus is untouched")
+    val memo = new graft.util.RowMemo(maxRows = 1000)
+    def live = spark.read.parquet(dir)
+    val before = memo.getOrBuild(spark, graft.util.CorpusId.key(dir), live)
+      .agg(sum($"id")).as[Long].head()
+    assert(before === 3L)
+    // rewrite IN PLACE: same dir string, different data — the r11 keys
+    // (bare dir string) would keep serving the stale memoized rows here
+    Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    assert(graft.util.CorpusId.key(dir) !== k1,
+      "the fingerprint must change on an in-place rewrite")
+    val after = memo.getOrBuild(spark, graft.util.CorpusId.key(dir), live)
+      .agg(sum($"id")).as[Long].head()
+    assert(after === 60L,
+      "the memo must miss after the rewrite (a stale hit would return 3)")
+  }
+
+  test("CorpusId: alias paths of one dir share a key; an unreadable dir " +
+      "yields unique never-matching keys (rebuild, never stale)") {
+    val k = graft.util.CorpusId.key(Sf0001)
+    assert(graft.util.CorpusId.key(Sf0001 + "/") === k,
+      "canonicalization must fold alias paths onto one memo entry")
+    val missing = "/root/testdata/no-such-dir"
+    assert(graft.util.CorpusId.key(missing) !== graft.util.CorpusId.key(missing),
+      "a degraded key must never match — forcing a rebuild is safe, " +
+        "serving a possibly-stale entry is not")
+  }
+
   test("AnnIvf.centroidsCached equals AnnIvf.centroids; mode and key are " +
       "part of the cache identity") {
     val embs = Tables.load(spark, Sf0001, "embeddings")

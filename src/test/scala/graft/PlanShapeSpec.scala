@@ -256,15 +256,30 @@ class PlanShapeSpec extends SparkSpec {
       s"distinct count must not share an aggregate with the sketches:\n$p")
   }
 
-  test("e26: the global prefix sum is range-partitioned; only the totals table single-partitions") {
+  test("e26: the prefix-sum base is checkpointed (recompute-proof); only " +
+      "the totals table single-partitions") {
+    // The pid↔offset pairing rides nondeterministic spark_partition_id,
+    // so the per-partition running sums are localCheckpoint-ed (r12; a
+    // persist() was only airtight until eviction — Verify's periodic
+    // clearCache, LRU pressure). The checkpoint executes the
+    // rangepartitioning EAGERLY inside the query builder, so the final
+    // plan reads the materialized rows as an RDD scan: the guard pins
+    // that barrier (a recomputable lineage here would be the bug), the
+    // single tiny offsets exchange, and the top-k shape.
     val p = plan("e26_peak_concurrency")
-    assert(p.contains("rangepartitioning"),
-      s"boundary instants must be range-partitioned (monotone pids):\n$p")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(rddScans >= 2,
+      s"both consumers (offsets agg + join) must read the CHECKPOINTED " +
+        s"boundary rows, not recomputable lineage:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the boundary stream must not re-shuffle downstream of the checkpoint:\n$p")
     val singles = "Exchange SinglePartition".r.findAllIn(p).length
     // exactly the per-partition-totals window (≤ shuffle-partition-count
     // rows); the boundary stream itself must never collapse to one task
     assert(singles == 1,
       s"expected exactly 1 SinglePartition exchange (the tiny offsets table), got $singles:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-10 must stay TakeOrdered, not a full sort:\n$p")
   }
 
   test("e22: all eight EWMA taps ride one user-keyed exchange") {
