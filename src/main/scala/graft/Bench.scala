@@ -418,7 +418,18 @@ object Bench {
     // 0.2 s entry costs nothing). The cheap tail still stops at the
     // soft deadline, so the artifact keeps its wall headroom and the
     // hard pass-1 deadline still bounds everything.
-    val heavy = results.toSeq.sortBy { case (_, ts) => -ts.max }
+    // only rep-ELIGIBLE entries count toward the heavy set: an s-entry
+    // at repsStream=1 or a repsOnce trainer can never use the reserve,
+    // and letting them occupy top-20 slots strands reserve seconds
+    // (first reserve draw: only 7 of the top-20 were eligible, and the
+    // rep loop went idle with ~8 s of reserve unspent)
+    def repTarget(name: String): Int =
+      if (repsOnce(name)) 1
+      else if (name.startsWith("s")) repsStream
+      else repsBatch
+    val heavy = results.toSeq
+      .filter { case (n, _) => repTarget(n) > 1 }
+      .sortBy { case (_, ts) => -ts.max }
       .take(20).map(_._1).toSet
     val heavyDeadline = math.min(softDeadline + 25.0, deadline)
     var madeProgress = true
@@ -427,10 +438,7 @@ object Bench {
       val order = selected.filter(p => results.contains(p._1))
         .sortBy { case (n, _) => -results(n).max }
       for ((name, fn) <- order) {
-        val target =
-          if (repsOnce(name)) 1
-          else if (name.startsWith("s")) repsStream
-          else repsBatch
+        val target = repTarget(name)
         val have = results(name)
         val soft = if (heavy(name)) heavyDeadline else softDeadline
         if (have.length < target && have.nonEmpty && elapsed < soft &&
