@@ -263,8 +263,12 @@ private[queries] object OracleHash {
     * optimalNumOfHashFunctions) plus BitArray's round-up to whole
     * 64-bit words — probe indices are taken mod the ROUNDED size.
     * Cross-checked against a live BloomFilter.create(10000, 0.01):
-    * bitSize 95872, k 7; probe replica validated on 2000 random longs
-    * including false-positive behavior. */
+    * bitSize 95872, k 7 (and against the serialized V2 header:
+    * version 2, k 7, seed 0, 1498 words). The probe replica itself is
+    * validated in bloomPositionsCte's scaladoc — note the r12 lesson
+    * there: a replica that only ever sees true members validates the
+    * NO-FALSE-NEGATIVE half of the contract; only false positives
+    * exercise the scatter math, and they first appeared at sf1. */
   def bloomBitSize(expectedItems: Long, fpp: Double): Long = {
     val numBits = (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     ((numBits + 63) / 64) * 64
@@ -288,12 +292,30 @@ private[queries] object OracleHash {
   }
 
   /** gp(h, pos): the k bloom bit positions of each distinct gram hash
-    * in gd(h) — h1 = hashLong(h, 0), h2 = hashLong(h, h1), position i
-    * = (flip-if-negative (h1 + i·h2) as int32) mod bitSize, exactly
-    * BloomFilterImpl.mightContainLong's sequence. */
+    * in gd(h), replaying Spark 4's **BloomFilterImplV2** scatter
+    * (`BloomFilterBase.hashLongToIntPair` + V2
+    * `scatterHashAndGetAllBits`): hi = hashLong(h, seed=0),
+    * lo = hashLong(h, hi) — the same Murmur3 pair as V1 — but the
+    * combine runs in SIGNED 64-BIT math: position i =
+    * (flip-if-negative (hi·Integer.MAX_VALUE + i·lo)) mod bitSize,
+    * where hi/lo enter SIGN-EXTENDED and flip is the 64-bit `^ -1L`.
+    *
+    * The r8 replay used V1's int32 combine ((h1 + i·h2) as int32).
+    * That matched every sf0.01 draw — true members hit under EITHER
+    * scheme (their own insertion set their own positions), and the
+    * small corpus produced zero false positives on either side — and
+    * only diverged at sf1, where the V2 filter's 4 FP docs met a
+    * V1-replay oracle with different FPs (r12; d62 6 rows vs 2). The
+    * scatter was re-derived from the shipped spark-sketch 4.1.2
+    * bytecode and the replica re-validated against a live filter over
+    * the full sf1 disputed-doc gram set, FP behavior included.
+    * |hi·2147483647 + i·lo| < 2^62 + 2^35, so BIGINT cannot overflow. */
   def bloomPositionsCte(numHashes: Int, bitSize: Long): String = {
-    val comb = s"((h1 + i * h2) % $M32)"
-    val flipped = s"(CASE WHEN $comb >= 2147483648 THEN 4294967295 - $comb ELSE $comb END)"
+    def signed(u: String): String =
+      s"(CASE WHEN $u >= 2147483648 THEN CAST($u AS BIGINT) - 4294967296 " +
+        s"ELSE CAST($u AS BIGINT) END)"
+    val acc = s"(${signed("h1")} * 2147483647 + i * ${signed("h2")})"
+    val flipped = s"(CASE WHEN $acc < 0 THEN -$acc - 1 ELSE $acc END)"
     s"""${hashLongStages("gd", "h", "CAST(0 AS HUGEINT)", "h1", "bg1")},
        |${hashLongStages("bg1b", "h, h1", "h1", "h2", "bg2")},
        |gp AS MATERIALIZED (

@@ -62,9 +62,10 @@ private[queries] object DecontaminationFilter {
   /** The shared d62/s23 oracle: the Bloom gate replayed in DuckDB.
     * "Probabilistic" only names the FP rate — given the corpus the bit
     * pattern is deterministic, so the oracle rebuilds it: xxh64 8-gram
-    * hashes (OracleHash, 1-stripe path), Murmur3 hashLong h1/h2, the
-    * k=7 probe positions mod the word-rounded 95872-bit array, eval
-    * bits from doc_id < EvalMaxDocId, and a gram hits iff ALL k of its
+    * hashes (OracleHash, 1-stripe path), the Murmur3 (hi, lo) pair and
+    * Spark 4's V2 64-bit scatter (OracleHash.bloomPositionsCte) mod
+    * the word-rounded 95872-bit array, eval bits from
+    * doc_id < EvalMaxDocId, and a gram hits iff ALL k of its
     * positions are set (by any eval gram — exactly how FPs arise).
     * Both gates emit the same (doc_id, n_grams, n_hits) rows, so one
     * oracle string serves d62 and s23 — extending the bit-parity
