@@ -43,6 +43,12 @@ QUADRATIC = {
     "d44_semdedup_ann": "recursive-CTE componentization at sf1",
     "d85_phash_clusters": "recursive-CTE componentization at sf1 "
                           "(killed at 77 min / 35 GB spill)",
+    # r12: the onion-peel oracle's iterated-degree recursive CTE spills
+    # unboundedly at sf1 (observed: filled 79 GB of free disk and died
+    # ENOSPC) — a disk-filling oracle endangers the whole sweep, so it
+    # is skipped like its d85 cousin; q36 passes hash-exact at sf0.01
+    "q36_onion_layers": "recursive-CTE onion peel at sf1 "
+                        "(ENOSPC at >79 GB DuckDB spill)",
     "d9_embedding_neardup": "all-pairs cosine oracle",
     "d28_knn_label": "all-pairs knn oracle",
     "s9_stream_content_dedup": "simCte-family oracle",
