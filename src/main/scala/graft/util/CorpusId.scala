@@ -54,7 +54,14 @@ object CorpusId {
         s"$canon@n${n}b${bytes}m$mtime"
       }
     } catch {
+      // Files.walk's iterator wraps mid-walk I/O errors (an entry
+      // vanishing or turning unreadable between listing and stat) in
+      // UncheckedIOException — a RuntimeException, so catching only
+      // IOException let exactly the documented "file racing the walk"
+      // case escape and fail the calling memo build instead of
+      // degrading to a unique key (ADVICE r12).
       case _: java.io.IOException => uniqueKey(dir, "walk-failed")
+      case _: java.io.UncheckedIOException => uniqueKey(dir, "walk-failed")
     }
 
   private val fallbackSeq = new java.util.concurrent.atomic.AtomicLong(0)

@@ -59,6 +59,17 @@ final class RowMemo(maxRows: Long) {
     }
     memo match {
       case Right((schema, rows)) => spark.createDataFrame(rows, schema)
+      // Over-cap frame bound to a DIFFERENT session (ADVICE r12): the
+      // cached DataFrame carries the FIRST builder's SparkSession, and
+      // actions on it from a restarted/second session would target a
+      // stale (possibly stopped) session. Rebuild under a
+      // session-qualified key so this caller gets a frame of its own;
+      // the under-cap Right path is session-free (collected rows are
+      // re-wrapped in the caller's session) and needs no such guard.
+      case Left(df) if df.sparkSession ne spark =>
+        getOrBuild(spark,
+          s"$key#session=${System.identityHashCode(spark).toHexString}",
+          distributed)
       case Left(df) =>
         // Re-persist the SAME frame if something evicted its entry: an
         // external clearCache — Verify.scala's periodic clear in the

@@ -44,7 +44,13 @@ for d in "$OUT"/*/; do
 done
 n=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
 [ "$n" -ge 1 ] || fail "drill1: no completed entries survived the kill"
-python3 tools/check.py /root/testdata/sf0.01 "$OUT" > "$OUT/check.log" 2>&1
+# check.py's EXIT CODE is asserted alongside the FAIL grep (ADVICE r12):
+# a crashed compare (traceback, nonzero exit, zero FAIL lines) must not
+# pass the drill vacuously.
+python3 tools/check.py /root/testdata/sf0.01 "$OUT" > "$OUT/check.log" 2>&1 \
+  || fail "drill1: check.py exited nonzero (see $OUT/check.log)"
+grep -Eq '^(PASS|OK)' "$OUT/check.log" \
+  || fail "drill1: check.py emitted no PASS/OK lines (see $OUT/check.log)"
 if grep -q '^FAIL' "$OUT/check.log"; then
   grep '^FAIL' "$OUT/check.log" >&2
   fail "drill1: a completed entry failed the oracle compare after the kill"
