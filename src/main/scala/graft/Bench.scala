@@ -25,6 +25,24 @@ object Bench {
   private def gcMillis: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
+  /** Exact count of Janino compilations so far in this JVM (Spark's own
+    * CodegenMetrics histogram; its count is host-noise-free). Published
+    * split warm/measured (r13): with the default 100-entry compiled-
+    * class cache a 185-plan suite evicts every warmed class before its
+    * measured run, so recompilation lands INSIDE the timed region —
+    * the measured-phase count is the direct evidence for sizing
+    * spark.sql.codegen.cache.maxEntries (build.sbt). */
+  private def janinoCount: Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
+  /** Approximate total Janino compile milliseconds so far (reservoir
+    * mean × exact count — the histogram keeps a sample, so this is an
+    * estimate; the count above is exact). */
+  private def janinoMs: Long = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    (h.getSnapshot.getMean * h.getCount).toLong
+  }
+
   /** Peak usage of the JIT code heaps + metaspace, in MB — the r10
     * diagnosis channel: a 185-plan suite compiles enough generated
     * classes to exhaust the default 240 MB code cache, and the sweeper
@@ -274,9 +292,29 @@ object Bench {
         // d-tail) avoids. One throwaway drain of exactly that entry at
         // the warm SF (~1 s) keeps its recorded figure comparable
         // round-over-round instead of systematically inflated.
+        // Gated on the same grace bound as the workers (ADVICE r12): an
+        // unguarded drain here had no deadline or cancellation, so one
+        // hung streaming drain could eat the pass-1 window unbounded.
+        // Run it on a bounded daemon thread and reuse the cancelAllJobs
+        // loop; a cancelled/slow drain degrades to a cold-measured
+        // s entry like every other truncated warmup.
         samplerS.foreach { case (_, fn) =>
-          try { fn(spark, warmDir).count(); warmed.incrementAndGet() }
-          catch { case _: Throwable => warmFailures.incrementAndGet() }
+          if (elapsed < graceEnd) {
+            val t = new Thread(() => {
+              try { fn(spark, warmDir).count(); warmed.incrementAndGet() }
+              catch { case _: Throwable => warmFailures.incrementAndGet() }
+            })
+            t.setDaemon(true); t.start()
+            t.join((((graceEnd - elapsed) * 1000).toLong + 2000).max(1L))
+            var tries = 0
+            while (t.isAlive && tries < 5) {
+              spark.sparkContext.cancelAllJobs()
+              t.join(2000)
+              tries += 1
+            }
+            if (t.isAlive)
+              println(s"""{"bench_note":"sampler-s warm drain survived cancellation — its pass-1 timing may be contaminated"}""")
+          } else warmFailures.incrementAndGet()
         }
         spark.catalog.clearCache()
         if (it.hasNext) println(s"""{"bench_note":"warmup truncated at ${"%.0f".format(elapsed)}s after ${warmed.get} entries (budget $budget)"}""")
@@ -284,6 +322,9 @@ object Bench {
       }
     }
     val gc0 = gcMillis
+    // compiles before this point happened in the (untimed) warmup;
+    // compiles after it happen inside measured reps
+    val cg0 = janinoCount
     // Median-of-N per query (default 3): a single-shot in-suite number
     // can swing 5x under co-tenant load (r3's d20 artifact: 20.9 s
     // recorded vs 3.7 s isolated), so the recorded figure is the median
@@ -345,7 +386,9 @@ object Bench {
       def line(queriesField: String) =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$queriesField""" +
           s""""complete":$complete,"skipped_n":${skipped.length},"skipped_fam":$skipFam,""" +
-          s""""gc_sec":${fmt(gcSec)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+          s""""gc_sec":${fmt(gcSec)},$codeMemJson,""" +
+          s""""cg_warm":$cg0,"cg_meas":${janinoCount - cg0},"cg_ms":$janinoMs,""" +
+          s""""wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
       val oneLine = line(s""""queries":$medJson,""")
       if (oneLine.length <= 1900) (None, oneLine)
       else (Some(s"""{"bench_queries":$medJson}"""),
@@ -360,7 +403,9 @@ object Bench {
         s""""queries_min":${queriesJson(ts => ts.filter(_ >= 0).headOption.getOrElse(-1.0))},"queries_max":${queriesJson(_.last)},""" +
         s""""reps_batch":$repsBatch,"reps_stream":$repsStream,"complete":$complete,""" +
         s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},$codeMemJson,"wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
+        s""""gc_sec":${fmt((gcMillis - gc0) / 1e3)},$codeMemJson,""" +
+        s""""cg_warm":$cg0,"cg_meas":${janinoCount - cg0},"cg_ms":$janinoMs,""" +
+        s""""wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), body + "\n")
       catch { case _: Throwable => () }

@@ -14,6 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation memo (r13): `spark.read.parquet` re-lists the
+    * path and re-reads a parquet footer ON EVERY CALL — driver-side,
+    * single-threaded work that every one of the ~400 load() calls in a
+    * full 185-entry pass re-pays for the same ten immutable tables.
+    * Memoize the ANALYZED DataFrame per (session, dir, table): a
+    * DataFrame is a plan, not data — every execution still scans the
+    * parquet — so this only dedups metadata resolution, exactly what
+    * the temp-view path (registerAll) already does for SQL entries.
+    * Keyed on the session OBJECT (not a hash) so a restarted session
+    * can never collide, and entries die with the JVM (sessions per JVM
+    * are few: one for Bench/Verify, dozens across the test suite). */
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS); Spark only reads those as
     // long when this legacy flag is on (SPARK-40819). Harmless elsewhere.
@@ -21,7 +35,8 @@ object Tables {
     // Every query path goes through here, so the session always has the
     // graft native functions available (Column API and spark.sql alike).
     graft.functions.GraftFunctions.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    relMemo.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** events with `ts` as a proper TimestampType (µs), whatever physical

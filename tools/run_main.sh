@@ -18,5 +18,6 @@ exec java $OPENS \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.buffer.pageSize=4m \
   -XX:ReservedCodeCacheSize=512m \
+  -Dspark.sql.codegen.cache.maxEntries="${SPARK_GRAFT_CODEGEN_CACHE:-8192}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CP" "$@"
