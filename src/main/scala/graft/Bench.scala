@@ -231,7 +231,27 @@ object Bench {
         val samplerS = selected.take(famCount).find(_._1.startsWith("s"))
         val it = (selected.take(famCount) ++ selected.drop(famCount).reverse)
           .iterator.filterNot(_._1.startsWith("s"))
-        val warmDeadline = budget * 0.075
+        // FIRST-SUCCESS-ANCHORED deadline (r13): the fixed 7.5% window
+        // measured out the door exactly when a slow host finally became
+        // productive — the first warm entry completes only after a
+        // 25-30 s process-global cold-start stall (classload +
+        // interpreted Catalyst + C2), and the absolute deadline killed
+        // the workers right as the 8-way parallel warm rate took off
+        // (draw E: first success ~20 s, 13 entries warmed in the
+        // remaining grace seconds). Anchor the deadline on the first
+        // SUCCESS instead: base window after first success, hard-capped
+        // at 20% of budget so a pathological host can't starve pass 1.
+        // Fast hosts are unchanged (first success lands in ~1-5 s, so
+        // firstOkAt + base ≈ the old absolute window). Every second the
+        // extension spends pulls ~8 workers' worth of serial Janino
+        // compile OUT of pass-1's timed region — parallel and untimed
+        // here, single-threaded and timed there.
+        val warmBase = budget * 0.075
+        val warmCap = budget * 0.2
+        @volatile var firstOkAt = -1.0
+        def warmDeadline: Double =
+          if (firstOkAt < 0) warmBase
+          else math.min(firstOkAt + warmBase, warmCap)
         def nextWarm(): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
           it.synchronized {
             if (it.hasNext && elapsed < warmDeadline) Some(it.next()._2) else None
@@ -244,11 +264,32 @@ object Bench {
         val warmFailures = new java.util.concurrent.atomic.AtomicInteger(0)
         val warmed = new java.util.concurrent.atomic.AtomicInteger(0)
         val nWorkers = envInt("SPARK_GRAFT_WARM_WORKERS", 8)
-        val workers = (1 to nWorkers).map { _ =>
+        // STAGGERED start (r13): on a cold JVM the first warm entry is
+        // dominated by process-global work (classloading, interpreted
+        // Catalyst, C2 queue) — launching all 8 workers into that stall
+        // just multiplies it (measured on a slow host: 8-way start
+        // warmed 0-10 entries in the window with ~8 in-flight casualties
+        // at the grace cancel; a 2-worker probe warmed 7). Two scouts
+        // start immediately; the rest are released the moment the first
+        // entry COMPLETES (the JVM is then warm and parallel planning
+        // pays off — the r10 8-worker rationale). On a fast host the
+        // first entry lands in ~1 s, so the stagger costs nothing.
+        val firstDone = new java.util.concurrent.CountDownLatch(1)
+        val workers = (1 to nWorkers).map { i =>
           val t = new Thread(() => {
+            if (i > 2) {
+              // late workers wait for the scouts' first success, but
+              // never past the grace window (then nextWarm gates exit)
+              while (firstDone.getCount > 0 && elapsed < warmDeadline + 10.0)
+                firstDone.await(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+            }
             var cur = nextWarm()
             while (cur.isDefined) {
-              try { cur.get(spark, warmDir).count(); warmed.incrementAndGet() }
+              try {
+                cur.get(spark, warmDir).count(); warmed.incrementAndGet()
+                if (firstOkAt < 0) firstOkAt = elapsed // benign race: near-equal values
+                firstDone.countDown()
+              }
               catch { case _: Throwable => warmFailures.incrementAndGet() }
               cur = nextWarm()
             }
@@ -261,11 +302,11 @@ object Bench {
         // of pass-1 window this way). Grant a short grace past the
         // deadline, then cancel the in-flight warm jobs — the workers'
         // catch-all counts them as swallowed (measured-cold) entries.
-        val graceEnd = warmDeadline + 10.0
-        workers.foreach { t =>
-          val remMs = ((graceEnd - elapsed) * 1000).toLong.max(1L)
-          t.join(remMs)
-        }
+        // graceEnd re-evaluates: a first success landing mid-wait
+        // extends the window (the anchored deadline above)
+        def graceEnd: Double = warmDeadline + 10.0
+        while (workers.exists(_.isAlive) && elapsed < graceEnd)
+          workers.foreach(_.join(250))
         if (workers.exists(_.isAlive)) {
           println(s"""{"bench_note":"warmup cancelled at ${"%.0f".format(elapsed)}s (grace exceeded)"}""")
           // cancelAllJobs only kills currently-ACTIVE jobs: a warm entry
