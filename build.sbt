@@ -69,4 +69,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // many distinct query shapes wants the cache to cover its working
   // set; env-overridable for A/B.
   s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")}",
+  // Stable generated-class names (r14). By default Spark embeds the
+  // per-query codegen stage ID in every generated class name
+  // (GeneratedIteratorForCodegenStage<N>); the compiled-class cache is
+  // keyed on the generated SOURCE TEXT, so two queries sharing an
+  // identical subplan shape (same scan+filter+project over the same
+  // table — ubiquitous across a 185-operator suite, and across rounds
+  // of an iterative algorithm) still MISS the cache whenever the shape
+  // lands at a different stage position. With the ID out of the name,
+  // identical fragments compile once per JVM (A/B counter evidence in
+  // OPTIMIZATION_r14.md). Plans and results are untouched — the
+  // flag only names classes; oracle sweep green. Env-overridable for
+  // A/B. At 100 TB the same discipline holds: a long-lived driver
+  // re-running parameterized shapes wants fragment compiles amortized.
+  s"-Dspark.sql.codegen.useIdInClassName=${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_USEID", "false")}",
 )

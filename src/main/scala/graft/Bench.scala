@@ -240,7 +240,7 @@ object Bench {
         // (draw E: first success ~20 s, 13 entries warmed in the
         // remaining grace seconds). Anchor the deadline on the first
         // SUCCESS instead: base window after first success, hard-capped
-        // at 20% of budget so a pathological host can't starve pass 1.
+        // at 15% of budget so a pathological host can't starve pass 1.
         // Fast hosts are unchanged (first success lands in ~1-5 s, so
         // firstOkAt + base ≈ the old absolute window). Every second the
         // extension spends pulls ~8 workers' worth of serial Janino
@@ -253,10 +253,22 @@ object Bench {
         // the productive case (first success ~20 s → window ~36 s, 34
         // entries warmed in draw H) and zeroes the pathological one
         val warmCap = budget * 0.15
+        // BUDGET-AWARE abandonment (r14, VERDICT r13 #2): the anchored
+        // window was budget-blind — a first success at 30+ s could still
+        // claim its full base extension, spending up to 15% of budget
+        // + grace before pass 1 starts, on exactly the hosts where
+        // pass 1 needs every second (r13 driver draw: 73/185 skipped).
+        // A first success landing past 10% of budget signals the
+        // cold-collapse regime where extension eats pass-1 coverage
+        // ~1:1 (draw I) — abandon the extension outright there:
+        // completion of pass 1 outranks warm coverage.
+        val warmLateThresh = budget * 0.10
         @volatile var firstOkAt = -1.0
         def warmDeadline: Double =
           if (firstOkAt < 0) warmBase
-          else math.min(firstOkAt + warmBase, warmCap)
+          else if (firstOkAt <= warmLateThresh)
+            math.min(firstOkAt + warmBase, warmCap)
+          else math.max(firstOkAt, warmBase) // late success: no extension
         def nextWarm(): Option[(SparkSession, String) => org.apache.spark.sql.DataFrame] =
           it.synchronized {
             if (it.hasNext && elapsed < warmDeadline) Some(it.next()._2) else None
@@ -283,9 +295,14 @@ object Bench {
         val workers = (1 to nWorkers).map { i =>
           val t = new Thread(() => {
             if (i > 2) {
-              // late workers wait for the scouts' first success, but
-              // never past the grace window (then nextWarm gates exit)
-              while (firstDone.getCount > 0 && elapsed < warmDeadline + 10.0)
+              // late workers wait for the scouts' first success; bound
+              // the wait on the last instant a success could still open
+              // an extension (warmLateThresh; ADVICE r13: the old
+              // warmBase+10 bound made them exit permanently when the
+              // first success landed between warmBase+10 and the cap,
+              // leaving only the 2 scouts to use the reopened window)
+              while (firstDone.getCount > 0 &&
+                     elapsed < math.max(warmBase, warmLateThresh) + 10.0)
                 firstDone.await(200, java.util.concurrent.TimeUnit.MILLISECONDS)
             }
             var cur = nextWarm()
@@ -416,7 +433,54 @@ object Bench {
     // the final line a compact summary that ALWAYS parses — the map
     // line sits directly above it, so its tail is still visible in the
     // recorded window, and full precision lives in BENCH_LOCAL.json.
-    def summaryJson(complete: Boolean): (Option[String], String) = {
+    //
+    // r14 (VERDICT r13 #3): on a COMPLETE draw that single bench_queries
+    // line is itself ~2.4k chars, so the 2000-char tail clipped its
+    // front and PERF recovered totals only (n_common 0 for every
+    // complete round). Between the map line and the final summary the
+    // bench now emits SELF-CONTAINED recovery lines, newest-last so
+    // tail truncation cuts oldest first:
+    //  - per-family chunk lines {"bench_fam":"q","part":1,"queries":
+    //    {"q1":0.37,...}} at 2-decimal precision, each well under 1500
+    //    chars (the d-family splits into parts of <=45 entries);
+    //  - ONE compact line {"bench_cs":{"q":[...],...}} with every
+    //    median in integer CENTISECONDS, family arrays indexed so
+    //    element i is entry <fam><i+1> (ids are contiguous 1..N per
+    //    family), -1 = skipped/failed. This line (~850 chars) plus the
+    //    final summary always fit the 2000-char tail TOGETHER, so all
+    //    185 medians are recoverable from the tail alone even when the
+    //    dict chunks above are clipped.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    def fmt2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    def famChunkLines: Seq[String] = {
+      val byFam = results.toSeq.groupBy(_._1.head)
+      Seq('q', 'e', 'd', 's').filter(byFam.contains).flatMap { f =>
+        val entries = byFam(f)
+          .sortBy(p => shortId(p._1).drop(1).toInt)
+          .map { case (k, ts) => "\"" + shortId(k) + "\":" + fmt2(med(ts)) }
+        entries.grouped(45).zipWithIndex.map { case (chunk, i) =>
+          s"""{"bench_fam":"$f","part":${i + 1},"queries":${chunk.mkString("{", ",", "}")}}"""
+        }
+      }
+    }
+    def csLine: String = {
+      val famMax = selected.map(_._1).groupBy(_.head)
+        .map { case (f, ns) => f -> ns.map(n => shortId(n).drop(1).toInt).max }
+      val parts = Seq('q', 'e', 'd', 's').filter(famMax.contains).map { f =>
+        val arr = Array.fill(famMax(f))(-1L)
+        results.foreach { case (k, ts) =>
+          if (k.head == f) {
+            val idx = shortId(k).drop(1).toInt - 1
+            val m = med(ts)
+            if (idx >= 0 && idx < arr.length && m >= 0)
+              arr(idx) = math.round(m * 100)
+          }
+        }
+        "\"" + f + "\":" + arr.mkString("[", ",", "]")
+      }
+      s"""{"bench_cs":${parts.mkString("{", ",", "}")},"unit":"centisec","idx":"i = fam(i+1)","na":-1}"""
+    }
+    def summaryJson(complete: Boolean): (Seq[String], String) = {
       // Short ids ("d13" for "d13_dedup_clusters", per the contract's
       // own example); full names live in BENCH_LOCAL.json.
       val medJson = results.map { case (k, ts) =>
@@ -436,9 +500,9 @@ object Bench {
           s""""cg_warm":$cg0,"cg_meas":${janinoCount - cg0},"cg_ms":$janinoMs,""" +
           s""""wall_sec":${fmt(elapsed)},"sf":"$sfDir"}"""
       val oneLine = line(s""""queries":$medJson,""")
-      if (oneLine.length <= 1900) (None, oneLine)
-      else (Some(s"""{"bench_queries":$medJson}"""),
-        line(s""""queries_at":"bench_queries line above; full detail in BENCH_LOCAL.json","""))
+      if (oneLine.length <= 1900) (Nil, oneLine)
+      else (Seq(s"""{"bench_queries":$medJson}""") ++ famChunkLines :+ csLine,
+        line(s""""queries_at":"bench_fam/bench_cs lines above; full detail in BENCH_LOCAL.json","""))
     }
     // Full-detail artifact (median + min/max noise band), rewritten after
     // every query so a timeout-killed run still leaves the data on disk.
@@ -540,15 +604,16 @@ object Bench {
       }
     }
     writeLocal(complete = skipped.isEmpty)
-    val (mapLine, json) = summaryJson(complete = skipped.isEmpty)
+    val (preLines, json) = summaryJson(complete = skipped.isEmpty)
     // The driver parses the LAST stdout line: silence Spark's shutdown
     // chatter, stop (failures swallowed — a throwing stop() must not
-    // push shutdown noise after the summary), then print the summary as
-    // the genuinely final line (build.sbt suppresses sbt's "[success]"
-    // trailer and un-prefixes forked output).
+    // push shutdown noise after the summary), then print the recovery
+    // lines and the summary, summary as the genuinely final line
+    // (build.sbt suppresses sbt's "[success]" trailer and un-prefixes
+    // forked output).
     spark.sparkContext.setLogLevel("OFF")
     try spark.stop() catch { case _: Throwable => () }
-    mapLine.foreach(println)
+    preLines.foreach(println)
     println(json)
   }
 }

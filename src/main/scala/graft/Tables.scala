@@ -24,7 +24,17 @@ object Tables {
     * the temp-view path (registerAll) already does for SQL entries.
     * Keyed on the session OBJECT (not a hash) so a restarted session
     * can never collide, and entries die with the JVM (sessions per JVM
-    * are few: one for Bench/Verify, dozens across the test suite). */
+    * are few: one for Bench/Verify, dozens across the test suite).
+    *
+    * CONTRACT (ADVICE r13): a table directory is assumed IMMUTABLE for
+    * the lifetime of the session that first loaded it — an in-place
+    * rewrite of `dir` within one session would serve the stale file
+    * listing/schema resolved at first load. Every current caller
+    * (Bench, Verify, the specs) reads the driver-generated testdata,
+    * which never mutates; if load() ever becomes library surface for
+    * mutable paths, fold a content fingerprint (CorpusId's scheme) into
+    * the memo key. Pinned by TablesMemoSpec: same session returns the
+    * SAME DataFrame instance, a new session re-resolves. */
   private val relMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

@@ -44,17 +44,20 @@ for d in "$OUT"/*/; do
 done
 n=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
 [ "$n" -ge 1 ] || fail "drill1: no completed entries survived the kill"
-# check.py's EXIT CODE is asserted alongside the FAIL grep (ADVICE r12):
-# a crashed compare (traceback, nonzero exit, zero FAIL lines) must not
-# pass the drill vacuously.
-python3 tools/check.py /root/testdata/sf0.01 "$OUT" > "$OUT/check.log" 2>&1 \
-  || fail "drill1: check.py exited nonzero (see $OUT/check.log)"
-grep -Eq '^(PASS|OK)' "$OUT/check.log" \
-  || fail "drill1: check.py emitted no PASS/OK lines (see $OUT/check.log)"
+# check.py's exit code is captured WITHOUT aborting (ADVICE r13: it
+# exits 1 on any FAIL, so an `|| fail` guard fired before the FAIL
+# detail lines below could be echoed — losing the diagnostics); print
+# any FAIL detail first, then assert rc==0. The PASS grep matches
+# check.py's actual statuses (PASS/ROWS/EMPTY — it never prints 'OK').
+rc=0
+python3 tools/check.py /root/testdata/sf0.01 "$OUT" > "$OUT/check.log" 2>&1 || rc=$?
 if grep -q '^FAIL' "$OUT/check.log"; then
   grep '^FAIL' "$OUT/check.log" >&2
   fail "drill1: a completed entry failed the oracle compare after the kill"
 fi
+[ "$rc" -eq 0 ] || fail "drill1: check.py exited nonzero ($rc) with no FAIL lines — compare crashed (see $OUT/check.log)"
+grep -Eq '^(PASS|ROWS)' "$OUT/check.log" \
+  || fail "drill1: check.py emitted no PASS/ROWS lines (see $OUT/check.log)"
 echo "drill1 PASS: kill -9 mid-Verify left valid oracle_sql.json + $n verified entries ($pruned mid-write pruned)"
 
 # ---------- drill 2: 60 s bench budget samples every family ----------

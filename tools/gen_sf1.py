@@ -37,10 +37,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "testdata-sf1")
-REPLICAS = 10
-EMB_REPLICAS = 4
+# r14: replica count / emb replicas / dst are env-overridable so the same
+# structure-preserving scheme yields intermediate SFs (VERDICT r13 #5:
+# hash-gate the sf1-unverifiable entries at ~sf0.3 where their DuckDB
+# oracles are tractable): GEN_SF_REPLICAS=3 GEN_SF_EMB_REPLICAS=2
+# GEN_SF_DST=testdata-sf03 -> ~3x sf0.1. Defaults unchanged (sf1).
+REPLICAS = int(os.environ.get("GEN_SF_REPLICAS", "10"))
+EMB_REPLICAS = int(os.environ.get("GEN_SF_EMB_REPLICAS", "4"))
+DST = os.environ.get(
+    "GEN_SF_DST",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "testdata-sf1"))
 
 
 def read(name):

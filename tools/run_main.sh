@@ -19,5 +19,6 @@ exec java $OPENS \
   -Dspark.buffer.pageSize=4m \
   -XX:ReservedCodeCacheSize=512m \
   -Dspark.sql.codegen.cache.maxEntries="${SPARK_GRAFT_CODEGEN_CACHE:-8192}" \
+  -Dspark.sql.codegen.useIdInClassName="${SPARK_GRAFT_CODEGEN_USEID:-false}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "$CP" "$@"
